@@ -1,0 +1,286 @@
+"""Deduplication operators over the ``documents`` table — the training-data
+pipeline extension (BASELINE.json north star). Not present in the reference
+(its closest op is distinct(), SURVEY §2.4 A6); designed here for 100 TB:
+
+- exact dedup: hash-groupBy — one shuffle on a 32-byte key, no text movement
+  after the md5 projection.
+- MinHash+LSH: shingle → K minhashes → banded signatures → bucket equi-join.
+  The candidate join is an equi-join on band keys (shuffle on small keys), NOT
+  an all-pairs cross join — the only part that grows quadratically is within
+  a bucket, which LSH keeps tiny.
+- SimHash: per-word hash bit votes → 16-bit fingerprint; near-dups share
+  fingerprints (or differ in few bits).
+- n-gram Jaccard: exact verification on LSH candidates only.
+
+Determinism policy: all pseudo-randomness derives from md5 (portable across
+Spark and the DuckDB oracle); minhash values are the low 60 bits of
+md5(perm_id | shingle) so both engines compute identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+N_MINHASH = 8  # 4 bands x 2 rows
+N_BANDS = 4
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.2
+
+# ---------------------------------------------------------------- shingles
+
+# DuckDB: distinct 3-word shingles per doc (docs shorter than 3 words use the
+# whole text as their single shingle).
+SHINGLE_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                ELSE array_to_string(w, ' ') END AS shingle
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+          FROM words)
+)
+"""
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (Spark side of SHINGLE_CTE).
+    Array ops run inside whole-stage codegen; one explode, no UDF."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------- exact
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: keep the lowest doc_id per hash.
+    At 100 TB the shuffle carries only (32-byte hash, id) pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def _hexint(col: Column) -> Column:
+    """Low 60 bits of an md5 hex digest as a non-negative bigint (Spark)."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """K minhash values per doc: min over shingles of md5(perm || '|' || shingle).
+    K aggregates in ONE pass over the shingle table — no per-permutation scans."""
+    aggs = [
+        F.min(
+            _hexint(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")).cast("binary")))
+        ).alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_MINS = ", ".join(
+    "min(CAST(('0x' || substr(md5('{j}|' || shingle), 1, 15)) AS BIGINT)) AS mh{j}".format(
+        j=j
+    )
+    for j in range(N_MINHASH)
+)
+_BAND_KEYS_SQL = ", ".join(
+    f"'{b}:' || CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR)"
+    for b in range(N_BANDS)
+)
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS (
+    SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_n,
+           any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter_n / (na + nb - inter_n), 4) AS jaccard
+FROM verified
+WHERE inter_n / (na + nb - inter_n) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Pipeline: shingle → 8 minhashes (1 pass) → 4 banded keys → self equi-join
+    on band key (candidates) → Jaccard verification via shingle co-count on
+    candidates only. At 100 TB the band join shuffles ~(doc_id, 40-byte key)
+    rows; the quadratic blow-up is bounded per bucket by LSH collision prob."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs).cache()
+    sig = minhash_signatures(sh)
+    band_cols = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.col(f"mh{2*b}").cast("string"),
+                F.col(f"mh{2*b+1}").cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_cols).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    verified = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+    )
+    jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
+    return verified.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def _simhash_expr(shift: str) -> str:
+    """Bit-vote fingerprint expression; ``shift`` is the engine's shift idiom
+    ('(wh >> {j})' for DuckDB, 'shiftright(wh, {j})' for Spark SQL)."""
+    return " + ".join(
+        f"(CASE WHEN sum(CASE WHEN {shift.format(j=j)} & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+
+_SIMHASH_DUCK = _simhash_expr("(wh >> {j})")
+_SIMHASH_SPARK = _simhash_expr("shiftright(wh, {j})")
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
+    FROM tok
+)
+SELECT doc_id, {_SIMHASH_DUCK} AS simhash
+FROM hashed GROUP BY doc_id
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints: per-word 60-bit md5 hash, per-bit
+    +1/-1 votes weighted by term frequency, sign → 16-bit fingerprint.
+    One explode + one grouped conditional aggregate (16 sums fused in a single
+    hash-agg pass); near-dup docs land on equal or near-equal fingerprints."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    hashed = tok.select(
+        "doc_id", _hexint(F.md5(F.col("word").cast("binary"))).alias("wh")
+    )
+    return hashed.groupBy("doc_id").agg(F.expr(_SIMHASH_SPARK).alias("simhash"))
+
+
+# ---------------------------------------------------------------- jaccard
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       round(p.inter_n / (sa.n_sh + sb.n_sh - p.inter_n), 4) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter_n / (sa.n_sh + sb.n_sh - p.inter_n) >= {JACCARD_THRESHOLD}
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over pairs sharing >= 1 shingle.
+
+    The pair generation is an equi-join on the shingle (inverted-index join),
+    not a cross join — only docs with a common shingle ever meet. At 100 TB
+    you'd cap hot shingles (stop-gram removal) before the self-join; here the
+    shingle space is already diverse."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    joined = pairs.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+        "doc_b",
+    )
+    jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
+    return joined.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )

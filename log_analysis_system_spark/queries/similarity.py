@@ -1,0 +1,313 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64 dims) —
+training-data pipeline extension.
+
+Numeric policy: embeddings are quantized to integer milli-units
+(``floor(x * 1000)``) before any arithmetic, so dot products and norms are
+exact bigints in both Spark and the DuckDB oracle; only the final
+``dot / (sqrt(na) * sqrt(nb))`` runs in float, with identical operand values
+and operation order on both engines. This removes the float-summation-order
+nondeterminism that plagues cross-engine ANN comparisons.
+
+Scale design: the brute-force variant is the correctness baseline (fine for a
+broadcast-able query set); the LSH variant is the 100 TB path — random
+hyperplanes bucket vectors so the candidate join is an equi-join on bucket id,
+never a cross join against the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topn import grouped_topn
+from . import query
+
+N_QUERIES = 10  # vec_id < 10 serve as the query set
+TOP_K = 5
+NEARDUP_THRESHOLD = 0.45
+N_PLANES = 8
+N_DIMS = 64
+
+# Quantize via double (float32 -> double is exact; double*1000 and floor are
+# bit-identical across engines, unlike float32 arithmetic whose promotion
+# rules differ).
+_QUANT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+# DuckDB quantization + flatten (one row per vector element, 1-based index).
+_FLAT_CTE = """
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+    FROM embeddings
+),
+flat AS (
+    SELECT vec_id, i, e[i] AS v
+    FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i FROM q)
+),
+norms AS (SELECT vec_id, sum(v * v) AS nrm FROM flat GROUP BY vec_id)
+"""
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", F.expr(_QUANT).alias("e"))
+
+
+def _dot(a: str, b: str) -> Column:
+    """Exact integer dot product of two quantized arrays — zip_with + ordered
+    fold, fully inside codegen (no UDF, no explode)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.expr(
+        f"aggregate(transform({a}, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+WITH {_FLAT_CTE},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+    FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < {N_QUERIES}
+                            AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the query set (vec_id < N) is broadcast
+    against the corpus; dot/norms are exact integer folds over the quantized
+    arrays (no explode — 64x fewer rows in flight than the flattened oracle
+    formulation); per-query top-k via window."""
+    vecs = _quantized(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    pairs = F.broadcast(queries).crossJoin(corpus).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot("qe", "ne").cast("double")
+            / (
+                F.sqrt(_norm("qe").cast("double"))
+                * F.sqrt(_norm("ne").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return grouped_topn(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+WITH {_FLAT_CTE},
+dots AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+    FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.vec_a, d.vec_b,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs at test scale;
+    production path = LSH bucketing below, or block-matrix multiply via
+    pandas UDF over repartitioned blocks). Threshold on the rounded cosine so
+    both engines cut on identical values."""
+    vecs = _quantized(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            _dot("ea", "eb").cast("double")
+            / (
+                F.sqrt(_norm("ea").cast("double"))
+                * F.sqrt(_norm("eb").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= NEARDUP_THRESHOLD)
+
+
+# Deterministic pseudo-random hyperplane coefficients shared with the oracle:
+# coef(p, d) = (low-60-bits(md5(p ',' d)) % 1001) - 500   ∈ [-500, 500]
+_COEF_CTE = f"""
+planes AS (
+    SELECT p, d,
+           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1001 - 500 AS coef
+    FROM range({N_PLANES}) t1(p), range({N_DIMS}) t2(d)
+)
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH {_FLAT_CTE},
+{_COEF_CTE.strip().rstrip()},
+proj AS (
+    SELECT f.vec_id, pl.p, sum(pl.coef * f.v) AS s
+    FROM flat f JOIN planes pl ON pl.d = f.i - 1
+    GROUP BY 1, 2
+),
+buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN s > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+),
+cand AS (
+    SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+    FROM buckets qa JOIN buckets qb
+      ON qa.bucket = qb.bucket AND qa.vec_id < {N_QUERIES}
+     AND qa.vec_id <> qb.vec_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+    FROM cand c
+    JOIN flat a ON a.vec_id = c.query_id
+    JOIN flat b ON b.vec_id = c.neighbor_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB scale path): sign-of-random-hyperplane
+    bucketing (8 planes → 256 buckets), candidate = same-bucket equi-join,
+    exact cosine + top-k only within the bucket. Hyperplane coefficients are
+    md5-derived so Spark and the oracle share them exactly.
+
+    At scale: the bucket join shuffles (vec_id, bucket) pairs only; each
+    bucket holds ~N/256 vectors, so the per-bucket work stays bounded. Recall
+    is tunable via planes/bands (multi-probe: OR of several plane sets)."""
+    vecs = _quantized(spark, sf_dir)
+    planes = (
+        spark.range(N_PLANES)
+        .select(F.col("id").alias("p"))
+        .crossJoin(spark.range(N_DIMS).select(F.col("id").alias("d")))
+        .select(
+            "p",
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(",", F.col("p").cast("string"), F.col("d").cast("string")).cast(
+                                "binary"
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 1001
+                - 500
+            ).alias("coef"),
+        )
+    )
+    # Collect the tiny (8x64) plane table and bake it into a literal array so
+    # the projection is a pure codegen expression: proj_p = sum_d coef[p][d]*e[d].
+    coef_rows = planes.orderBy("p", "d").collect()
+    coefs = [[0] * N_DIMS for _ in range(N_PLANES)]
+    for r in coef_rows:
+        coefs[r["p"]][r["d"]] = r["coef"]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN aggregate(zip_with(e, array({', '.join(f'CAST({c} AS BIGINT)' for c in coefs[p])}), "
+        f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    bucketed = vecs.withColumn("bucket", F.expr(bucket_expr))
+    qa = bucketed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+    )
+    qb = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "bucket"
+    )
+    cand = F.broadcast(qa).join(qb, "bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot("qe", "ne").cast("double")
+            / (
+                F.sqrt(_norm("qe").cast("double"))
+                * F.sqrt(_norm("ne").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return grouped_topn(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))

@@ -1,0 +1,173 @@
+"""Text-analysis operators over ``documents`` — training-data pipeline
+extension (language ID, quality scoring, token counting, fingerprinting).
+
+All four run as pure built-in column expressions (split / explode / filter /
+conditional aggregation) — zero Python UDFs, so the scan + analysis stays in
+whole-stage codegen and scales linearly with corpus size. Ratios divide exact
+integer counts, so Spark and the DuckDB oracle produce identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+# English function words for the n-gram/stopword language heuristic.
+_EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for")
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+_STOP_IN_SQL = "(" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + ")"
+
+
+@query(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace_chars
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + char counts per document (the BPE-ish
+    regex variant is `F.split(text, '[^a-z0-9]+')` — same operator shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias(
+            "n_nonspace_chars"
+        ),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN {_STOP_IN_SQL})) AS BIGINT) AS stop_hits,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang,
+       round(stop_hits / n_tokens, 4) AS stop_ratio,
+       CASE WHEN stop_hits / n_tokens >= 0.03 THEN 'en' ELSE 'other' END
+           AS predicted_lang
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit ratio (n-gram heuristic family). Array
+    `filter` keeps the whole computation vectorized in codegen."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    n_tokens = F.size(words).cast("long")
+    ratio = stop_hits / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.when(ratio >= 0.03, "en").otherwise("other").alias("predicted_lang"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN {_STOP_IN_SQL})) AS BIGINT) AS stop_hits
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_alpha / n_tokens, 4) AS avg_token_len,
+       round(stop_hits / n_tokens, 4) AS stop_ratio,
+       round(least(n_tokens, 200) / 200.0 * 0.5
+             + CASE WHEN n_alpha / n_tokens BETWEEN 3 AND 8 THEN 0.3 ELSE 0 END
+             + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0 END, 4) AS quality
+FROM feat
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / token-shape / stopword features
+    (the C4-style heuristic family): 0.5 * capped length + 0.3 * plausible
+    avg token length + 0.2 * has-function-words."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    avg_len = n_alpha / n_tokens
+    quality = (
+        F.least(n_tokens, F.lit(200)) / 200.0 * 0.5
+        + F.when(avg_len.between(3, 8), 0.3).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_hits / n_tokens, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                ELSE array_to_string(w, ' ') END AS shingle
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+          FROM words)
+),
+hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+ranked AS (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS r
+    FROM hashed
+)
+SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+FROM ranked WHERE r <= 4 GROUP BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: bottom-4 sketch of rolling (3-word shingle)
+    hashes — a winnowing-style content signature. Equal fingerprints =>
+    near-identical documents; the sketch is fixed-size regardless of doc
+    length, so the dedup join at 100 TB carries 4 hashes per doc."""
+    from .dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs)
+    hashed = sh.select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    ranked = hashed.withColumn(
+        "r", F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
+    )
+    return (
+        ranked.where(F.col("r") <= 4)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("h"))).alias("fingerprint")
+        )
+    )

@@ -1,0 +1,140 @@
+"""General OLAP queries over the TPC-H-ish tables — the engine's bench
+headliners and the scan/agg/join breadth the reference exercises through SQL
+(AreaTop3ProductSpark.java uses Spark SQL as its surface; these queries are
+that surface on the driver testdata).
+
+Float policy: monetary columns are 2-decimal doubles; aggregates convert them
+to integer cents first (``round(x*100)`` — exact in both engines because the
+stored doubles are within 1e-10 of a cent), sum the integers (exact,
+associative, immune to float summation-order divergence across partitionings),
+and divide back to doubles only at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty_c) / 100.0 AS sum_qty,
+       sum(price_c) / 100.0 AS sum_base_price,
+       sum(price_c * (100 - disc_c)) / 10000.0 AS sum_disc_price,
+       sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0 AS sum_charge,
+       count(*) AS count_order
+FROM c GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan + pushed-down predicate + exact
+    grouped sums. One partial/final hash aggregate, no joins, no shuffle
+    beyond the 6-group exchange."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("disc_c"),
+        _cents("l_tax").alias("tax_c"),
+    )
+    return cents.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qty_c") / 100.0).alias("sum_qty"),
+        (F.sum("price_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_c"))) / 10000.0).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(
+                F.col("price_c")
+                * (F.lit(100) - F.col("disc_c"))
+                * (F.lit(100) + F.col("tax_c"))
+            )
+            / 1000000.0
+        ).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+SELECT c.c_custkey AS custkey, any_value(c.c_name) AS name,
+       any_value(n.n_name) AS nation,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS order_cnt
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim broadcast join + grouped exact sum + global top-k
+    (TakeOrderedAndProject)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return (
+        joined.groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.first("c_name").alias("name"),
+            F.first("n_name").alias("nation"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "order_priority_counts",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: predicate + left-semi join (EXISTS) + count. Exercises
+    the semi-join operator the reference only has as an idiom (J2/J3)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qualifying = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.where(
+            F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+        )
+        .join(qualifying, orders["o_orderkey"] == qualifying["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

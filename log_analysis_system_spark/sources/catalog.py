@@ -1,0 +1,110 @@
+"""Batch sources (SURVEY §2.1 S1-S7, S13).
+
+The reference reads Hive-default ``\\x01``-delimited text registered as temp tables
+(reference: src/main/java/com/soto/test/MockData.java:89-108) and a MySQL dimension
+via the Spark JDBC source (AreaTop3ProductSpark.java:205-206). Here the primary
+format is parquet (columnar scan, predicate pushdown, column pruning — all free
+from Catalyst once the plan is declarative); ``\\x01`` text and JDBC are kept as
+secondary connectors for format parity.
+
+Scale notes: `spark.read.parquet` on a 100 TB table prunes partitions and row
+groups from the WHERE clause — S1's hand-interpolated
+``WHERE date>=:start AND date<=:end`` (SparkUtils.java:73-77) becomes a plain
+``.where`` that Catalyst pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+#: Driver-provided test tables (TESTDATA.md) — one parquet file each.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with its nanosecond timestamp normalized to Spark's
+    microsecond TimestampType.
+
+    The driver parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark rejects
+    by default (PARQUET_TYPE_ILLEGAL); ``nanosAsLong`` reads it as raw nanos,
+    and integer-division to micros truncates exactly like DuckDB's ns→us cast,
+    so both engines see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver test table from ``sf_dir`` as a DataFrame."""
+    return {
+        name: (
+            read_events(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+        for name in TABLES
+    }
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load and register each table as a temp view (SQL surface, S7 analog)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def read_x01_text(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Hive-default ``\\x01``-separated text scan (S13; reference sales.txt /
+    user_visit_action.txt fixtures). Explicit schema — no inference in prod paths."""
+    return spark.read.csv(path, sep="\x01", schema=schema, header=False)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 1,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source (S3; reference AreaTop3ProductSpark.java:180-228).
+
+    For anything bigger than a dimension table, pass ``partition_column`` +
+    bounds so the read parallelizes instead of funneling through one connection.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()

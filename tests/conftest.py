@@ -1,0 +1,85 @@
+"""Shared test fixtures: one local SparkSession per test run, a DuckDB
+connection with the driver testdata registered as views, and the oracle
+comparison helper that mirrors the driver's t2 gate (sorted columns, sorted
+rows, exact value equality)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from log_analysis_system_spark.session import get_spark
+from log_analysis_system_spark.sources.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def register_duck_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+
+def _canon(val):
+    """Canonicalize a cell for comparison (mirror of a value-hash gate)."""
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        # repr of the exact double — engines must agree bit-for-bit
+        return repr(val)
+    return str(val)
+
+
+def assert_matches_oracle(spark, duck, query_fn, oracle: str, sf_dir: str):
+    """Run the Spark query and the DuckDB oracle; compare schema column names,
+    row counts, and exact values (columns sorted by name, rows sorted)."""
+    register_duck_views(duck, sf_dir)
+    sdf = query_fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(_canon(row[c]) for c in spark_cols) for row in sdf.collect()
+    ]
+
+    ddf = duck.execute(oracle).fetch_arrow_table()
+    duck_cols = sorted(ddf.column_names)
+    assert spark_cols == duck_cols, f"schema mismatch: {spark_cols} vs {duck_cols}"
+    pydict = ddf.to_pydict()
+    n = ddf.num_rows
+    duck_rows = [
+        tuple(_canon(pydict[c][i]) for c in duck_cols) for i in range(n)
+    ]
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    spark_rows.sort()
+    duck_rows.sort()
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(spark_rows, duck_rows)) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
