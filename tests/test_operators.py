@@ -1,0 +1,116 @@
+"""Per-operator unit tests (SURVEY §5 item 1): minimal DataFrame-in /
+DataFrame-out fixtures with hand-computable answers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.operators import (
+    bin_ratio_aggregate,
+    explode_count,
+    funnel_counts,
+    global_topn,
+    grouped_topn,
+    page_splits,
+    session_aggregate,
+    sessionize,
+)
+from log_analysis_system_spark.operators.funnel import conversion_rates
+
+
+def ts(minute: int, second: int = 0):
+    return datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        (1, 1, ts(0)),
+        (2, 1, ts(29)),   # 29 min gap -> same session
+        (3, 1, ts(59)),   # exactly 30 min gap -> same session (strict >)
+        (4, 1, ts(90)),   # 31 min gap -> new session
+        (5, 2, ts(0)),    # other user -> own session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, gap_minutes=30, tiebreak_col="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == "1_1"
+    assert got[4] == "1_2"
+    assert got[5] == "2_1"
+
+
+def test_session_aggregate_stats(spark):
+    rows = [
+        (1, 1, ts(0), "view"),
+        (2, 1, ts(1), "click"),
+        (3, 1, ts(2), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    ).withColumn("session_id", F.lit("1_1"))
+    row = session_aggregate(df).collect()[0]
+    assert row["step_length"] == 3
+    assert row["visit_length"] == 120
+    assert row["payloads"] == "click,view"  # sorted distinct
+    assert row["user_id"] == 1
+
+
+def test_grouped_topn_ties_deterministic(spark):
+    rows = [("a", 1, 10), ("a", 2, 10), ("a", 3, 5), ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "grp string, id long, score long")
+    out = grouped_topn(
+        df, ["grp"], [F.desc("score"), F.asc("id")], 2, rank_col="r"
+    ).collect()
+    got = {(r["grp"], r["r"]): r["id"] for r in out}
+    assert got[("a", 1)] == 1  # tie broken by id asc
+    assert got[("a", 2)] == 2
+    assert got[("b", 1)] == 4
+
+
+def test_global_topn_limit(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    out = global_topn(df, [F.desc("v")], 3).collect()
+    assert [r["v"] for r in out] == [99, 98, 97]
+
+
+def test_bin_ratio_aggregate_half_up(spark):
+    # 1 of 8 rows in bin -> 0.125 rounds HALF_UP to 0.13 (reference F5
+    # BigDecimal HALF_UP semantics, util/NumberUtils.java:17-20)
+    df = spark.createDataFrame([(i,) for i in range(8)], "v long")
+    row = bin_ratio_aggregate(df, {"zero": F.col("v") == 0}).collect()[0]
+    assert row["session_count"] == 8
+    assert row["zero_ratio"] == 0.13
+
+
+def test_explode_count(spark):
+    df = spark.createDataFrame(
+        [("1,2,2",), (None,), ("2",), ("",)], "ids string"
+    )
+    got = {r["id"]: r["cnt"] for r in explode_count(df, "ids").collect()}
+    assert got == {"1": 1, "2": 3}
+
+
+def test_page_splits_and_funnel(spark):
+    rows = [
+        (1, "s1", ts(0), "view"),
+        (2, "s1", ts(1), "click"),
+        (3, "s1", ts(2), "purchase"),
+        (4, "s2", ts(0), "view"),
+        (5, "s2", ts(1), "purchase"),  # skips click -> no view_click pair
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, session_id string, ts timestamp, page_id string"
+    )
+    splits = page_splits(df, page_col="page_id", tiebreak_col="event_id")
+    counts = {
+        r["split"]: r["split_pv"]
+        for r in funnel_counts(splits, ["view", "click", "purchase"]).collect()
+    }
+    assert counts == {"view_click": 1, "click_purchase": 1}
+    rates = conversion_rates(counts, start_pv=2, target_flow=["view", "click", "purchase"])
+    assert rates == [("view_click", 0.5), ("click_purchase", 1.0)]
+
+
+def test_funnel_rate_zero_start():
+    assert conversion_rates({}, 0, ["a", "b"]) == [("a_b", 0.0)]

@@ -1,0 +1,169 @@
+"""Structured Streaming tests (SURVEY §5 item 3): the DStream job's semantics
+(ST1-ST6) driven batch-by-batch through a real file-source stream — no Kafka
+needed; the transformations are source-agnostic."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.streaming.ad_analytics import (
+    BLACKLIST_THRESHOLD,
+    AdAnalyticsPipeline,
+    build_file_stream,
+    parse_ad_click_log,
+    province_top3,
+    sliding_window_counts,
+)
+
+BASE_MS = 1704067200000  # 2024-01-01 00:00:00 UTC
+
+
+def _record(offset_s: int, province: str, city: str, user: int, ad: int) -> str:
+    return f"{BASE_MS + offset_s * 1000} {province} {city} {user} {ad}"
+
+
+def _write_chunk(path: str, name: str, lines: list[str]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(path, name))
+
+
+@pytest.fixture()
+def stream_env(tmp_path):
+    return {
+        "input": str(tmp_path / "input"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_parse_ad_click_log(spark):
+    raw = spark.createDataFrame(
+        [(_record(0, "Jiangsu", "Nanjing", 7, 3),)], "value string"
+    )
+    row = parse_ad_click_log(raw).collect()[0]
+    assert row["province"] == "Jiangsu"
+    assert row["city"] == "Nanjing"
+    assert row["user_id"] == 7 and row["ad_id"] == 3
+    assert row["date_key"] == "2024-01-01"
+    assert row["ts"].isoformat().startswith("2024-01-01T00:00:00")
+
+
+def test_blacklist_feedback_loop(spark, stream_env):
+    """ST3: a user crossing the threshold in batch 1 must be anti-joined out
+    of batch 2 — the cross-batch feedback edge the reference routes through
+    MySQL (AdClickRealTimeSpark.java:96-99,232-403)."""
+    pipe = AdAnalyticsPipeline(stream_env["state"])
+
+    # batch 1: user 1 clicks ad 9 three times (crosses threshold of 2);
+    # user 2 clicks once.
+    _write_chunk(
+        stream_env["input"],
+        "batch1.txt",
+        [_record(i, "Jiangsu", "Nanjing", 1, 9) for i in range(3)]
+        + [_record(10, "Zhejiang", "Hangzhou", 2, 5)],
+    )
+    stream = build_file_stream(spark, stream_env["input"])
+    q = pipe.start(stream, stream_env["ckpt"])
+    q.processAllAvailable()
+
+    blk = {r["user_id"] for r in pipe.blacklist(spark).collect()}
+    assert blk == {1}, f"user 1 should be blacklisted, got {blk}"
+    counts = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert counts[(1, 9)] == 3 and counts[(2, 5)] == 1
+
+    # batch 2: blacklisted user 1 clicks again -> must NOT increment state;
+    # user 2 clicks twice more -> crosses threshold, joins blacklist.
+    _write_chunk(
+        stream_env["input"],
+        "batch2.txt",
+        [_record(100 + i, "Jiangsu", "Nanjing", 1, 9) for i in range(5)]
+        + [_record(110 + i, "Zhejiang", "Hangzhou", 2, 5) for i in range(2)],
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    counts = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert counts[(1, 9)] == 3, "blacklisted user's clicks must be filtered"
+    assert counts[(2, 5)] == 3
+    blk = {r["user_id"] for r in pipe.blacklist(spark).collect()}
+    assert blk == {1, 2}
+
+    # ST4 cumulative stats reflect only clean traffic.
+    stats = {
+        (r["province"], r["ad_id"]): r["click_count"]
+        for r in pipe.stats(spark).collect()
+    }
+    assert stats[("Jiangsu", 9)] == 3
+    assert stats[("Zhejiang", 5)] == 3
+
+
+def test_province_top3_rank_semantics(spark):
+    """ST5/W2: rank<=3 per (date, province) with deterministic tie-break —
+    the documented intent, not the reference's `rank>=3` bug (:658)."""
+    rows = [
+        ("2024-01-01", "Jiangsu", "NJ", ad, cnt)
+        for ad, cnt in [(1, 50), (2, 40), (3, 30), (4, 20), (5, 10)]
+    ]
+    df = spark.createDataFrame(
+        rows, "date_key string, province string, city string, ad_id long, "
+        "click_count long"
+    )
+    out = province_top3(df).orderBy("rnk").collect()
+    assert [r["ad_id"] for r in out] == [1, 2, 3]
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+
+
+def test_sliding_window_counts(spark, stream_env):
+    """ST6: 60s window / 10s slide (scaled-down) — each event lands in
+    window/slide = 6 windows; counts align with the batch F.window oracle."""
+    _write_chunk(
+        stream_env["input"],
+        "w.txt",
+        [_record(0, "P", "C", 1, 1), _record(5, "P", "C", 2, 1),
+         _record(30, "P", "C", 3, 1)],
+    )
+    stream = build_file_stream(spark, stream_env["input"])
+    windowed = sliding_window_counts(
+        stream, window="60 seconds", slide="10 seconds", watermark="0 seconds"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("sliding_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["window_start"].isoformat(), r["ad_id"]): r["click_count"]
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    # the window [00:00:00, 00:01:00) contains all three events
+    assert got[("2024-01-01T00:00:00", 1)] == 3
+    # the window [00:00:30, 00:01:30) contains only the t=30 event
+    assert got[("2024-01-01T00:00:30", 1)] == 1
+    # events at t=0,5 share 6 windows each; t=30 in its own later windows
+    assert all(c >= 1 for c in got.values())
+
+
+def test_kafka_source_unavailable_is_clear(spark):
+    """S4: without Kafka jars the builder must fail with actionable guidance,
+    not a bare Java stack."""
+    from log_analysis_system_spark.streaming.ad_analytics import build_kafka_stream
+
+    with pytest.raises(Exception) as exc_info:
+        build_kafka_stream(spark, "localhost:9092")
+    msg = str(exc_info.value)
+    assert "kafka" in msg.lower()
