@@ -35,6 +35,31 @@ def bin_ratio_aggregate(
     return df.agg(*aggs)
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 10,
+) -> DataFrame:
+    """A9: skew-safe two-stage aggregation — random-salt partial aggregate,
+    then final merge after stripping the salt (the reference's random-prefix
+    double group-by, AreaTop3ProductSpark.java:319-348 + RandomPrefixUDF).
+
+    Under AQE (`spark.sql.adaptive.skewJoin/coalescePartitions`) this pattern
+    is normally unnecessary — keep it for aggregations whose single hot key
+    overwhelms even AQE's partition splitting. Only works for algebraic
+    aggregates; ``aggs`` maps output name -> partial aggregate expression, and
+    the final stage re-aggregates with SUM (so express count as sum of 1s).
+    """
+    salted = df.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in aggs]
+    )
+
+
 def explode_count(
     df: DataFrame, list_col: str, sep: str = ",", out_col: str = "id"
 ) -> DataFrame:

@@ -40,4 +40,5 @@ def load_all() -> None:
         text_analysis,
         multimodal,
         streaming_batch,
+        scalar_and_setops,
     )

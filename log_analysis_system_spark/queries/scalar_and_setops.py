@@ -1,0 +1,88 @@
+"""Scalar-function surface (SURVEY §2.8 F1-F9) and set operations (§2.7)
+exercised end-to-end with oracles.
+
+The F-family query materializes every date-key format, JSON extraction,
+sentinel and banding expression the reference uses, over the events table;
+the set-ops query covers union/intersect/except (absent from the reference —
+engine capability beyond parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    date_hour_key,
+    date_key,
+    json_field,
+    null_sentinel,
+    time_minute_key,
+    zero_pad,
+)
+from ..sources.catalog import read_events
+from . import query
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y%m%d') AS date_key,
+       strftime(ts, '%Y-%m-%d_%H') AS date_hour,
+       strftime(ts, '%Y%m%d%H%M') AS minute_key,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COALESCE(CAST(json_extract_string(props, '$.missing') AS BIGINT), -1)
+           AS k_missing_sentinel,
+       lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_padded,
+       CASE WHEN value < 10 THEN 'low'
+            WHEN value < 30 THEN 'mid'
+            ELSE 'high' END AS value_band
+FROM events
+""",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 date keys ('yyyyMMdd', 'yyyy-MM-dd_HH', 'yyyyMMddHHmm'), F6 JSON
+    extraction, P8 null sentinel, F2 zero-pad, F7/F8 CASE banding — all as
+    codegen column expressions over one scan."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        date_key(F.col("ts")).alias("date_key"),
+        date_hour_key(F.col("ts")).alias("date_hour"),
+        time_minute_key(F.col("ts")).alias("minute_key"),
+        json_field(F.col("props"), "k").cast("long").alias("k"),
+        null_sentinel(json_field(F.col("props"), "missing").cast("long")).alias(
+            "k_missing_sentinel"
+        ),
+        zero_pad(F.col("user_id"), 6).alias("user_padded"),
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 30, "mid")
+        .otherwise("high")
+        .alias("value_band"),
+    )
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buys   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT user_id, 'click_only' AS tag
+FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM buys)
+UNION ALL
+SELECT user_id, 'click_and_purchase' AS tag
+FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM buys)
+""",
+)
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: except/intersect/union over user sets (clickers who never
+    purchased vs clickers who did)."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clicks.exceptAll(buys.distinct()).withColumn(
+        "tag", F.lit("click_only")
+    )
+    both = clicks.intersect(buys).withColumn("tag", F.lit("click_and_purchase"))
+    return click_only.unionByName(both)

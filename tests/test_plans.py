@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: the properties that make these queries viable
+at 100 TB must hold structurally, not by luck. If a refactor turns a broadcast
+join into a sort-merge join or un-pushes a filter, these tests fail before any
+benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # predicate reaches the parquet scan
+    assert "l_shipdate" in plan.split("FileScan")[1]
+    # column pruning: the scan must not read keys it doesn't need
+    scan = plan.split("FileScan parquet ")[1].split("]")[0]
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # two-phase aggregation (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_area_top3_all_dims_broadcast(spark):
+    plan = plan_of(spark, "area_top3")
+    # snowflake: every dim join is broadcast-hash, never sort-merge
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_top10_category_is_take_ordered(spark):
+    plan = plan_of(spark, "top10_category")
+    # global top-k must compile to TakeOrderedAndProject (heap), not a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_session_filter_broadcasts_user_dim(spark):
+    plan = plan_of(spark, "session_filter")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_session_detail_uses_semi_join(spark):
+    plan = plan_of(spark, "session_detail")
+    assert "LeftSemi" in plan
+
+
+def test_order_priority_semi_join(spark):
+    plan = plan_of(spark, "order_priority_counts")
+    assert "LeftSemi" in plan
+    # orderdate predicate pushed to scan
+    assert "o_orderdate" in plan.split("FileScan")[1]
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """Cross joins are only legitimate where a tiny broadcast side is crossed
+    deliberately (funnel start_pv single row, ANN query set)."""
+    allowed_cross = {"funnel", "ann_brute_topk", "embedding_near_dup"}
+    for name in sorted(QUERIES):
+        if name in allowed_cross:
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_scans_are_columnar_batched(spark):
+    """Vectorized parquet reader engaged (Batched: true) for fact scans."""
+    for name in ["pricing_summary", "top10_category", "session_agg"]:
+        plan = plan_of(spark, name)
+        assert "Batched: true" in plan, f"{name} scan not vectorized"
