@@ -24,15 +24,22 @@ def page_splits(
     ts_col: str = "ts",
     page_col: str = "page_id",
     tiebreak_col: str | None = None,
+    copartition_col: str | None = None,
 ) -> DataFrame:
     """Adjacent-step pairs "prev_curr" per session, ordered by event time.
 
     ``tiebreak_col`` (e.g. the event id) makes ordering total when timestamps
     can collide — at scale, ties are a certainty, and a nondeterministic lag
     makes the whole funnel unstable.
+
+    ``copartition_col``: when the input is already partitioned by a coarser
+    key that prefixes the session (the sessionize window's user key), pass it
+    as the leading partition column — the existing exchange then satisfies
+    this window and the per-session lag costs a sort, not a shuffle.
     """
+    parts = ([copartition_col] if copartition_col else []) + [session_col]
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
-    w = Window.partitionBy(session_col).orderBy(*order)
+    w = Window.partitionBy(*parts).orderBy(*order)
     prev = F.lag(page_col).over(w)
     return df.withColumn(
         "split",

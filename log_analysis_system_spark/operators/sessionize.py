@@ -64,15 +64,32 @@ def session_aggregate(
       (reference concatenates distinct search keywords in arrival order,
       :353-369 — sorted here for determinism under shuffle)
     - user_id (constant within a session by construction)
+
+    Shuffle note: grouping includes ``user_col`` so the exchange introduced by
+    sessionize's user-partitioned window already satisfies this aggregate's
+    distribution (HashPartitioning(user) clusters (user, session)) — grouping
+    by the concat string alone would force a second full shuffle.
     """
     visit_len = (
         (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
         / F.lit(1_000_000)
     ).cast("long")
-    return sessions.groupBy(session_col).agg(
-        F.min(user_col).alias(user_col),
-        F.count(F.lit(1)).alias("step_length"),
-        visit_len.alias("visit_length"),
-        F.concat_ws(",", F.array_sort(F.collect_set(payload_col))).alias("payloads"),
-        F.min(ts_col).alias("start_time"),
+    return (
+        sessions.groupBy(user_col, session_col)
+        .agg(
+            F.count(F.lit(1)).alias("step_length"),
+            visit_len.alias("visit_length"),
+            F.concat_ws(",", F.array_sort(F.collect_set(payload_col))).alias(
+                "payloads"
+            ),
+            F.min(ts_col).alias("start_time"),
+        )
+        .select(
+            session_col,
+            user_col,
+            "step_length",
+            "visit_length",
+            "payloads",
+            "start_time",
+        )
     )

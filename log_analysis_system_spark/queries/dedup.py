@@ -89,22 +89,37 @@ def _hexint(col: Column) -> Column:
     return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
 
 
+# Affine permutation family over a 28-bit base hash: h_j = (A_j*h + B_j) mod P.
+# ONE md5 per shingle instead of K — md5 dominates signature cost at scale;
+# the affine mix is exact int64 arithmetic, identical in Spark and DuckDB
+# (28-bit h x 21-bit A stays far below 2^63).
+MINHASH_P = 2147483647  # 2^31 - 1
+MINHASH_A = [1000003, 999983, 786433, 655361, 590921, 514229, 433129, 362881]
+MINHASH_B = [12345, 54321, 1337, 7331, 2468, 8642, 1111, 9999]
+
+
+def _base_hash(col: Column) -> Column:
+    """28-bit md5-derived base hash (Spark side)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """K minhash values per doc: min over shingles of md5(perm || '|' || shingle).
-    K aggregates in ONE pass over the shingle table — no per-permutation scans."""
+    """K minhash values per doc: min over shingles of the j-th affine
+    permutation of one shared md5 base hash. K aggregates in ONE pass."""
+    base = _base_hash(F.col("shingle"))
+    hashed = sh.select("doc_id", base.alias("bh"))
     aggs = [
-        F.min(
-            _hexint(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")).cast("binary")))
-        ).alias(f"mh{j}")
+        F.min((F.col("bh") * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(
+            f"mh{j}"
+        )
         for j in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_MINS = ", ".join(
-    "min(CAST(('0x' || substr(md5('{j}|' || shingle), 1, 15)) AS BIGINT)) AS mh{j}".format(
-        j=j
-    )
+    f"min((CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) * {MINHASH_A[j]} "
+    f"+ {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
     for j in range(N_MINHASH)
 )
 _BAND_KEYS_SQL = ", ".join(

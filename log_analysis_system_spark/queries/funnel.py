@@ -66,7 +66,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     splits = page_splits(
         sess, session_col="session_id", ts_col="ts", page_col="event_type",
-        tiebreak_col="event_id",
+        tiebreak_col="event_id", copartition_col="user_id",
     )
     counts = (
         splits.where(F.col("split").isin(_TARGETS))
