@@ -41,4 +41,5 @@ def load_all() -> None:
         multimodal,
         streaming_batch,
         scalar_and_setops,
+        olap_extras,
     )

@@ -1,0 +1,152 @@
+"""OLAP breadth beyond the reference: as-of join, rollup/grouping sets,
+exact+approximate distinct counts, pivot. Each SQL-expressible op carries a
+DuckDB oracle; the approximate variant is rows-only (engines use different
+sketches — recorded as a weaker check by design)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.catalog import read_events
+from . import query
+
+
+@query(
+    "asof_join_orders",
+    oracle="""
+WITH dedup_orders AS (
+    SELECT o_custkey, o_orderdate,
+           max_by(o_orderkey, o_orderkey) AS o_orderkey,
+           max_by(o_totalprice, o_orderkey) AS o_totalprice
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+probes AS (SELECT event_id, user_id, ts FROM events)
+SELECT p.event_id, p.user_id, p.ts,
+       o.o_orderkey AS asof_o_orderkey,
+       o.o_totalprice AS asof_o_totalprice
+FROM probes p
+ASOF LEFT JOIN dedup_orders o
+  ON p.user_id = o.o_custkey AND p.ts >= o.o_orderdate
+""",
+)
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the customer's most recent order at or
+    before the event time. Spark has no native ASOF — the union-timeline
+    window operator provides it in one shuffle; DuckDB's native ASOF JOIN is
+    the oracle. Orders are deduped to one per (customer, date) so the match
+    is well-defined in both engines."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       count(*) AS cnt,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets / ROLLUP (absent from the reference — §2.4 notes the
+    gap): subtotals per flag, per (flag,status), and grand total in one pass
+    (Spark expands to a single Expand + aggregate, not N scans)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")) / 100.0).alias(
+                "sum_qty"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS events
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (A6 family). Spark plans count(DISTINCT) as
+    a two-phase expand+agg — no driver-side dedup."""
+    return (
+        read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+@query("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory scale path
+    for distinct counting. Deliberately rows-only in the driver gate — Spark's
+    HLL++ and DuckDB's HLL produce different estimates by construction; the
+    exact twin above pins correctness."""
+    return (
+        read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+@query(
+    "pivot_event_matrix",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS date_key,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY 1
+""",
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day x event-type count matrix. Explicit value list keeps the
+    plan a single pass (no distinct-values pre-query) — mandatory at scale."""
+    return (
+        read_events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date_key"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
