@@ -117,6 +117,47 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def doc_shingle_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc shingle SET + minhash signature computed entirely row-wise.
+
+    Columns: doc_id, sh_arr (distinct shingles), n_sh, mh0..mh{K-1}.
+
+    Unlike explode→groupBy (minhash_signatures), every expression here —
+    shingling, md5 base hash, K affine permutations, array_min — runs inside
+    whole-stage codegen with ZERO shuffles: signatures are a pure projection
+    of the document row. At 100 TB this is the difference between shuffling
+    ~50 shingle rows per doc and shuffling nothing at all."""
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    base = docs.select(
+        "doc_id", F.array_distinct(grams).alias("sh_arr")
+    ).withColumn(
+        "bh_arr",
+        F.expr(
+            "transform(sh_arr, s -> cast(conv(substring("
+            "md5(cast(s as binary)), 1, 7), 16, 10) as bigint))"
+        ),
+    )
+    mh_cols = [
+        F.array_min(
+            F.expr(
+                f"transform(bh_arr, h -> (h * {MINHASH_A[j]}L + {MINHASH_B[j]}L)"
+                f" % {MINHASH_P}L)"
+            )
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return base.select(
+        "doc_id", "sh_arr", F.size("sh_arr").alias("n_sh"), *mh_cols
+    )
+
+
 _MINHASH_MINS = ", ".join(
     f"min((CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) * {MINHASH_A[j]} "
     f"+ {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
@@ -159,13 +200,15 @@ WHERE inter_n / (na + nb - inter_n) >= {JACCARD_THRESHOLD}
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
 
-    Pipeline: shingle → 8 minhashes (1 pass) → 4 banded keys → self equi-join
-    on band key (candidates) → Jaccard verification via shingle co-count on
-    candidates only. At 100 TB the band join shuffles ~(doc_id, 40-byte key)
-    rows; the quadratic blow-up is bounded per bucket by LSH collision prob."""
+    Pipeline: per-row shingle set + 8 minhashes (zero-shuffle projection,
+    see doc_shingle_signatures) → 4 banded keys → self equi-join on band key
+    (candidates) → exact-Jaccard verification via array_intersect on the two
+    docs' shingle sets. The only shuffles are the band self-join and the
+    candidate→signature lookups; the candidate side is broadcast (LSH keeps
+    it result-sized, which DOES scale — broadcasting all docs would not).
+    The quadratic blow-up is bounded per band bucket by LSH collision prob."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingles(docs).cache()
-    sig = minhash_signatures(sh)
+    sig = doc_shingle_signatures(docs).cache()
     band_cols = F.array(
         *[
             F.concat_ws(
@@ -187,18 +230,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .hint("broadcast")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    verified = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_n"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-    )
+    meta = sig.select("doc_id", "sh_arr", "n_sh")
+    verified = cand.join(
+        meta.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh_arr").alias("arr_a"),
+            F.col("n_sh").alias("na"),
+        ),
+        "doc_a",
+    ).join(
+        meta.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh_arr").alias("arr_b"),
+            F.col("n_sh").alias("nb"),
+        ),
+        "doc_b",
+    ).withColumn("inter_n", F.size(F.array_intersect("arr_a", "arr_b")))
     jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
     return verified.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
