@@ -150,3 +150,131 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem: all 4 aggregation levels in one
+    shuffle (Spark expands grouping sets map-side; no multi-pass union).
+    Money summed as exact integer cents — float sums are order-dependent and
+    can't be hash-compared across engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "revenue_cents",
+        )
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+WITH q AS (
+    SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS v FROM events
+)
+SELECT event_type,
+       round(quantile_cont(v, 0.50), 4) AS p50,
+       round(quantile_cont(v, 0.90), 4) AS p90,
+       round(quantile_cont(v, 0.99), 4) AS p99,
+       max(v) AS vmax
+FROM q GROUP BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type.
+
+    Values are quantized to integer milli-units first so both engines
+    interpolate between identical exact operands (p*(n-1) positioning is the
+    same formula in Spark `percentile` and DuckDB `quantile_cont`). For the
+    100 TB path swap `percentile` for `approx_percentile` (t-digest sketch,
+    mergeable map-side) — kept exact here because the oracle must match."""
+    ev = read_events(spark, sf_dir)
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("v")
+    )
+    return q.groupBy("event_type").agg(
+        F.round(F.expr("percentile(v, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(v, 0.90)"), 4).alias("p90"),
+        F.round(F.expr("percentile(v, 0.99)"), 4).alias("p99"),
+        F.max("v").alias("vmax"),
+    )
+
+
+@query(
+    "analytic_functions",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       lag(o_orderkey) OVER w AS prev_orderkey,
+       lead(o_orderkey) OVER w AS next_orderkey,
+       first_value(o_orderkey) OVER w AS first_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(rank() OVER (PARTITION BY o_custkey
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC)
+            AS BIGINT) AS price_rank,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderpriority) AS BIGINT) AS prio_dense,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER (PARTITION BY o_custkey
+                                  ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)),
+             6) AS price_pctrank,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one query: lag/lead/first_value,
+    row_number/rank/dense_rank/ntile/percent_rank, and an explicit
+    rows-between running sum — all per-customer (partitioned windows; the
+    unpartitioned-window trap moves the world to one task and is banned
+    here). The reference only ever uses row_number (W1-W3)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wprice = Window.partitionBy("o_custkey").orderBy(F.desc("price_cents"))
+    wprice_asc = Window.partitionBy("o_custkey").orderBy("price_cents")
+    wprio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_cents",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_orderkey"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.rank().over(wprice).cast("long").alias("price_rank"),
+        F.dense_rank().over(wprio).cast("long").alias("prio_dense"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(wprice_asc), 6).alias("price_pctrank"),
+        F.sum("price_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_cents"),
+    )

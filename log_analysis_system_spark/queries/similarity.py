@@ -311,3 +311,146 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_K,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# ------------------------------------------------------------------- IVF
+
+CENT_MOD = 32   # vec_id % 32 == 0 → centroid set (scale-proportional)
+N_PROBE = 4     # cells probed per query
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {_FLAT_CTE},
+cents AS (SELECT vec_id AS cell_id, e FROM q WHERE vec_id % {CENT_MOD} = 0),
+cflat AS (
+    SELECT cell_id, i, e[i] AS v
+    FROM (SELECT cell_id, e, unnest(generate_series(1, len(e))) AS i FROM cents)
+),
+cnorms AS (SELECT cell_id, sum(v * v) AS nrm FROM cflat GROUP BY cell_id),
+affinity AS (
+    SELECT f.vec_id, c.cell_id,
+           round(CAST(sum(f.v * c.v) AS DOUBLE) /
+                 (sqrt(CAST(any_value(nv.nrm) AS DOUBLE)) *
+                  sqrt(CAST(any_value(nc.nrm) AS DOUBLE))), 6) AS aff
+    FROM flat f
+    JOIN cflat c ON c.i = f.i
+    JOIN norms nv ON nv.vec_id = f.vec_id
+    JOIN cnorms nc ON nc.cell_id = c.cell_id
+    GROUP BY 1, 2
+),
+ranked_cells AS (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY aff DESC, cell_id) AS crnk
+    FROM affinity
+),
+assigned AS (SELECT vec_id, cell_id FROM ranked_cells WHERE crnk = 1),
+probes AS (
+    SELECT vec_id AS query_id, cell_id FROM ranked_cells
+    WHERE vec_id < {N_QUERIES} AND crnk <= {N_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+),
+dots AS (
+    SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+    FROM (SELECT DISTINCT query_id, neighbor_id FROM cand) c
+    JOIN flat a ON a.vec_id = c.query_id
+    JOIN flat b ON b.vec_id = c.neighbor_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path.
+
+    Cells = a deterministic centroid subset (vec_id % CENT_MOD == 0; a real
+    deployment trains k-means offline — the search topology is identical).
+    Every corpus vector is assigned to its max-cosine cell; a query probes its
+    N_PROBE nearest cells and brute-forces only those cells' members.
+
+    Scale design: centroids are tiny and broadcast; assignment is a
+    broadcast-join + per-vector argmax (window partitioned by vec_id — no
+    skew, no global sort); the probe join is an equi-join on cell_id, so the
+    shuffle carries (vec_id, cell_id) pairs and per-cell work is ~N/K. This
+    is how IVF indexes (FAISS-style) decompose onto a cluster: cell = shuffle
+    partition. Not in the reference (no vector ops there) — extension op."""
+    from pyspark.sql import Window
+
+    vecs = _quantized(spark, sf_dir)
+    cents = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+    )
+    aff = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "e",
+            "cell_id",
+            F.round(
+                _dot("e", "ce").cast("double")
+                / (
+                    F.sqrt(_norm("e").cast("double"))
+                    * F.sqrt(_norm("ce").cast("double"))
+                ),
+                6,
+            ).alias("aff"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
+    ranked_cells = aff.withColumn("crnk", F.row_number().over(w))
+    assigned = ranked_cells.where(F.col("crnk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        "cell_id",
+    )
+    probes = ranked_cells.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cell_id"
+    )
+    cand = (
+        probes.join(assigned, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qe", "neighbor_id", "ne")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot("qe", "ne").cast("double")
+            / (
+                F.sqrt(_norm("qe").cast("double"))
+                * F.sqrt(_norm("ne").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return grouped_topn(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
