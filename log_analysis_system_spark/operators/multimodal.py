@@ -112,3 +112,75 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.length("text").cast("long").alias("meta_width"),
         F.lit(1).cast("long").alias("meta_height"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", LongType()),
+        StructField("meta_height", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing via mapInPandas. A real deployment decodes and
+    resamples inside the batch function (PIL/OpenCV — not in this container);
+    the deterministic stand-in crops/zero-pads the payload to width*height
+    bytes so batch shape, schema, and metadata propagation are testable."""
+
+    target = width * height
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target]).ljust(target, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int, stride: int) -> DataFrame:
+    """Frame sampling: one output row per frame at offsets 0, stride, 2*stride
+    … while offset < byte length (video frame-sample plumbing; the stand-in
+    'frame' is the payload byte slice a real demuxer would decode).
+
+    Fan-out happens inside the Arrow batch (pure pandas, no Python loop over
+    Spark rows); at scale the input should be repartitioned by bytes so one
+    task never holds too many decoded frames."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                for k, off in enumerate(range(0, max(len(b), 1), stride)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(b[off : off + frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)

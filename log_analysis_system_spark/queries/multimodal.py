@@ -34,3 +34,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(docs)
     feats = extract_features(media)
     return feats.select("media_id", "byte_len", "first_byte")
+
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 48
+
+
+@query(
+    "multimodal_frames",
+    oracle=f"""
+WITH framed AS (
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0,
+               CAST(greatest(length(text) - 1, 0) AS BIGINT) // {FRAME_STRIDE}
+           )) AS frame_idx,
+           text
+    FROM documents
+)
+SELECT media_id, frame_idx,
+       CAST(least({FRAME_SIZE}, length(text) - frame_idx * {FRAME_STRIDE})
+            AS BIGINT) AS frame_len,
+       md5(substr(text, frame_idx * {FRAME_STRIDE} + 1, {FRAME_SIZE})) AS frame_hash
+FROM framed
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing end-to-end: payload → mapInPandas fan-out (one
+    row per FRAME_STRIDE-spaced frame) → per-frame length + content hash.
+    The oracle recomputes every frame slice in SQL, so the Arrow round-trip
+    of binary sub-slices is pinned byte-for-byte (documents are ASCII, so
+    byte and character offsets coincide)."""
+    from ..operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = documents_as_media(docs)
+    frames = sample_frames(media, frame_size=FRAME_SIZE, stride=FRAME_STRIDE)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_payload").cast("long").alias("frame_len"),
+        F.md5("frame_payload").alias("frame_hash"),
+    )

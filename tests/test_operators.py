@@ -18,6 +18,7 @@ from log_analysis_system_spark.operators import (
     sessionize,
 )
 from log_analysis_system_spark.operators.funnel import conversion_rates
+from tests.conftest import SF_DIR
 
 
 def ts(minute: int, second: int = 0):
@@ -114,3 +115,52 @@ def test_page_splits_and_funnel(spark):
 
 def test_funnel_rate_zero_start():
     assert conversion_rates({}, 0, ["a", "b"]) == [("a_b", 0.0)]
+
+
+def test_resize_images_pads_and_crops(spark):
+    from log_analysis_system_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"xy"))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media, width=2, height=2).collect()
+    }
+    assert bytes(out[1]["payload"]) == b"abcd"          # cropped to 4
+    assert bytes(out[2]["payload"]) == b"xy\x00\x00"    # zero-padded to 4
+    assert out[1]["meta_width"] == 2 and out[1]["meta_height"] == 2
+
+
+def test_sample_frames_fanout(spark):
+    from log_analysis_system_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"0123456789"))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        sample_frames(media, frame_size=4, stride=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [bytes(r["frame_payload"]) for r in rows] == [b"0123", b"4567", b"89"]
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF is approximate; its value is recall at a fraction of the scan cost.
+    Gate: recall@5 vs the brute-force baseline >= 0.5 on the sf0.001 corpus
+    (N_PROBE=4 of ~2 cells at this scale probes nearly everything)."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_brute_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    }
+    assert brute, "brute-force baseline returned nothing"
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
