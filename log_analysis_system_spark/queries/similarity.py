@@ -418,7 +418,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
-    ranked_cells = aff.withColumn("crnk", F.row_number().over(w))
+    # Materialize the ranked cell table once — this IS the IVF index build
+    # (vec -> top cells). Without it the window subtree is recomputed for the
+    # assignment branch and the probe branch (two shuffles + sorts for one
+    # logical result).
+    ranked_cells = (
+        aff.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= N_PROBE)
+        .cache()
+    )
     assigned = ranked_cells.where(F.col("crnk") == 1).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("e").alias("ne"),

@@ -75,3 +75,36 @@ def test_scans_are_columnar_batched(spark):
     for name in ["pricing_summary", "top10_category", "session_agg"]:
         plan = plan_of(spark, name)
         assert "Batched: true" in plan, f"{name} scan not vectorized"
+
+
+def test_cube_single_shuffle_with_expand(spark):
+    """CUBE = Expand + ONE hash-aggregate shuffle, never a union of passes."""
+    import re
+
+    plan = plan_of(spark, "cube_revenue")
+    assert "Expand" in plan
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+
+
+def test_analytic_functions_one_exchange(spark):
+    """All four windows share the o_custkey partitioning: exactly one shuffle."""
+    import re
+
+    plan = plan_of(spark, "analytic_functions")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "Window" in plan
+
+
+def test_percentiles_one_exchange(spark):
+    import re
+
+    plan = plan_of(spark, "value_percentiles")
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+
+
+def test_ann_ivf_broadcasts_centroids(spark):
+    """Centroid assignment must broadcast the (tiny) centroid set, never
+    shuffle the corpus against it."""
+    plan = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
