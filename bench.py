@@ -34,7 +34,13 @@ BENCH_QUERIES = [
     "pricing_summary",
     "stream_sliding_window",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "cube_revenue",
+    "analytic_functions",
+    "value_percentiles",
+    "multimodal_frames",
 ]
 
 

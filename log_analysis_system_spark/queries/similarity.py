@@ -401,11 +401,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
     )
+    # Affinity rows are SLIM (vec_id, cell_id, aff): the embedding arrays are
+    # projected away before the window shuffle/sort — moving 64-element arrays
+    # through an exchange just to rank 3 columns is wasted I/O at any scale.
     aff = (
         vecs.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
-            "e",
             "cell_id",
             F.round(
                 _dot("e", "ce").cast("double")
@@ -428,20 +430,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     assigned = ranked_cells.where(F.col("crnk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ne"),
-        "cell_id",
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
     )
-    probes = ranked_cells.where(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crnk") <= N_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cell_id"
+    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    # (query, neighbor) pairs are already unique — each neighbor lives in
+    # exactly one cell (crnk == 1) and a query probes a cell at most once —
+    # so no dedup shuffle is needed. Arrays come back only for the candidate
+    # set: query side broadcast, neighbor side an equi-join on vec_id.
+    qvecs = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    nvecs = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
     )
     cand = (
         probes.join(assigned, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qe", "neighbor_id", "ne")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(F.broadcast(qvecs), "query_id")
+        .join(nvecs, "neighbor_id")
     )
     scored = cand.select(
         "query_id",
