@@ -69,10 +69,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-def read_x01_text(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_x01_text(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    null_value: str | None = None,
+) -> DataFrame:
     """Hive-default ``\\x01``-separated text scan (S13; reference sales.txt /
-    user_visit_action.txt fixtures). Explicit schema — no inference in prod paths."""
-    return spark.read.csv(path, sep="\x01", schema=schema, header=False)
+    user_visit_action.txt fixtures). Explicit schema — no inference in prod
+    paths. ``null_value`` maps a literal token (the reference's mock data
+    writes the string ``"null"``, MockData.java:63-75) to SQL NULL."""
+    reader = spark.read
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path, sep="\x01", schema=schema, header=False)
 
 
 def read_jdbc(
