@@ -167,3 +167,48 @@ def test_kafka_source_unavailable_is_clear(spark):
         build_kafka_stream(spark, "localhost:9092")
     msg = str(exc_info.value)
     assert "kafka" in msg.lower()
+
+
+def test_checkpoint_recovery_no_double_count(spark, stream_env):
+    """ST2: kill the query, restart from the SAME checkpoint, feed new data —
+    state must continue exactly (no replayed increments, no lost batches).
+    The reference leaned on DStream checkpoint + getOrCreate
+    (AdClickRealTimeSpark.java:64,822-874); Structured Streaming's
+    checkpointLocation gives the same recovery contract per query."""
+    pipe = AdAnalyticsPipeline(stream_env["state"])
+
+    _write_chunk(
+        stream_env["input"],
+        "b1.txt",
+        [_record(i, "Jiangsu", "Nanjing", 1, 9) for i in range(3)],
+    )
+    q = pipe.start(build_file_stream(spark, stream_env["input"]), stream_env["ckpt"])
+    q.processAllAvailable()
+    q.stop()
+
+    counts = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert counts[(1, 9)] == 3
+
+    # Restart from the same checkpoint; add one new file. Only the new file
+    # may be processed — a replay of b1 would double user 1's count.
+    pipe2 = AdAnalyticsPipeline(stream_env["state"])
+    _write_chunk(
+        stream_env["input"],
+        "b2.txt",
+        [_record(50 + i, "Zhejiang", "Hangzhou", 2, 5) for i in range(2)],
+    )
+    q2 = pipe2.start(
+        build_file_stream(spark, stream_env["input"]), stream_env["ckpt"]
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    counts = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe2.user_counts(spark).collect()
+    }
+    assert counts[(1, 9)] == 3, "restart replayed already-committed batch"
+    assert counts[(2, 5)] == 2, "post-restart batch lost"
