@@ -278,3 +278,46 @@ def q_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("running_cents"),
     )
+
+
+RANGE_JOIN_WINDOW_S = 300
+
+
+@query(
+    "range_join_events",
+    oracle=f"""
+SELECT a.event_id AS purchase_id, b.event_id AS error_id,
+       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS diff_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_S} * 1000000
+WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+""",
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (purchase, error) event pairs of the same user within
+    ±5 minutes — bucketed equi-join (operators/rangejoin.py), not the
+    BroadcastNestedLoopJoin a raw range predicate compiles to. The oracle
+    states the same join as a plain range predicate."""
+    from ..operators.rangejoin import range_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    joined = range_join(
+        purchases, errors, left_ts="p_ts", right_ts="e_ts",
+        max_diff_s=RANGE_JOIN_WINDOW_S, keys=["user_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "error_id",
+        # truncate-toward-zero to match DuckDB's integer `//` on negatives
+        ((F.unix_micros("e_ts") - F.unix_micros("p_ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("diff_s"),
+    )

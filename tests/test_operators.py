@@ -164,3 +164,51 @@ def test_ann_ivf_recall_vs_brute(spark):
     assert brute, "brute-force baseline returned nothing"
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Matches exactly at ±d (inclusive) and across bucket boundaries;
+    non-matches one second past d are excluded."""
+    from datetime import datetime as dt
+
+    from log_analysis_system_spark.operators.rangejoin import range_join
+
+    base = dt(2024, 1, 1, 0, 10, 0)
+
+    def t(s):
+        return dt.fromtimestamp(base.timestamp() + s)
+
+    left = spark.createDataFrame(
+        [(1, "L", t(0))], "user_id long, lid string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, "exact+", t(60)), (1, "exact-", t(-60)), (1, "in", t(33)),
+         (1, "out+", t(61)), (1, "out-", t(-61)), (2, "wrong-key", t(0))],
+        "user_id long, rid string, rts timestamp",
+    )
+    got = {
+        r["rid"]
+        for r in range_join(
+            left, right, "lts", "rts", max_diff_s=60, keys=["user_id"]
+        ).collect()
+    }
+    assert got == {"exact+", "exact-", "in"}
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from datetime import datetime as dt
+
+    from log_analysis_system_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1))], "user_id long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1))], "user_id long, rts timestamp"
+    )
+    plan = (
+        range_join(left, right, "lts", "rts", 60, keys=["user_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
