@@ -212,3 +212,42 @@ def test_checkpoint_recovery_no_double_count(spark, stream_env):
     }
     assert counts[(1, 9)] == 3, "restart replayed already-committed batch"
     assert counts[(2, 5)] == 2, "post-restart batch lost"
+
+
+def test_watermark_drops_late_data(spark, stream_env):
+    """ST7: an event arriving far behind the watermark must be dropped from
+    the aggregation (append mode), not silently merged — the defined-lateness
+    behavior the reference's DStream pipeline lacks entirely."""
+    # batch 1: events at t=0 and t=600 (the latter advances the watermark to
+    # t=590 with a 10s bound; windows ending before that can finalize).
+    _write_chunk(
+        stream_env["input"], "b1.txt",
+        [_record(0, "P", "C", 1, 1), _record(600, "P", "C", 2, 1)],
+    )
+    stream = build_file_stream(spark, stream_env["input"])
+    windowed = sliding_window_counts(
+        stream, window="60 seconds", slide="60 seconds", watermark="10 seconds"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+
+    # batch 2: a very late straggler back at t=5 — behind the watermark, its
+    # window [0,60) already finalized; it must not resurrect or re-emit it.
+    _write_chunk(stream_env["input"], "b2.txt", [_record(5, "P", "C", 3, 1)])
+    q.processAllAvailable()
+    # advance watermark far enough to flush every remaining window.
+    _write_chunk(stream_env["input"], "b3.txt", [_record(1200, "P", "C", 4, 1)])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"].isoformat(), r["ad_id"]): r["click_count"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # window [0,60) holds ONLY the on-time t=0 event; the t=5 straggler is gone
+    assert got[("2024-01-01T00:00:00", 1)] == 1
