@@ -138,3 +138,106 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_c4 DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selective predicates on both sides, exact 10^-4-unit revenue, global
+    top-10 (TakeOrderedAndProject — no full sort). customer is the small
+    filtered side → broadcast; the orders⋈lineitem join shuffles on
+    orderkey, the natural co-partition key at 100 TB."""
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("revenue_c4"))
+        .select("l_orderkey", "revenue_c4", "order_date", "o_orderpriority")
+        .orderBy(F.desc("revenue_c4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where customer and supplier must share a
+    nation inside one region. Dims (supplier/nation/region/customer) are
+    broadcast; the only big shuffle is lineitem⋈orders on orderkey. The
+    c_nationkey = s_nationkey condition rides the join, never a post-filter
+    cross product."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "ASIA"
+    )
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c4"))
+    )

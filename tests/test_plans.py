@@ -108,3 +108,20 @@ def test_ann_ivf_broadcasts_centroids(spark):
     plan = plan_of(spark, "ann_ivf_topk")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shipping_priority_take_ordered(spark):
+    """Q3 shape: global top-10 compiles to TakeOrderedAndProject (no full
+    sort) and the filtered customer side broadcasts."""
+    plan = plan_of(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    """Q5 shape: every dim side broadcast; only lineitem⋈orders shuffles."""
+    import re
+
+    plan = plan_of(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
