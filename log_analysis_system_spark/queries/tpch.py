@@ -162,9 +162,11 @@ LIMIT 10
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
     selective predicates on both sides, exact 10^-4-unit revenue, global
-    top-10 (TakeOrderedAndProject — no full sort). customer is the small
-    filtered side → broadcast; the orders⋈lineitem join shuffles on
-    orderkey, the natural co-partition key at 100 TB."""
+    top-10 (TakeOrderedAndProject — no full sort). No explicit broadcast
+    hint on customer: it is SF-proportional, so the choice belongs to
+    Catalyst/AQE (auto-broadcast locally, sort-merge at 100 TB). The
+    orders⋈lineitem join shuffles on orderkey, the natural co-partition
+    key at scale."""
     c = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -179,7 +181,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -212,10 +214,11 @@ GROUP BY n_name
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join where customer and supplier must share a
-    nation inside one region. Dims (supplier/nation/region/customer) are
-    broadcast; the only big shuffle is lineitem⋈orders on orderkey. The
-    c_nationkey = s_nationkey condition rides the join, never a post-filter
-    cross product."""
+    nation inside one region. Only the FIXED-size dims (nation 25 rows,
+    region 5) carry broadcast hints; customer/supplier are SF-proportional,
+    so their join strategy is left to Catalyst/AQE — hinting them would
+    force an OOM broadcast at 100 TB. The c_nationkey = s_nationkey
+    condition rides the join, never a post-filter cross product."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -230,9 +233,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
