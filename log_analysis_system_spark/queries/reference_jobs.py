@@ -79,9 +79,10 @@ def aggregate_sessions(actions: DataFrame) -> DataFrame:
 
 def filter_sessions(session_agg: DataFrame, user_df: DataFrame, params: TaskParams) -> DataFrame:
     """P2 + J1: every predicate optional; in-list membership; numeric between;
-    any-overlap of comma lists (ValidUtils.java:19-98). The user dimension is
-    broadcast."""
-    out = session_agg.join(F.broadcast(user_df), "user_id")
+    any-overlap of comma lists (ValidUtils.java:19-98). The user-dim join
+    strategy is Catalyst/AQE's call (SF-proportional side — no forced
+    broadcast)."""
+    out = session_agg.join(user_df, "user_id")
     if params.start_age is not None:
         out = out.where(F.col("age") >= params.start_age)
     if params.end_age is not None:
@@ -356,7 +357,7 @@ def area_top3_products(
         "Self",
     ).otherwise("Third Party")
     return (
-        top3.join(F.broadcast(product_df), "product_id")
+        top3.join(product_df, "product_id")
         .select(
             "area",
             level.alias("area_level"),

@@ -150,11 +150,13 @@ def q_session_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: UserVisitSessionAnalyzeSpark.java:505-669 builds the predicate
     string imperatively; here it is a conditional ``where`` chain and the
     any-overlap semantics (ValidUtils.in) is ``arrays_overlap``. The dimension
-    join is broadcast (user dim ≪ fact)."""
+    join strategy is left to Catalyst/AQE — the user dim is
+    SF-proportional, so a forced broadcast would OOM at scale (locally it
+    auto-broadcasts under the threshold)."""
     agg = _session_agg(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     joined = agg.join(
-        F.broadcast(cust), agg["user_id"] == cust["c_custkey"], "inner"
+        cust, agg["user_id"] == cust["c_custkey"], "inner"
     )
     return (
         joined.where(F.col("c_acctbal").between(_FILTER_MIN_BAL, _FILTER_MAX_BAL))

@@ -205,7 +205,7 @@ def q_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clicks = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
@@ -229,7 +229,7 @@ def q_area_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
-    return top3.join(F.broadcast(part), top3["product_id"] == part["p_partkey"]).select(
+    return top3.join(part, top3["product_id"] == part["p_partkey"]).select(
         "area",
         F.when(F.col("area").isin("AMERICA", "ASIA"), "A Level")
         .when(F.col("area") == "EUROPE", "B Level")

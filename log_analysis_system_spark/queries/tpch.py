@@ -98,7 +98,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     joined = orders.join(
-        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        cust, orders["o_custkey"] == cust["c_custkey"]
     ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
     return (
         joined.groupBy(F.col("c_custkey").alias("custkey"))
