@@ -348,3 +348,89 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+# ----------------------------------------------------------- components
+
+def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    Pregel/large-star idea expressed as DataFrame joins): every node starts
+    labeled with itself; each round, a node adopts the minimum label among
+    itself and its neighbors; fixpoint when no label changes.
+
+    Spark has no component operator (GraphX is RDD/Scala-only from PySpark);
+    this loop is the standard DataFrame formulation. Rounds = component
+    diameter (near-dup clusters are tiny, so a handful). Each round is one
+    shuffle join + one aggregate; ``localCheckpoint`` truncates lineage so
+    the plan does not grow with iterations — mandatory for iterative
+    DataFrame algorithms at scale.
+
+    ``edges`` must have columns (src, dst); both directions are derived.
+    """
+    bidir = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        bidir.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    for _ in range(max_iters):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("nmin", "component_id")
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels only ever decrease; equal sum = fixpoint
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _components_oracle() -> str:
+    """Recursive-CTE transitive closure over the minhash near-dup pairs —
+    exact same clusters the Spark loop converges to."""
+    from . import ORACLES
+
+    pairs_sql = ORACLES["dedup_minhash_lsh"].strip().rstrip(";")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT doc_id, min(reach) AS component_id FROM walk GROUP BY doc_id
+"""
+
+
+@query("dedup_components", oracle=_components_oracle())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified MinHash+LSH
+    pair graph — the step that turns pairwise near-dups into keep/drop
+    groups in a real dedup pipeline (canonical doc = min doc_id per
+    component). Iterative DataFrame algorithm vs a recursive-CTE oracle."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)
