@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.topn import grouped_topn
 from . import query
 
 # English function words for the n-gram/stopword language heuristic.
@@ -171,3 +172,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.array_sort(F.collect_list("h"))).alias("fingerprint")
         )
     )
+
+
+TFIDF_TOP_K = 3
+_TFIDF_SCALE = 1_000_000
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT t.doc_id, t.term,
+           (t.tf * {_TFIDF_SCALE} * (n.n_docs + 1)) // (d.df + 1) AS score_q
+    FROM tf t JOIN df d USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score_q DESC, term) AS BIGINT)
+              AS rnk
+    FROM scored
+)
+SELECT doc_id, term, score_q, rnk FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} distinguishing terms per document by quantized tf-idf.
+
+    Determinism policy: idf's logarithm is library-dependent in the last
+    ulp, so the score is the exact integer tf * SCALE * (N+1) div (df+1)
+    (same term ordering per document as tf/df rank weighting; documented
+    engine-exact variant). Two shuffles at scale: tf groupBy (doc, term)
+    and the df groupBy (term) joined back on term — the term join is the
+    natural inverted-index co-partitioning."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size stays IN-PLAN (1-row cross join), never a driver-side
+    # count() at plan-build time.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(n).select(
+        "doc_id",
+        "term",
+        F.expr(
+            f"(tf * {_TFIDF_SCALE}L * (n_docs + 1)) div (df + 1)"
+        ).alias("score_q"),
+    )
+    return grouped_topn(
+        scored,
+        ["doc_id"],
+        [F.desc("score_q"), F.asc("term")],
+        TFIDF_TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
