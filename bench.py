@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "analytic_functions",
     "value_percentiles",
     "multimodal_frames",
+    "shipping_priority",
+    "local_supplier_volume",
+    "range_join_events",
+    "dedup_components",
+    "tfidf_top_terms",
 ]
 
 
