@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "range_join_events",
     "dedup_components",
     "tfidf_top_terms",
+    "corpus_pipeline",
 ]
 
 

@@ -42,4 +42,5 @@ def load_all() -> None:
         streaming_batch,
         scalar_and_setops,
         olap_extras,
+        corpus_pipeline,
     )
