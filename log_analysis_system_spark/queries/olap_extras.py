@@ -321,3 +321,38 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("diff_s"),
     )
+
+
+HYPERTABLE_CUTOFF = "2024-01-25 00:00:00"
+
+
+@query(
+    "hypertable_rollup",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_v_milli,
+       min(CAST(round(value * 1000) AS BIGINT)) AS min_v_milli,
+       max(CAST(round(value * 1000) AS BIGINT)) AS max_v_milli
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serving path (operators/hypertable.py): hourly
+    rollup of the materialized history MERGED with a rollup of the raw tail
+    (events after the cutoff — the slice a production table wouldn't have
+    rolled up yet). The oracle aggregates raw events directly: passing proves
+    the partial-aggregate merge algebra is lossless, i.e. the rollup table
+    can stand in for a 100 TB raw scan."""
+    from ..operators.hypertable import merge_rollups, rollup_events
+
+    ev = read_events(spark, sf_dir)
+    cutoff = F.lit(HYPERTABLE_CUTOFF).cast("timestamp")
+    history = ev.where(F.col("ts") < cutoff)
+    tail = ev.where(F.col("ts") >= cutoff)
+    return merge_rollups(
+        rollup_events(history, "hour", ["event_type"]),
+        rollup_events(tail, "hour", ["event_type"]),
+    )
