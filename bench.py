@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_components",
     "tfidf_top_terms",
     "corpus_pipeline",
+    "hypertable_rollup",
 ]
 
 

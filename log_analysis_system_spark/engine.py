@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.compat import register_reference_udfs, rewrite_reference_sql
 from .queries import QUERIES, load_all
 from .session import get_spark
 from .sources.catalog import register_views
@@ -31,11 +32,14 @@ class Engine:
         self.spark = spark or get_spark(app_name="log-analysis-engine")
         self.sf_dir = sf_dir
         self.tables = register_views(self.spark, sf_dir)
+        register_reference_udfs(self.spark)
         load_all()
 
     def sql(self, text: str) -> DataFrame:
-        """Run SQL text over the registered views."""
-        return self.spark.sql(text)
+        """Run SQL text over the registered views. The reference's registered
+        UDF names resolve (functions/compat.py); its UDAF
+        ``group_concat_distinct`` is rewritten to built-in aggregates."""
+        return self.spark.sql(rewrite_reference_sql(text))
 
     def table(self, name: str) -> DataFrame:
         if name not in self.tables:

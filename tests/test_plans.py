@@ -125,3 +125,21 @@ def test_local_supplier_volume_broadcasts_dims(spark):
     plan = plan_of(spark, "local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_pipeline_anti_join_and_pruning(spark):
+    plan = plan_of(spark, "corpus_pipeline")
+    # near-dup drop set applied as an anti join, never a NOT IN subquery scan
+    assert "LeftAnti" in plan
+    # column pruning: documents has n_chars, which no pipeline stage uses —
+    # it must not survive into any scan's ReadSchema
+    for scan in plan.split("FileScan parquet ")[1:]:
+        assert "n_chars" not in scan.split("]")[0]
+
+
+def test_hypertable_rollup_partial_aggregates(spark):
+    plan = plan_of(spark, "hypertable_rollup")
+    # rollup + merge must both be two-phase hash aggregates (map-side combine)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan  # merge is a union, not a join
