@@ -208,6 +208,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     it result-sized, which DOES scale — broadcasting all docs would not).
     The quadratic blow-up is bounded per band bucket by LSH collision prob."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # Cache holds the shingle arrays too: measured faster at bench scale than
+    # the slim-signature alternative (cache mh0..7 only, re-shingle just the
+    # candidate docs via semi-join — tried, 2x slower cold from the extra
+    # shuffle stages). At 100 TB flip that tradeoff: corpus-wide shingle
+    # arrays won't fit executor storage, candidates are result-sized, so the
+    # slim-cache + candidate-recompute form is the cluster configuration.
     sig = doc_shingle_signatures(docs).cache()
     band_cols = F.array(
         *[
@@ -434,3 +440,74 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(pairs)
+
+
+# ------------------------------------------------- CDC / sampling family
+
+
+@query(
+    "latest_per_key",
+    oracle="""
+SELECT user_id, event_id, event_type, ts
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+) t
+WHERE rn = 1
+""",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: the newest record per key (here: each user's
+    latest event) — the read-side of a changelog table, and the batch form
+    of streaming ``outputMode('update')`` state. One window shuffle on the
+    key; event_id breaks timestamp ties so the cut is total-ordered and
+    partition-count independent. At scale this window form beats
+    groupBy(max)+self-join (one shuffle, no join) and is the compaction
+    step a lakehouse MERGE performs."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+SAMPLE_PCT = 10  # keep ~10% of rows, deterministically
+
+
+@query(
+    "sample_bernoulli",
+    oracle=f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT)
+      % 100 < {SAMPLE_PCT}
+""",
+)
+def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff md5(event_id) mod 100
+    falls under the rate. Unlike ``df.sample()`` (partition-seeded RNG —
+    resample on every repartition) this is a pure filter: reproducible
+    across engines, partitionings, and reruns, and it composes with
+    pushdown (the scan itself can evaluate it). The same construction with
+    a different salt gives independent samples — the train/eval split
+    pattern for corpus work."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    bucket = _hexint(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 7)
+    ) % 100
+    return ev.where(bucket < SAMPLE_PCT).select(
+        "event_id", "user_id", "event_type"
+    )
