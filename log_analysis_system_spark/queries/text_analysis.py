@@ -174,6 +174,56 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII-masking / normalization patterns. Both engines use these verbatim:
+# Spark compiles them with java.util.regex, DuckDB with RE2 — the subset
+# below (character classes, +, alternation-free) behaves identically in both.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+URL_RE = "https?://[^ \\t\\n]+"
+WS_RE = "[ \\t\\n]+"
+
+
+def normalize_text(col):
+    """Training-pipeline text normalization as one codegen'd expression:
+    mask emails/URLs, collapse whitespace, trim, lowercase."""
+    masked = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return F.lower(F.trim(F.regexp_replace(masked, WS_RE, " ")))
+
+
+@query(
+    "text_normalize",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g'),
+               '{WS_RE}', ' ', 'g'))) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS norm_chars,
+       CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS norm_tokens
+FROM norm
+""",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization / PII masking over the corpus: email + URL masking,
+    whitespace collapse, trim, lowercase — the standard pre-dedup cleanup
+    stage of a training-data pipeline. Pure `regexp_replace` chain: one
+    narrow map stage, no shuffle, scales embarrassingly at 100 TB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.size(F.split(norm, " ")).cast("long").alias("norm_tokens"),
+    )
+
+
 TFIDF_TOP_K = 3
 _TFIDF_SCALE = 1_000_000
 

@@ -195,6 +195,134 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "forecast_revenue",
+    oracle="""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the canonical pushdown showcase — every predicate
+    (shipdate range, discount band, quantity cap) reaches the parquet scan
+    as PushedFilters, so at 100 TB the row-group min/max statistics skip
+    most of the table before a single row is decoded. No join, one scalar
+    aggregate, zero shuffles beyond the single-row final agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & _cents("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+WITH c AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS promo_rev_c4,
+       sum(rev_c4) AS total_rev_c4,
+       100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
+             / sum(rev_c4) AS promo_pct
+FROM c
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact ⋈ dim + conditional aggregation ratio. `part`
+    is SF-proportional, so no broadcast hint — AQE picks broadcast locally
+    and sort-merge on l_partkey/p_partkey at cluster scale. The ratio
+    divides two exact integer sums, so both engines perform one identical
+    IEEE division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        rev.alias("rev_c4"), "p_type"
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_c4")).otherwise(0))
+    total = F.sum("rev_c4")
+    return joined.agg(
+        promo.alias("promo_rev_c4"),
+        total.alias("total_rev_c4"),
+        (F.lit(100.0) * promo / total).alias("promo_pct"),
+    )
+
+
+BIG_ORDER_QTY_CENTS = 25_000  # sum(l_quantity) > 250 — ~top 1% of orders
+
+
+@query(
+    "big_orders",
+    oracle=f"""
+WITH big AS (
+    SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {BIG_ORDER_QTY_CENTS}
+)
+SELECT o.o_orderkey AS orderkey, c.c_custkey AS custkey, c.c_name AS name,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0 AS total_price,
+       big.qty_c / 100.0 AS sum_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_price DESC, orderkey
+LIMIT 20
+""",
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: grouped HAVING filter feeding a join back to the
+    fact's parents — the "find the rare heavy groups, then rehydrate them"
+    pattern. The aggregate runs map-side partial on l_orderkey before the
+    HAVING cut, so only the ~1% surviving keys reach the orders join; AQE
+    sees the post-filter size at runtime and broadcasts the survivors."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("qty_c"))
+        .where(F.col("qty_c") > BIG_ORDER_QTY_CENTS)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            (_cents("o_totalprice") / 100.0).alias("total_price"),
+            (F.col("qty_c") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+@query(
     "local_supplier_volume",
     oracle="""
 SELECT n_name,

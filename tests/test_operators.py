@@ -212,3 +212,58 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_normalize_text_masks_pii_and_collapses_whitespace(spark):
+    from log_analysis_system_spark.queries.text_analysis import normalize_text
+
+    rows = [
+        (1, "Contact Bob.Smith+x@Example-Mail.co.uk  NOW"),
+        (2, "see https://spark.apache.org/docs?q=1#frag\tplus text"),
+        (3, "  Mixed\n\nCase   spacing  "),
+        (4, "no-pii plain text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["norm"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert out[1] == "contact <email> now"
+    assert out[2] == "see <url> plus text"
+    assert out[3] == "mixed case spacing"
+    assert out[4] == "no-pii plain text"
+
+
+def test_normalize_text_masks_match_duckdb_regex_dialect(spark, duck):
+    """The oracle applies the same patterns via RE2; pin that the dialects
+    agree on strings that actually contain maskable spans."""
+    from log_analysis_system_spark.queries.text_analysis import (
+        EMAIL_RE,
+        URL_RE,
+        WS_RE,
+    )
+
+    samples = [
+        "a b.c@d-e.org c",
+        "x http://t.co/y z",
+        "u\t\nv",
+        "plain",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    from log_analysis_system_spark.queries.text_analysis import normalize_text
+
+    got_spark = [
+        r["n"] for r in df.select(normalize_text(F.col("text")).alias("n")).collect()
+    ]
+    got_duck = [
+        duck.execute(
+            f"""SELECT lower(trim(regexp_replace(regexp_replace(regexp_replace(
+                ?, '{EMAIL_RE}', '<EMAIL>', 'g'), '{URL_RE}', '<URL>', 'g'),
+                '{WS_RE}', ' ', 'g')))""",
+            [s],
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_duck

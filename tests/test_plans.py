@@ -143,3 +143,28 @@ def test_hypertable_rollup_partial_aggregates(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan  # merge is a union, not a join
+
+
+def test_forecast_revenue_full_pushdown(spark):
+    plan = plan_of(spark, "forecast_revenue")
+    scan_part = plan.split("FileScan")[1]
+    # all three predicates reach the parquet scan as pushed filters
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan_part, f"{col} not pushed to scan"
+    # pruning: a 4-column read, never the whole table
+    read_schema = scan_part.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert "partial_sum" in plan
+
+
+def test_big_orders_partial_agg_before_join(spark):
+    plan = plan_of(spark, "big_orders")
+    # the HAVING aggregate must combine map-side before shuffling lineitem
+    assert "partial_sum" in plan
+    # final ordering is a top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_normalize_no_shuffle(spark):
+    plan = plan_of(spark, "text_normalize")
+    assert "Exchange" not in plan, "normalization must stay a narrow map stage"
