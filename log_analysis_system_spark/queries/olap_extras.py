@@ -153,6 +153,91 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT n_name, o_orderpriority,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-nation, per-priority, and grand-total revenue in ONE aggregation —
+    Spark's Expand emits the three grouping shapes map-side, so one shuffle
+    replaces three separate scans+aggs. GROUPING() flags disambiguate
+    summary NULLs from data NULLs, matching the oracle bit-for-bit."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        )
+        .createOrReplaceTempView("gs_rev_src")
+    )
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue,
+               count(*) AS order_cnt
+        FROM gs_rev_src
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+SUPPLIER_ACCTBAL_FLOOR = 3000.0
+
+
+@query(
+    "supplier_diversity",
+    oracle=f"""
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {SUPPLIER_ACCTBAL_FLOOR}
+)
+GROUP BY p_brand, p_type
+""",
+)
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation behind an anti-join
+    exclusion list. The excluded-supplier set is dim-sized, so the anti-join
+    broadcasts; count(DISTINCT) runs as Spark's two-phase partial-distinct
+    expand, never a driver-side distinct."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    excluded = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_acctbal") < SUPPLIER_ACCTBAL_FLOOR)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+@query(
     "cube_revenue",
     oracle="""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

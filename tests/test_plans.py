@@ -168,3 +168,16 @@ def test_big_orders_partial_agg_before_join(spark):
 def test_text_normalize_no_shuffle(spark):
     plan = plan_of(spark, "text_normalize")
     assert "Exchange" not in plan, "normalization must stay a narrow map stage"
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan, "grouping sets must expand map-side, not union scans"
+    # one scan of orders only — three grouping shapes share it
+    assert plan.count("FileScan parquet") <= 3  # orders + customer + nation
+
+
+def test_supplier_diversity_broadcast_anti_join(spark):
+    plan = plan_of(spark, "supplier_diversity")
+    assert "LeftAnti" in plan.replace(" ", "")
+    assert "BroadcastHashJoin" in plan, "dim-sized exclusion list must broadcast"
