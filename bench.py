@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "corpus_pipeline",
     "hypertable_rollup",
+    "forecast_revenue",
+    "promo_revenue_share",
+    "big_orders",
+    "text_normalize",
+    "grouping_sets_revenue",
+    "supplier_diversity",
 ]
 
 
