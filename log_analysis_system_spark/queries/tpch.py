@@ -322,6 +322,100 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Argmin packing: price_c (< 2^39 for any realistic price) in the high
+# bits, suppkey (< 2^24 = 16.7M) in the low 24 — disjoint bit ranges, so
+# `p * 2^24 + s` orders by price first, then suppkey, inside one BIGINT.
+_ARGMIN_BASE = 1 << 24
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle=f"""
+WITH packed AS (
+    SELECT l_partkey,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT) * {_ARGMIN_BASE}
+               + l_suppkey) AS m
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       m % {_ARGMIN_BASE} AS suppkey,
+       (m // {_ARGMIN_BASE}) / 100.0 AS min_price
+FROM packed
+""",
+)
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated min-per-group, as an aggregation-based argmin:
+    (price, suppkey) packed into one 64-bit key (price in the high bits) so
+    `min(packed)` runs as a plain long HashAggregate — one partial/final
+    pass, no per-group sort, no window state, no re-join against the fact.
+    At 100 TB that is one shuffle of (partkey, 8-byte) partials instead of
+    the window form's full sort of every lineitem within each part. Tie on
+    price → min suppkey (low bits). `min(struct(p, s))` expresses the same
+    argmin for unbounded-width keys but falls back to SortAggregate; the
+    packed form keeps whole-stage codegen. A plan gate pins HashAggregate.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    packed = _cents("l_extendedprice") * _ARGMIN_BASE + F.col("l_suppkey")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.min(packed).alias("m"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("m") % _ARGMIN_BASE).alias("suppkey"),
+            (F.expr(f"m div {_ARGMIN_BASE}") / 100.0).alias("min_price"),
+        )
+    )
+
+
+# Keep parts whose revenue exceeds AVG_MULT_TENTHS/10 × the mean per-part
+# revenue — relative to the corpus, so the query is scale-invariant.
+AVG_MULT_TENTHS = 15
+
+
+@query(
+    "important_parts",
+    oracle=f"""
+WITH per AS (
+    SELECT l_partkey AS partkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(rev_c4) AS total_c4, count(*) AS n_parts FROM per)
+SELECT partkey, rev_c4,
+       100.0 * rev_c4 / total_c4 AS share_pct
+FROM per, tot
+WHERE rev_c4 * n_parts * 10 > {AVG_MULT_TENTHS} * total_c4
+""",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped sums filtered against a global scalar
+    (here 1.5× the mean per-part revenue, so the predicate is meaningful at
+    any SF). The scalar stays IN-PLAN as a 1-row cross join over the
+    already-aggregated per-part relation — the fact table is scanned and
+    shuffled exactly once, and the driver never collects anything."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = _cents("l_extendedprice") * (100 - _cents("l_discount"))
+    per = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(rev).alias("rev_c4")
+    )
+    tot = per.agg(
+        F.sum("rev_c4").alias("total_c4"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per.crossJoin(tot)
+        .where(
+            F.col("rev_c4") * F.col("n_parts") * 10
+            > AVG_MULT_TENTHS * F.col("total_c4")
+        )
+        .select(
+            "partkey",
+            "rev_c4",
+            (F.lit(100.0) * F.col("rev_c4") / F.col("total_c4")).alias("share_pct"),
+        )
+    )
+
+
 @query(
     "local_supplier_volume",
     oracle="""

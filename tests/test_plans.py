@@ -181,3 +181,18 @@ def test_supplier_diversity_broadcast_anti_join(spark):
     plan = plan_of(spark, "supplier_diversity")
     assert "LeftAnti" in plan.replace(" ", "")
     assert "BroadcastHashJoin" in plan, "dim-sized exclusion list must broadcast"
+
+
+def test_cheapest_supplier_argmin_is_hash_aggregate(spark):
+    plan = plan_of(spark, "cheapest_supplier_per_part")
+    # the packed-long argmin must hash-aggregate, never sort per group
+    assert "HashAggregate" in plan and "partial_min" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+
+
+def test_important_parts_scalar_stays_in_plan(spark):
+    plan = plan_of(spark, "important_parts")
+    # global total = 1-row broadcast join, not a collected literal
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
