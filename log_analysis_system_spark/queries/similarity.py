@@ -83,6 +83,80 @@ def _norm(a: str) -> Column:
     )
 
 
+# Driver-side bound for one broadcast block of the near-dup matmul:
+# 131072 vectors x 64 dims x 8 B = 64 MiB per block, independent of corpus
+# size. At sf<=0.1 the corpus fits one block, so the plan (and hash) is
+# identical to the unblocked form.
+EMB_BLOCK_ROWS = 131072
+
+
+def _near_dup_pairs(vecs: DataFrame, block_rows: int) -> DataFrame:
+    """All-pairs candidate generation for ``embedding_near_dup``, blocked.
+
+    The corpus is partitioned into ``ceil(n / block_rows)`` id-hashed blocks;
+    each block is collected (bounded by ``block_rows``), broadcast, and
+    matmul'd against the full distributed corpus inside ``mapInPandas``.
+    A pair (a, b), a < b, is emitted exactly once: by the pass that
+    broadcasts b's block. Yields slim (vec_a, vec_b, dot) rows only —
+    the caller re-scores and filters JVM-side."""
+    import numpy as np
+
+    spark = vecs.sparkSession
+    n = vecs.count()  # scalar; also materializes the shared cache
+    n_blocks = max(1, -(-n // block_rows))
+    th_pre = NEARDUP_THRESHOLD - 6e-7
+
+    def block_gen(b_ids, b_e, b_nr):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            ids_blk, e_blk, nr_blk = b_ids.value, b_e.value, b_nr.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.stack(
+                    [np.asarray(x, dtype="int64") for x in pdf["e"].values]
+                )
+                aid = pdf["vec_id"].to_numpy("int64")
+                an = np.sqrt((A * A).sum(axis=1).astype("float64"))
+                D = A @ e_blk.T  # exact int64
+                C = D / (an[:, None] * nr_blk[None, :])
+                mask = (C >= th_pre) & (aid[:, None] < ids_blk[None, :])
+                ai, bj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"vec_a": aid[ai], "vec_b": ids_blk[bj], "dot": D[ai, bj]}
+                )
+
+        return gen
+
+    parts = []
+    for blk in range(n_blocks):
+        side = vecs.select("vec_id", "e", "nrm")
+        if n_blocks > 1:
+            side = side.where(F.pmod(F.col("vec_id"), F.lit(n_blocks)) == blk)
+        block = side.collect()  # bounded: <= ~block_rows vectors
+        if not block:
+            continue
+        ids = np.array([r["vec_id"] for r in block], dtype="int64")
+        E = np.stack([np.asarray(r["e"], dtype="int64") for r in block])
+        nr = np.sqrt(np.array([r["nrm"] for r in block], dtype="float64"))
+        gen = block_gen(
+            spark.sparkContext.broadcast(ids),
+            spark.sparkContext.broadcast(E),
+            spark.sparkContext.broadcast(nr),
+        )
+        parts.append(
+            vecs.select("vec_id", "e").mapInPandas(
+                gen, "vec_a long, vec_b long, dot long"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @query(
     "ann_brute_topk",
     oracle=f"""
@@ -171,56 +245,24 @@ SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs by broadcast block-matmul.
+    """Embedding-cosine near-duplicate pairs by BLOCKED broadcast matmul.
 
     A crossJoin formulation materializes |N|^2 rows each dragging two
     64-element arrays through the join — measured 6x slower than the
-    arithmetic itself. Instead the corpus matrix (ids, E, norms — ~1 MB per
-    million cells at 64 dims) is broadcast once and each Arrow batch computes
-    an EXACT int64 ``A @ E.T`` in numpy, emitting only pairs whose unrounded
+    arithmetic itself. Instead the corpus is walked in driver-bounded blocks
+    of ``EMB_BLOCK_ROWS`` vectors (~70 MB each at 64 int64 dims): each block
+    is broadcast and one distributed pass computes an EXACT int64
+    ``A @ block.T`` per Arrow batch, emitting only pairs whose unrounded
     cosine clears ``threshold - 6e-7`` (the widest value HALF_UP 6-dp
-    rounding could pull up to the threshold). The JVM then recomputes
-    cosine from the exact integer dot and applies the canonical
-    round-then-filter, so emitted VALUES are bit-identical to the pure
-    built-in form — numpy only pre-selects. At 100 TB the broadcast side
-    becomes a block iterator (block-matmul); the per-batch structure is
-    unchanged. The LSH/IVF variants remain the sub-quadratic paths."""
-    import numpy as np
-
+    rounding could pull up to the threshold). Driver memory never holds more
+    than one block; the corpus side stays a distributed scan of the cached
+    quantized projection, so N blocks cost N cache passes, not N parquet
+    scans. The JVM then recomputes cosine from the exact integer dot and
+    applies the canonical round-then-filter, so emitted VALUES are
+    bit-identical to the pure built-in form — numpy only pre-selects.
+    The LSH/IVF variants remain the sub-quadratic paths."""
     vecs = _quantized(spark, sf_dir)
-    corpus = vecs.select("vec_id", "e", "nrm").collect()
-    ids = np.array([r["vec_id"] for r in corpus], dtype="int64")
-    E = np.stack([np.asarray(r["e"], dtype="int64") for r in corpus])
-    nr = np.sqrt(np.array([r["nrm"] for r in corpus], dtype="float64"))
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_e = spark.sparkContext.broadcast(E)
-    b_nr = spark.sparkContext.broadcast(nr)
-    th_pre = NEARDUP_THRESHOLD - 6e-7
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        ids_all, e_all, nr_all = b_ids.value, b_e.value, b_nr.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack(
-                [np.asarray(x, dtype="int64") for x in pdf["e"].values]
-            )
-            aid = pdf["vec_id"].to_numpy("int64")
-            an = np.sqrt((A * A).sum(axis=1).astype("float64"))
-            D = A @ e_all.T  # exact int64
-            C = D / (an[:, None] * nr_all[None, :])
-            mask = (C >= th_pre) & (aid[:, None] < ids_all[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"vec_a": aid[ai], "vec_b": ids_all[bj], "dot": D[ai, bj]}
-            )
-
-    pairs = vecs.select("vec_id", "e").mapInPandas(
-        gen, "vec_a long, vec_b long, dot long"
-    )
+    pairs = _near_dup_pairs(vecs, EMB_BLOCK_ROWS)
     na = vecs.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     scored = pairs.join(na, "vec_a").join(nb, "vec_b").select(

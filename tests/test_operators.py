@@ -267,3 +267,24 @@ def test_normalize_text_masks_match_duckdb_regex_dialect(spark, duck):
         for s in samples
     ]
     assert got_spark == got_duck
+
+
+def test_near_dup_blocked_equals_single_block(spark):
+    """The blocked broadcast matmul must be invariant to block size: the
+    pair set from many small blocks == the single-block (round-1) form."""
+    from log_analysis_system_spark.queries.similarity import (
+        _near_dup_pairs,
+        _quantized,
+    )
+
+    vecs = _quantized(spark, SF_DIR)
+    single = {
+        (r["vec_a"], r["vec_b"], r["dot"])
+        for r in _near_dup_pairs(vecs, 10**9).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"], r["dot"])
+        for r in _near_dup_pairs(vecs, 7).collect()
+    }
+    assert single == blocked
+    assert single, "expected candidate pairs at sf0.001"
