@@ -15,8 +15,9 @@ Differences from the reference, by design:
   1000-executor deployment.
 - Watermarks bound state and define late-data semantics explicitly (ST7;
   the DStream version silently miscounts late records).
-- Exactly-once sink semantics via foreachBatch + idempotent (keyed-overwrite)
-  writes instead of at-least-once upserts.
+- Exactly-once sink semantics via foreachBatch + atomically-committed
+  ``_applied_batch`` markers per state partition: a crash-replayed batch id
+  is detected and skipped per partition, instead of at-least-once upserts.
 
 Kafka is the production source (S4); tests drive the same DAG from a file
 source — the transformations are source-agnostic DataFrame functions.
@@ -137,16 +138,31 @@ class AdAnalyticsPipeline:
 
       1. anti-join the batch against the current blacklist (J8);
       2. fold the surviving clicks into the cumulative (date,user,ad) counts
-         (S10 upsert semantics, implemented as idempotent keyed overwrite);
+         (S10 upsert semantics), touching ONLY the batch's date partitions;
       3. users whose cumulative count crossed the threshold join the
          blacklist (the feedback edge: visible to step 1 of the NEXT batch —
          exactly the reference's MySQL round-trip topology, :96-99,232-403);
       4. maintain cumulative (date,province,city,ad) stats and the derived
-         province top-3 (ST4/ST5).
+         province top-3 (ST4/ST5), again only for the batch's dates.
 
-    State tables are parquet directories (test double for MySQL/lakehouse);
-    every write is a keyed overwrite so batch replays are idempotent.
+    Scale + exactly-once design: state tables are hive-layout parquet
+    directories (``date_key=D/``), the test double for a lakehouse MERGE.
+    Per-batch work is O(batch dates' partitions), never O(all state): each
+    touched date partition is re-merged beside the live one and committed by
+    a single atomic ``os.rename`` whose directory already contains an
+    ``_applied_batch`` marker (underscore files are invisible to Spark
+    readers). A ``foreachBatch`` re-execution after a crash between commit
+    and checkpoint therefore finds ``marker >= batch_id`` and skips the
+    partition — replays cannot double-count, partition by partition, even
+    mid-crash. The blacklist is a set union (naturally idempotent) and the
+    top-3 a deterministic recompute of touched dates, so neither needs a
+    marker to replay safely.
     """
+
+    _USER_FILE_SCHEMA = "user_id long, ad_id long, click_count long"
+    _STAT_FILE_SCHEMA = (
+        "province string, city string, ad_id long, click_count long"
+    )
 
     def __init__(self, state_dir: str):
         self.state_dir = state_dir
@@ -156,21 +172,65 @@ class AdAnalyticsPipeline:
         self.top3_path = os.path.join(state_dir, "ad_province_top3")
 
     # -- state I/O -----------------------------------------------------------
-    def _write_state(self, df: DataFrame, path: str) -> None:
-        """Materialize new state beside the old, then swap — never overwrite
-        a path that the producing plan is still reading (in production this
-        is a lakehouse table's atomic commit)."""
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
+    @staticmethod
+    def _applied_batch(part_dir: str) -> int:
+        """Batch id committed into ``part_dir`` by the atomic swap, or -1."""
+        marker = os.path.join(part_dir, "_applied_batch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        return -1
+
+    def _swap_in(self, df: DataFrame, target: str, batch_id: int) -> None:
+        """Materialize ``df`` beside ``target`` with the batch marker inside,
+        then commit both with one rename — the lakehouse-commit test double.
+        Never overwrites a path the producing plan may still be reading."""
+        tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+
+    def _merge_date_partition(
+        self,
+        delta: DataFrame,
+        root: str,
+        date_key: str,
+        key_cols: list[str],
+        file_schema: str,
+        batch_id: int,
+    ) -> None:
+        """Fold ``delta`` (this batch's counts for one date, WITHOUT the
+        date_key column) into ``root/date_key=.../``. No-op when the
+        partition's committed marker says this batch was already applied
+        (crash-replay window)."""
+        part_dir = os.path.join(root, f"date_key={date_key}")
+        if self._applied_batch(part_dir) >= batch_id:
+            return
+        spark = delta.sparkSession
+        if self._has_parquet(part_dir):
+            old = spark.read.schema(file_schema).parquet(part_dir)
+            merged = (
+                old.unionByName(delta)
+                .groupBy(*key_cols)
+                .agg(F.sum("click_count").alias("click_count"))
+            )
+        else:
+            merged = delta
+        os.makedirs(root, exist_ok=True)
+        self._swap_in(merged, part_dir, batch_id)
 
     def _read_state(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-        ):
-            return spark.read.parquet(path)
+        if self._has_parquet(path):
+            return spark.read.schema(schema).parquet(path)
         return spark.createDataFrame([], schema)
 
     def blacklist(self, spark: SparkSession) -> DataFrame:
@@ -195,6 +255,13 @@ class AdAnalyticsPipeline:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.cache()
+        dates = sorted(
+            r["date_key"]
+            for r in batch_df.select("date_key").distinct().collect()
+        )
+        if not dates:
+            batch_df.unpersist()
+            return
 
         # 1) J8: drop already-blacklisted users (stream-static anti-join;
         #    static side re-read per batch = reference's per-batch reload).
@@ -202,41 +269,53 @@ class AdAnalyticsPipeline:
             F.broadcast(self.blacklist(spark)), "user_id", "left_anti"
         ).cache()
 
-        # 2) fold batch counts into cumulative (date,user,ad) state.
-        batch_counts = daily_user_ad_counts(clean)
-        merged = (
-            self.user_counts(spark)
-            .unionByName(batch_counts)
-            .groupBy("date_key", "user_id", "ad_id")
-            .agg(F.sum("click_count").alias("click_count"))
-        )
-        self._write_state(merged, self.user_counts_path)
+        # 2) fold batch counts into the batch's (date,user,ad) partitions.
+        batch_counts = daily_user_ad_counts(clean).cache()
+        for d in dates:
+            self._merge_date_partition(
+                batch_counts.where(F.col("date_key") == d).drop("date_key"),
+                self.user_counts_path,
+                d,
+                ["user_id", "ad_id"],
+                self._USER_FILE_SCHEMA,
+                batch_id,
+            )
 
         # 3) feedback edge: newly-over-threshold users join the blacklist.
+        #    Only touched dates can mint offenders; the union is a set, so
+        #    replaying it is idempotent without a marker check.
         offenders = (
-            spark.read.parquet(self.user_counts_path)
+            self.user_counts(spark)
+            .where(F.col("date_key").isin(dates))
             .where(F.col("click_count") > BLACKLIST_THRESHOLD)
             .select("user_id")
             .distinct()
         )
-        self._write_state(
+        self._swap_in(
             self.blacklist(spark).unionByName(offenders).distinct(),
             self.blacklist_path,
+            batch_id,
         )
 
-        # 4) ST4 cumulative province/city stats + ST5 derived top-3.
-        stat = (
-            self.stats(spark)
-            .unionByName(cumulative_stats(clean))
-            .groupBy("date_key", "province", "city", "ad_id")
-            .agg(F.sum("click_count").alias("click_count"))
-        )
-        self._write_state(stat, self.stat_path)
+        # 4) ST4 cumulative province/city stats + ST5 derived top-3, for the
+        #    batch's dates only (partition-pruned read, keyed overwrite).
+        batch_stat = cumulative_stats(clean).cache()
+        for d in dates:
+            self._merge_date_partition(
+                batch_stat.where(F.col("date_key") == d).drop("date_key"),
+                self.stat_path,
+                d,
+                ["province", "city", "ad_id"],
+                self._STAT_FILE_SCHEMA,
+                batch_id,
+            )
         overwrite_keyed_parquet(
-            province_top3(spark.read.parquet(self.stat_path)),
+            province_top3(self.stats(spark).where(F.col("date_key").isin(dates))),
             self.top3_path,
             ["date_key"],
         )
+        batch_stat.unpersist()
+        batch_counts.unpersist()
         clean.unpersist()
         batch_df.unpersist()
 

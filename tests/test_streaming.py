@@ -251,3 +251,84 @@ def test_watermark_drops_late_data(spark, stream_env):
     }
     # window [0,60) holds ONLY the on-time t=0 event; the t=5 straggler is gone
     assert got[("2024-01-01T00:00:00", 1)] == 1
+
+
+def test_batch_replay_is_idempotent(spark, stream_env, tmp_path):
+    """A foreachBatch re-execution with the SAME batch_id (crash between the
+    state commit and the checkpoint commit) must not double-count: the
+    _applied_batch marker committed by the partition swap makes the replay a
+    per-partition no-op."""
+    pipe = AdAnalyticsPipeline(stream_env["state"])
+    batch = parse_ad_click_log(
+        spark.createDataFrame(
+            [(_record(i, "Jiangsu", "Nanjing", 1, 9),) for i in range(3)]
+            + [(_record(10, "Zhejiang", "Hangzhou", 2, 5),)],
+            "value string",
+        )
+    )
+    pipe.process_batch(batch, 0)
+    first = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert first[(1, 9)] == 3 and first[(2, 5)] == 1
+
+    # the replay: same DataFrame, same batch_id
+    pipe.process_batch(batch, 0)
+    replayed = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert replayed == first, "replayed batch must not double-count"
+    stats = {
+        (r["province"], r["ad_id"]): r["click_count"]
+        for r in pipe.stats(spark).collect()
+    }
+    assert stats[("Jiangsu", 9)] == 3 and stats[("Zhejiang", 5)] == 1
+    # a genuinely NEW batch id still folds in
+    pipe.process_batch(batch, 1)
+    after = {
+        (r["user_id"], r["ad_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    # user 1 is blacklisted by batch 0 (3 > threshold) so only user 2 grows
+    assert after[(1, 9)] == 3 and after[(2, 5)] == 2
+
+
+def test_batch_touches_only_its_date_partitions(spark, stream_env):
+    """O(batch) state maintenance: a batch for day 2 must not rewrite day 1's
+    partition files (at 100 TB of accumulated state, rewriting untouched
+    dates is the scale-killer the reference's full-table upsert had)."""
+    import glob
+
+    pipe = AdAnalyticsPipeline(stream_env["state"])
+    day1 = parse_ad_click_log(
+        spark.createDataFrame(
+            [(_record(0, "Jiangsu", "Nanjing", 1, 9),)], "value string"
+        )
+    )
+    pipe.process_batch(day1, 0)
+    p1 = os.path.join(pipe.user_counts_path, "date_key=2024-01-01")
+    before = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(os.path.join(p1, "*"))
+    }
+    assert before, "day-1 partition should exist"
+
+    day2 = parse_ad_click_log(
+        spark.createDataFrame(
+            [(_record(86_400 + i, "Zhejiang", "Hangzhou", 2, 5),)
+             for i in range(2)],
+            "value string",
+        )
+    )
+    pipe.process_batch(day2, 1)
+    after = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(os.path.join(p1, "*"))
+    }
+    assert after == before, "day-1 partition files were rewritten by a day-2 batch"
+    counts = {
+        (r["date_key"], r["user_id"]): r["click_count"]
+        for r in pipe.user_counts(spark).collect()
+    }
+    assert counts[("2024-01-01", 1)] == 1
+    assert counts[("2024-01-02", 2)] == 2
