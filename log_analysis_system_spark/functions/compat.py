@@ -67,9 +67,11 @@ def register_reference_udfs(spark: SparkSession) -> tuple[str, ...]:
         return val.astype(str).str.split("_", n=1).str[-1]
 
     spark.udf.register("concat_long_string", concat_long_string)
-    reg_rand = spark.udf.register("random_prefix", random_prefix)
-    # The whole point of the prefix is a different value per row.
-    reg_rand.asNondeterministic()
+    # The whole point of the prefix is a different value per row: mark the
+    # UDF nondeterministic BEFORE registration — flipping the handle after
+    # spark.udf.register has no effect on the already-registered JVM
+    # function, and Catalyst would be free to collapse/re-evaluate it.
+    spark.udf.register("random_prefix", random_prefix.asNondeterministic())
     spark.udf.register("remove_random_prefix", remove_random_prefix)
     return REGISTERED
 

@@ -372,6 +372,11 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
     DataFrame algorithms at scale.
 
     ``edges`` must have columns (src, dst); both directions are derived.
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` while labels
+    are still changing — returning silently would hand back split
+    components; the caller should retry with a higher bound (rounds needed
+    ≈ graph diameter, so 25 covers any near-dup cluster that is not itself
+    a data bug).
     """
     bidir = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -383,6 +388,7 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component_id")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             bidir.join(labels, bidir.src == labels.doc_id)
@@ -401,8 +407,15 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease; equal sum = fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the bound); rerun with higher "
+            "max_iters"
+        )
     return labels
 
 

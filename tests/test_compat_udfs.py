@@ -85,3 +85,29 @@ def test_exact_dedup_not_substring_dedup(spark):
     ).collect()[0]
     # sorted lexicographically: '1' (0x31) < ':' (0x3a) puts '11:a' first
     assert row["out"] == "11:a,1:a"
+
+
+def test_random_prefix_registered_nondeterministic(spark):
+    """The salting shim is only correct if the SQL-registered function is
+    nondeterministic at analysis time — otherwise Catalyst may collapse or
+    re-evaluate it, breaking per-row salt distribution."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    register_reference_udfs(spark)
+    # Analysis-level check: a nondeterministic function is rejected inside an
+    # aggregate expression — a deterministic registration would analyze fine.
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT count(DISTINCT random_prefix('x', 10)) FROM range(10)"
+        ).collect()
+    # Behavioral check: across many rows the salt varies (project first, then
+    # aggregate the materialized column — the legal placement).
+    n = spark.sql(
+        """
+        SELECT count(DISTINCT p) AS n FROM (
+            SELECT random_prefix('x', 1000000) AS p FROM range(200)
+        )
+        """
+    ).collect()[0]["n"]
+    assert n > 1, "random_prefix produced a constant — registered deterministic?"

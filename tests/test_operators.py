@@ -288,3 +288,25 @@ def test_near_dup_blocked_equals_single_block(spark):
     }
     assert single == blocked
     assert single, "expected candidate pairs at sf0.001"
+
+
+def test_connected_components_path_graph_and_convergence_guard(spark):
+    """A 6-node path collapses to one component given enough rounds; with
+    max_iters below the diameter the loop must RAISE, never silently return
+    split components."""
+    import pytest
+
+    from log_analysis_system_spark.queries.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    labels = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges, max_iters=10).collect()
+    }
+    assert set(labels) == set(range(6))
+    assert set(labels.values()) == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=1)
