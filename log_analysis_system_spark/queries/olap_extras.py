@@ -112,18 +112,42 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS events,
+       TRUE AS approx_within_tol
+FROM events GROUP BY event_type
+""",
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory scale path
-    for distinct counting. Deliberately rows-only in the driver gate — Spark's
-    HLL++ and DuckDB's HLL produce different estimates by construction; the
-    exact twin above pins correctness."""
+    for distinct counting. Spark's HLL++ and DuckDB's HLL produce different
+    estimates by construction, so the sketch value itself cannot be
+    hash-compared; instead the query emits a TOLERANCE VERDICT — the HLL++
+    estimate must land within 2x the configured rsd of the exact count —
+    and the oracle asserts that verdict holds. The sketch still runs (and
+    its quality is what's checked); the exact twin `distinct_users` pins
+    exact-count correctness."""
+    rsd = 0.02
     return (
         read_events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 2 * rsd * F.col("exact_users")
+            ).alias("approx_within_tol"),
         )
     )
 
