@@ -236,8 +236,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .hint("broadcast")
     )
+    # No broadcast hint: LSH usually keeps the candidate set result-sized,
+    # but a pathological corpus (everything near-identical) can blow it past
+    # executor memory, and a forced broadcast would then OOM the build side.
+    # The .distinct() above materializes a shuffle stage whose runtime size
+    # AQE reads, so the candidate joins flip to broadcast-hash exactly when
+    # the candidates really are small — measured same plan at bench scale.
     meta = sig.select("doc_id", "sh_arr", "n_sh")
     verified = cand.join(
         meta.select(
@@ -307,6 +312,88 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- jaccard
 
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """N-gram Jaccard pairs via inverted-index join, optionally capped.
+
+    ``df_cap=None``: exact — every doc pair sharing >= 1 shingle is scored
+    from the full shingle join (matches the SQL oracle).
+
+    ``df_cap=K``: the 100 TB configuration. A shingle present in > K docs
+    contributes > K^2 rows to the self-join — one stop-gram ("in the of")
+    can dominate the whole shuffle. Capped mode drops such hot shingles
+    from CANDIDATE GENERATION only, then re-scores every surviving pair
+    EXACTLY via array_intersect of the two docs' full shingle sets, so
+    emitted jaccard values are identical to uncapped ones; the (documented,
+    standard) approximation is that pairs sharing ONLY hot shingles are
+    never considered — by construction those pairs' similarity comes from
+    stop-grams, not content."""
+    sh = shingles(docs).cache()
+    if df_cap is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        pairs = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter_n"))
+        )
+        joined = pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        ).join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        rare = sh.join(hot, "shingle", "left_anti")
+        a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        arrs = sh.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("sh_arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        joined = (
+            cand.join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sh_arr").alias("arr_a"),
+                    F.col("n_sh").alias("na"),
+                ),
+                "doc_a",
+            )
+            .join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sh_arr").alias("arr_b"),
+                    F.col("n_sh").alias("nb"),
+                ),
+                "doc_b",
+            )
+            .withColumn("inter_n", F.size(F.array_intersect("arr_a", "arr_b")))
+        )
+    jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
+    return joined.where(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -328,32 +415,12 @@ WHERE p.inter_n / (sa.n_sh + sb.n_sh - p.inter_n) >= {JACCARD_THRESHOLD}
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity over pairs sharing >= 1 shingle.
 
-    The pair generation is an equi-join on the shingle (inverted-index join),
-    not a cross join — only docs with a common shingle ever meet. At 100 TB
-    you'd cap hot shingles (stop-gram removal) before the self-join; here the
-    shingle space is already diverse."""
+    Pair generation is an equi-join on the shingle (inverted index), never a
+    cross join. This registry entry runs uncapped (exact semantics = the
+    oracle); at 100 TB pass ``df_cap`` to ``ngram_jaccard_pairs`` to bound
+    hot-shingle blowup — see there for the semantics."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_n"))
-    )
-    joined = pairs.join(
-        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
-        "doc_a",
-    ).join(
-        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
-        "doc_b",
-    )
-    jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
-    return joined.where(jac >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    )
+    return ngram_jaccard_pairs(docs, df_cap=None)
 
 
 # ----------------------------------------------------------- components

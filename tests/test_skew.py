@@ -51,3 +51,58 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Capped mode must (a) still score surviving pairs EXACTLY and (b) drop
+    candidates whose only overlap is a hot stop-gram. Corpus: 30 docs all
+    sharing one hot shingle; two genuinely-near-dup docs sharing rare ones."""
+    from log_analysis_system_spark.queries.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # one 3-gram shared by everything
+    rows = [(i, f"{hot} filler{i} alpha{i} beta{i} gamma{i}") for i in range(30)]
+    # docs 100/101: identical except one trailing word -> high true jaccard
+    rows += [
+        (100, f"{hot} shared rare words one two three four five six"),
+        (101, f"{hot} shared rare words one two three four five seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, df_cap=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, df_cap=10).collect()
+    }
+    # the true near-dup pair survives the cap with an IDENTICAL exact score
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == exact[(100, 101)]
+    # every capped pair's score equals the exact score (verification is exact)
+    for k, v in capped.items():
+        assert exact[k] == v
+
+
+def test_minhash_lsh_no_forced_broadcast_on_skewed_corpus(spark):
+    """With the unconditional broadcast hint removed, a pathological corpus
+    (every doc identical -> candidate set is all pairs) must still complete
+    and return the full clique; the physical plan carries no static
+    broadcast hint — join strategy is AQE's runtime call."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "identical content repeated for every single document here")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = QUERIES["dedup_minhash_lsh"](spark, d)
+        rows = out.collect()
+        assert len(rows) == n * (n - 1) // 2, "full clique expected"
+        assert all(r["jaccard"] == 1.0 for r in rows)
