@@ -310,3 +310,46 @@ def test_connected_components_path_graph_and_convergence_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=1)
+
+
+def test_ivf_trained_centroids_improve_recall(spark):
+    """Lloyd's training must not degrade recall vs the untrained mod-subset
+    quantizer (measured: +0.15 at sf0.001/sf0.01), and the trained registry
+    query's aggregate verdict must be TRUE."""
+    from pyspark.sql import functions as SF
+
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.similarity import (
+        CENT_MOD,
+        _ivf_search,
+        _quantized,
+        q_ann_brute_topk,
+        train_ivf_centroids,
+    )
+
+    load_all()
+    vecs = _quantized(spark, SF_DIR)
+    truth = q_ann_brute_topk(spark, SF_DIR).select("query_id", "neighbor_id")
+    n_truth = truth.count()
+
+    def recall(cents):
+        hit = truth.join(
+            _ivf_search(vecs, cents).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        return hit / n_truth
+
+    untrained = vecs.where(SF.col("vec_id") % CENT_MOD == 0).select(
+        SF.col("vec_id").alias("cell_id"),
+        SF.col("e").alias("ce"),
+        SF.col("nrm").alias("cn"),
+    )
+    r0 = recall(untrained)
+    r1 = recall(train_ivf_centroids(vecs))
+    assert r1 >= r0, f"training degraded recall: {r1:.2f} < {r0:.2f}"
+    assert r1 >= 0.5, f"trained recall@5 too low: {r1:.2f}"
+
+    row = QUERIES["ann_ivf_trained_topk"](spark, SF_DIR).collect()[0]
+    assert row["recall_ok"] is True
+    assert row["n_queries"] == 10
