@@ -29,11 +29,20 @@ def get_spark(
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    hive_warehouse: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession configured for this engine.
 
     Parameters default from ``SPARK_GRAFT_CPUS`` (local parallelism) so the same
     code path serves pytest (local[32]) and the driver's bench harness.
+
+    ``hive_warehouse``: opt-in Hive-catalog mode (the reference's prod-mode
+    table surface, util/SparkUtils.java:38-45): managed tables + a persistent
+    Derby metastore rooted at the given directory. Parquet + temp views stay
+    the primary catalog — this mode exists for parity with deployments that
+    register the DDL of README.md:1584-1620 in a metastore. The catalog
+    implementation is fixed at first-session creation per JVM; use a fresh
+    process to switch modes.
     """
     n = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
@@ -55,6 +64,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if hive_warehouse is not None:
+        builder = (
+            builder.enableHiveSupport()
+            .config("spark.sql.warehouse.dir", f"{hive_warehouse}/warehouse")
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={hive_warehouse}/metastore_db;"
+                "create=true",
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

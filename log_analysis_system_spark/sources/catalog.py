@@ -91,6 +91,7 @@ def read_jdbc(
     table: str,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
     partition_column: str | None = None,
     num_partitions: int = 1,
     lower_bound: int | None = None,
@@ -100,6 +101,8 @@ def read_jdbc(
 
     For anything bigger than a dimension table, pass ``partition_column`` +
     bounds so the read parallelizes instead of funneling through one connection.
+    ``driver`` pins the JDBC driver class when the URL scheme alone cannot
+    resolve it (e.g. Derby embedded, which ships on Spark's own classpath).
     """
     reader = (
         spark.read.format("jdbc")
@@ -110,6 +113,8 @@ def read_jdbc(
         reader = reader.option("user", user)
     if password is not None:
         reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
     if partition_column is not None:
         reader = (
             reader.option("partitionColumn", partition_column)

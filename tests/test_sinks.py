@@ -73,3 +73,33 @@ def test_x01_text_roundtrip(spark, tmp_path):
     df = read_x01_text(spark, str(p), SALES)
     rows = {r["product"]: (r["category"], r["revenue"]) for r in df.collect()}
     assert rows == {"apple": ("fruit", 100), "beef": ("meat", 250)}
+
+
+def test_jdbc_round_trip_derby(spark, tmp_path):
+    """S3/S8 for REAL: Spark's JDBC connector against embedded Derby (the one
+    JDBC engine on Spark's own classpath) — write via jdbc_append, read back
+    via read_jdbc, both single-connection and partitioned."""
+    from log_analysis_system_spark.sinks import jdbc_append
+    from log_analysis_system_spark.sources.catalog import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/testdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i * 10) for i in range(20)],
+        "id bigint, name string, score bigint",
+    )
+    jdbc_append(df, url, "people", {"driver": drv})
+
+    back = read_jdbc(spark, url, "people", driver=drv)
+    assert back.count() == 20
+    got = {r["id"]: (r["name"], r["score"]) for r in back.collect()}
+    assert got[7] == ("name7", 70)
+
+    # partitioned parallel read: 4 connections splitting on id
+    part = read_jdbc(
+        spark, url, "people", driver=drv,
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=20,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert sorted(r["id"] for r in part.collect()) == list(range(20))
