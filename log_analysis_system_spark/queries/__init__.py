@@ -35,6 +35,7 @@ def load_all() -> None:
         topn,
         funnel,
         tpch,
+        tpch2,
         dedup,
         similarity,
         text_analysis,
