@@ -196,3 +196,54 @@ def test_important_parts_scalar_stays_in_plan(spark):
     # global total = 1-row broadcast join, not a collected literal
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_q19_disjunction_extraction_reaches_scans(spark):
+    """Q19 shape: Catalyst must extract per-side implications of the
+    OR-of-ANDs and push them into BOTH scans — the difference between a
+    pruned scan and a full-table read at 100 TB."""
+    plan = plan_of(spark, "disjunctive_revenue")
+    part_scan = [s for s in plan.split("FileScan parquet") if "p_brand" in s]
+    assert part_scan, "no pushed p_brand predicate on the part scan"
+    li_scan = [s for s in plan.split("FileScan parquet") if "l_quantity" in s]
+    assert li_scan, "no pushed l_quantity predicate on the lineitem scan"
+
+
+def test_q10_returned_items_take_ordered(spark):
+    plan = plan_of(spark, "returned_item_report")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag predicate pushed to the lineitem scan
+    assert "l_returnflag" in plan.split("FileScan")[1]
+
+
+def test_q13_left_outer_preserved(spark):
+    """The zero-order customers bucket exists only if the outer join
+    survives optimization."""
+    plan = plan_of(spark, "customer_order_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q21_semi_and_anti_joins(spark):
+    plan = plan_of(spark, "blamed_suppliers")
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS must decorrelate to an anti join"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_and_pruned_orders_scan(spark):
+    plan = plan_of(spark, "idle_customer_balance")
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plan.split("FileScan")[1] or any(
+        "o_orderdate" in s for s in plan.split("FileScan parquet")[1:]
+    )
+
+
+def test_q15_max_join_is_broadcast(spark):
+    """The 1-row max side must broadcast — a shuffle for one row is wrong."""
+    plan = plan_of(spark, "top_revenue_supplier")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q7_nation_dims_broadcast(spark):
+    plan = plan_of(spark, "nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
