@@ -19,11 +19,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops get a weaker rows-only check from the driver;
-    # keep this list deliberate and small.
-    allowed_rows_only: set[str] = {
-        # HLL sketch estimates differ between Spark (HLL++) and DuckDB by
-        # construction; exact twin `distinct_users` pins correctness.
-        "approx_distinct_users",
-    }
-    assert missing <= allowed_rows_only, f"queries missing oracles: {missing}"
+    # Non-SQL-expressible ops would get a weaker rows-only check from the
+    # driver. As of round 2 every query carries an oracle — the formerly
+    # rows-only HLL sketch now ships a within-tolerance verdict oracle.
+    assert not missing, f"queries missing oracles: {missing}"
