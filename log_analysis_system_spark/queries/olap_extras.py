@@ -1,7 +1,8 @@
 """OLAP breadth beyond the reference: as-of join, rollup/grouping sets,
-exact+approximate distinct counts, pivot. Each SQL-expressible op carries a
-DuckDB oracle; the approximate variant is rows-only (engines use different
-sketches — recorded as a weaker check by design)."""
+exact+approximate distinct counts, pivot, skew-safe salted aggregation.
+Every op carries a DuckDB oracle; the approximate distinct emits a
+within-tolerance verdict the oracle asserts (engines use different
+sketches, so the raw estimate itself is not comparable)."""
 
 from __future__ import annotations
 
@@ -464,4 +465,43 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollups(
         rollup_events(history, "hour", ["event_type"]),
         rollup_events(tail, "hour", ["event_type"]),
+    )
+
+
+@query(
+    "skew_safe_event_totals",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def q_skew_safe_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 with an official oracle row: two-stage salted aggregation over a
+    LOW-cardinality key (5 event types over every event — the exact shape
+    where one hot key floods a single reducer). The salt spreads each key
+    over 10 partial groups; the final merge re-sums integers, so the result
+    is bit-identical to a plain GROUP BY (the oracle) for any salt
+    assignment — randomness never reaches the output. Under AQE this is
+    usually unnecessary; it exists for single-hot-key aggregations that
+    overwhelm even AQE's splitting."""
+    from ..operators.aggregates import salted_aggregate
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)).cast("long"),
+            "value_c": F.sum("value_c"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events"),
+        (F.col("value_c") / 100.0).alias("total_value"),
     )
