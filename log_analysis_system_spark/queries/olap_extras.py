@@ -505,3 +505,70 @@ def q_skew_safe_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events"),
         (F.col("value_c") / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "approx_value_percentiles",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile with a RANK-ERROR verdict oracle (the sketch twin of
+    `value_percentiles`, same contract style as the HLL and trained-IVF
+    rows). Spark's ApproximatePercentile guarantees rank error <= n/accuracy;
+    the sketch's merge order varies with partitioning, so the raw estimate
+    is not hash-stable — but the guarantee is. For each percentile p the
+    returned value's rank window [count(<v), count(<=v)] must overlap
+    [p*n - n/acc - 1, p*n + n/acc + 1] (the +-1 absorbs ties and the
+    element-selection convention). The verdict is TRUE under ANY partition
+    layout iff the sketch honors its bound."""
+    acc = 100
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("v")
+    )
+    ap = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(v, array(0.5D, 0.9D, 0.99D), {acc})"
+            ).alias("aps"),
+        )
+        .select(
+            "event_type",
+            F.col("aps")[0].alias("a50"),
+            F.col("aps")[1].alias("a90"),
+            F.col("aps")[2].alias("a99"),
+        )
+    )
+    joined = ev.join(F.broadcast(ap), "event_type")
+    counted = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            agg
+            for p in ("50", "90", "99")
+            for agg in (
+                F.sum(
+                    F.when(F.col("v") < F.col(f"a{p}"), 1).otherwise(0)
+                ).alias(f"lt{p}"),
+                F.sum(
+                    F.when(F.col("v") <= F.col(f"a{p}"), 1).otherwise(0)
+                ).alias(f"le{p}"),
+            )
+        ],
+    )
+
+    def ok(p: float, tag: str):
+        n = F.col("n_events")
+        bound = n / acc + 1
+        target = F.lit(p) * n
+        return (
+            (F.col(f"lt{tag}") <= target + bound)
+            & (F.col(f"le{tag}") >= target - bound)
+        ).alias(f"p{tag}_ok")
+
+    return counted.select(
+        "event_type", "n_events", ok(0.5, "50"), ok(0.9, "90"), ok(0.99, "99")
+    )
