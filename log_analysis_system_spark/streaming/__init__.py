@@ -7,6 +7,8 @@ from .ad_analytics import (
     cumulative_stats,
     province_top3,
 )
+from .corpus import curate_doc_stream, parse_doc_stream
+from .dedup import dedup_within_watermark
 
 __all__ = [
     "build_file_stream",
@@ -16,4 +18,7 @@ __all__ = [
     "sliding_window_counts",
     "cumulative_stats",
     "province_top3",
+    "curate_doc_stream",
+    "parse_doc_stream",
+    "dedup_within_watermark",
 ]
