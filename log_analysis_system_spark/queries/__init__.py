@@ -44,4 +44,5 @@ def load_all() -> None:
         scalar_and_setops,
         olap_extras,
         corpus_pipeline,
+        temporal,
     )

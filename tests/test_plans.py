@@ -247,3 +247,15 @@ def test_q15_max_join_is_broadcast(spark):
 def test_q7_nation_dims_broadcast(spark):
     plan = plan_of(spark, "nation_trade_volume")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_gap_sessions_single_exchange(spark):
+    """Both windows and the closing groupBy must ride ONE user_id exchange —
+    sessionization is a single-shuffle op at any scale."""
+    plan = plan_of(spark, "gap_sessions_events")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_user_state_intervals_single_exchange(spark):
+    plan = plan_of(spark, "user_state_intervals")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
