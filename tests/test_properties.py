@@ -126,3 +126,91 @@ def test_round_half_up_matches_decimal(cents):
             (Decimal(c) / Decimal(300)).quantize(Decimal("0.01"), ROUND_HALF_UP)
         )
         assert abs(got[i] - want) <= 1e-9, (c, got[i], want)
+
+
+# Docs: short word-soup texts with deliberate near-identical pairs.
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # vocabulary skew -> shared shingles
+        st.integers(0, 30),
+        st.integers(0, 30),
+        st.integers(0, 30),
+        st.integers(0, 30),
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(docs_strategy, st.integers(1, 6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_ngram_jaccard_capped_scores_subset_of_exact(word_ids, df_cap):
+    """For ANY corpus and ANY cap: capped-mode pairs are a subset of exact
+    pairs, and every surviving pair carries the IDENTICAL exact score."""
+    from log_analysis_system_spark.queries.dedup import ngram_jaccard_pairs
+
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{w}" for w in ws))
+            for i, ws in enumerate(word_ids)
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, df_cap=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, df_cap=df_cap).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert exact[k] == v
+
+
+@given(events_strategy)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_user_state_intervals_partition_time(rows):
+    """Validity intervals per user must tile time: ordered by valid_from,
+    each interval's valid_to equals the next's valid_from, exactly one
+    is_current (the last), and no interval is empty-negative."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_system_spark.queries.temporal import (
+        q_user_state_intervals,
+    )
+
+    spark = _get_spark()
+    import tempfile
+
+    data = [
+        (idx, BASE + timedelta(seconds=off), u, ["a", "b"][idx % 2], 0.0, "")
+        for idx, (u, off) in enumerate(rows)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = q_user_state_intervals(spark, d).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
