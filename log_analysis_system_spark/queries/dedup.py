@@ -591,3 +591,55 @@ def q_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(bucket < SAMPLE_PCT).select(
         "event_id", "user_id", "event_type"
     )
+
+
+# ------------------------------------------------- entity resolution
+
+@query(
+    "entity_match_parts",
+    oracle="""
+WITH p AS (
+    SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       count(*) AS pair_cnt
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+GROUP BY 1, 2, 3
+""",
+)
+def q_entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage / fuzzy entity matching with blocking: part names that
+    differ by 1-3 edits, candidate-generated by a BLOCKING key (first name
+    token) so the edit-distance verify runs per block, never all-pairs —
+    the classic entity-resolution decomposition (block -> compare -> score).
+    At 100 TB the blocking key is the shuffle key: per-block work is
+    (block size)^2, so block choice (prefix, phonetic code, LSH bucket)
+    bounds the quadratic term exactly like LSH bands do for MinHash.
+    Aggregated to per-(name pair, distance) counts."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(dist.between(1, 3))
+        .groupBy(
+            "name_a", "name_b", dist.cast("long").alias("dist")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
