@@ -45,4 +45,5 @@ def load_all() -> None:
         olap_extras,
         corpus_pipeline,
         temporal,
+        sampling_extras,
     )

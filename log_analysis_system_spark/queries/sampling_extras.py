@@ -1,0 +1,175 @@
+"""Training-data sampling & sharding beyond R1: quality-weighted sampling,
+deterministic train/val/test splits, and size-balanced shard assignment.
+All pseudo-randomness is md5-derived (the repo-wide determinism policy), so
+every engine — and every rerun at any parallelism — draws the same sample.
+
+The stratified (R1) and Bernoulli samplers live in `operators/sampling.py`;
+these are the corpus-preparation ops a 100 TB training pipeline runs after
+curation: pick what to train on, split it leak-free, and lay it out in
+balanced shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+
+SAMPLE_K = 200
+VAL_PCT, TEST_PCT = 5, 10  # % buckets of the md5 space
+
+
+def _u01(col: str) -> F.Column:
+    """Deterministic uniform (0,1] from the low 60 bits of md5(key) — the
+    engine's portable substitute for rand() wherever a result must be
+    reproducible and oracle-comparable."""
+    return (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col(col).cast("string").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(16**15))
+    )
+
+
+_U01_SQL = (
+    "((CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " + 1.0) / {denom})"
+).format(c="{c}", denom=float(16**15))
+
+
+@query(
+    "sample_weighted_docs",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           CAST(round(ln({_U01_SQL.format(c="doc_id")})
+                      / greatest(length(text), 1) * 1e9) AS BIGINT) AS nkey
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, nkey,
+           row_number() OVER (ORDER BY nkey DESC, doc_id) AS rnk
+    FROM scored
+)
+SELECT doc_id, nkey FROM ranked WHERE rnk <= {SAMPLE_K}
+""",
+)
+def q_sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    draw key u^(1/w) per row and keep the global top-K — here in log space,
+    ln(u)/w, with deterministic md5 uniforms and weight = doc length.
+    Quantized to integer nano-units so the oracle compares exact ints.
+    The top-K is a TakeOrderedAndProject heap at any scale — the one-pass,
+    shuffle-light way to draw a weighted corpus sample (vs. sorting 100 TB
+    or a driver-side reservoir)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.greatest(F.length("text"), F.lit(1))
+    nkey = F.round(F.log(_u01("doc_id")) / w * 1e9).cast("long")
+    return (
+        docs.select("doc_id", nkey.alias("nkey"))
+        .orderBy(F.desc("nkey"), F.asc("doc_id"))
+        .limit(SAMPLE_K)
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < {VAL_PCT} THEN 'val'
+            WHEN bucket < {VAL_PCT + TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b GROUP BY 1
+""",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, leak-free train/val/test split: the md5 bucket of the
+    STABLE document key decides membership, so re-running over a grown
+    corpus never moves an old document between splits (the property
+    rand()-based splits lack, and the reason eval sets silently leak).
+    Emits per-split counts + id range; the split column itself is a pure
+    projection any downstream query filters on (pushdown-composable)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < VAL_PCT, "val")
+        .when(bucket < VAL_PCT + TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "balanced_shards",
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rnk
+    FROM sized
+)
+SELECT rnk % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       sum(n_tokens) AS shard_tokens
+FROM ranked GROUP BY 1
+""",
+)
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment: rank documents by token count and
+    deal them round-robin across shards — the sorted-round-robin heuristic
+    that bounds shard skew to one document's tokens without the sequential
+    state greedy bin-packing needs. Emits per-shard document and token
+    totals (the balance report a training job reads before launching).
+    The global rank is a single-partition window sort — fine for the
+    report-sized corpus here, but THE bottleneck at 100 TB; the cluster
+    form replaces it with a range-partitioned sort + per-partition
+    row_number offset by cumulative partition counts (same result, no
+    single-node sort). Everything after is projection + aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = sized.withColumn("rnk", F.row_number().over(w) - 1)
+    return ranked.groupBy((F.col("rnk") % N_SHARDS).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )

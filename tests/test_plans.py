@@ -259,3 +259,9 @@ def test_gap_sessions_single_exchange(spark):
 def test_user_state_intervals_single_exchange(spark):
     plan = plan_of(spark, "user_state_intervals")
     assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Global weighted top-K must compile to a heap, not a total sort."""
+    plan = plan_of(spark, "sample_weighted_docs")
+    assert "TakeOrderedAndProject" in plan
