@@ -111,3 +111,123 @@ def q_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "resample_hourly_dense",
+    oracle="""
+WITH bounds AS (
+    SELECT event_type,
+           time_bucket(INTERVAL 1 HOUR, min(ts)) AS t0,
+           time_bucket(INTERVAL 1 HOUR, max(ts)) AS t1
+    FROM events GROUP BY event_type
+),
+spine AS (
+    SELECT b.event_type, unnest(generate_series(b.t0, b.t1, INTERVAL 1 HOUR))
+               AS hour_start
+    FROM bounds b
+),
+actual AS (
+    SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.hour_start,
+       COALESCE(a.n, 0) AS n_events
+FROM spine s
+LEFT JOIN actual a
+  ON a.event_type = s.event_type AND a.hour_start = s.hour_start
+""",
+)
+def q_resample_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with GAP FILLING: hourly counts per event type
+    on a DENSE hour spine (missing hours emit 0 — the property a plain
+    groupBy lacks and every charting/forecast consumer needs). The spine is
+    generated IN-PLAN per group via sequence()+explode from the group's own
+    [min, max] bucket bounds — no driver-side date loop, no calendar table;
+    spine size is bounded by the time range, not the data volume, and the
+    fill join is an equi-join on (type, hour)."""
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    )
+    actual = ev.groupBy("event_type", "hour_start").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("hour_start").alias("t0"), F.max("hour_start").alias("t1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(t0, t1, interval 1 hour)")
+        ).alias("hour_start"),
+    )
+    return spine.join(actual, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "trend_fit_events",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           (epoch_us(ts) - 788918400000000) // 3600000000 AS x,  -- hours since 1995
+           CAST(round(value * 1000) AS BIGINT) AS y              -- milli-units
+    FROM events
+),
+sums AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             9) AS slope_milli_per_hour
+FROM sums
+""",
+)
+def q_trend_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least-squares trend per event type — ML as a pure
+    aggregate: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over integer-
+    quantized (hour-since-1995, milli-value) points, so all five sums are
+    exact bigints in both engines and ONE map-side-combinable aggregation pass
+    replaces any iterative fitting. The division runs once per group at
+    the output edge. This is the distributed-ML seam: anything expressible
+    as algebraic sufficient statistics (moments, covariance, OLS) runs at
+    100 TB as a plain aggregate with no parameter server."""
+    pts = read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - 788918400000000) div 3600000000"
+        ).alias("x"),
+        F.round(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # The n*S products would overflow int64 (the sums themselves cannot:
+    # centered hour-scale x bounds sum(x*y) under ~1e17 through sf100), so
+    # the final arithmetic runs in double with the SAME operand values and
+    # operation order as the oracle — bit-identical results.
+    n_d, sxy_d, sx_d, sy_d, sxx_d = (
+        F.col(c).cast("double") for c in ("n", "sxy", "sx", "sy", "sxx")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(
+            (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d), 9
+        ).alias("slope_milli_per_hour"),
+    )
