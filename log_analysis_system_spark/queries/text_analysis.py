@@ -283,3 +283,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         TFIDF_TOP_K,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+_RARITY_SCALE = 1_000_000
+
+
+@query(
+    "doc_rarity_score",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT count(*) AS n_total FROM tok),
+scored AS (
+    SELECT t.doc_id,
+           ({_RARITY_SCALE} * tt.n_total) // f.cnt AS rarity_q
+    FROM tok t JOIN freq f USING (term) CROSS JOIN total tt
+)
+SELECT doc_id, count(*) AS n_tokens,
+       sum(rarity_q) // count(*) AS avg_rarity_q
+FROM scored GROUP BY doc_id
+""",
+)
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average inverse token frequency — the integer-exact
+    stand-in for LM-perplexity quality filtering (CCNet-style): documents
+    full of corpus-rare tokens score high (gibberish/noise candidates),
+    boilerplate scores low. rarity(term) = SCALE * total_tokens div
+    count(term) — a true -log-prob needs libm's ln, which differs across
+    engines in the last ulp, so the engine keeps the monotone integer
+    transform instead (same ordering, oracle-exact). Plan: one token
+    explode feeding both the frequency groupBy and (re-exploded) the
+    inverted-index join back on term; corpus total stays in-plan as a
+    1-row cross join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = tok.join(freq, "term").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.expr(f"({_RARITY_SCALE}L * n_total) div cnt").alias("rarity_q"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(rarity_q) div count(1)").alias("avg_rarity_q"),
+    )
