@@ -231,3 +231,63 @@ def q_trend_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_d * sxy_d - sx_d * sy_d) / (n_d * sxx_d - sx_d * sx_d), 9
         ).alias("slope_milli_per_hour"),
     )
+
+
+def _overlap_oracle() -> str:
+    """Compose the two temporal oracles: sessions x state intervals per
+    user where the ranges overlap, rolled up to a states-per-session
+    histogram (same composition trick as the components oracle)."""
+    from . import ORACLES
+
+    sessions = ORACLES["gap_sessions_events"].strip().rstrip(";")
+    states = ORACLES["user_state_intervals"].strip().rstrip(";")
+    return f"""
+WITH sessions AS ({sessions}),
+states AS ({states}),
+ov AS (
+    SELECT s.user_id, s.session_idx, count(*) AS n_states
+    FROM sessions s
+    JOIN states st
+      ON st.user_id = s.user_id
+     AND st.valid_from <= s.session_end
+     AND (st.valid_to IS NULL OR st.valid_to > s.session_start)
+    GROUP BY 1, 2
+)
+SELECT n_states, count(*) AS n_sessions
+FROM ov GROUP BY n_states
+"""
+
+
+@query("session_state_overlap", oracle=_overlap_oracle())
+def q_session_state_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: align two DERIVED interval relations — gap
+    sessions and SCD2 state intervals — per user, counting how many state
+    intervals each session spans, rolled up to a histogram. The join is an
+    equi-join on user_id carrying the overlap range predicate as a join
+    condition (per-user blocks bound the quadratic term, the interval
+    analog of entity-matching's blocking key); for interval joins WITHOUT
+    an equi key, `operators/rangejoin.py` shows the bucket decomposition.
+    Both inputs build in-plan from the same scan — the oracle composes the
+    two queries' SQL verbatim."""
+    sessions = q_gap_sessions_events(spark, sf_dir).select(
+        "user_id", "session_idx", "session_start", "session_end"
+    )
+    states = q_user_state_intervals(spark, sf_dir).select(
+        F.col("user_id").alias("st_user"), "valid_from", "valid_to"
+    )
+    overlaps = (
+        sessions.join(
+            states,
+            (F.col("st_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("session_end"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.col("session_start"))
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_states"))
+    )
+    return overlaps.groupBy("n_states").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
