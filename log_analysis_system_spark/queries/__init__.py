@@ -46,4 +46,5 @@ def load_all() -> None:
         corpus_pipeline,
         temporal,
         sampling_extras,
+        graph,
     )
