@@ -701,3 +701,120 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(RECALL_MIN) * F.count(F.lit(1))
         ).alias("recall_ok"),
     )
+
+
+# ----------------------------------------------- persisted IVF index (build/serve)
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Index-build half of the IVF lifecycle: train centroids, assign every
+    vector to its cell, and PERSIST both as parquet — the offline job a
+    serving layer reads. Assignments are written partitioned by cell_id so
+    a probe reads only its cells' files (partition pruning = the on-disk
+    form of the in-memory cell equi-join); centroids are a single small
+    file. Rebuild = overwrite both (the index is derived data)."""
+    vecs = _quantized(spark, sf_dir)
+    cents = train_ivf_centroids(vecs)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = _ivf_assign_top1(vecs, cents)
+    (
+        vecs.join(assigned, "vec_id")
+        .select("cell_id", "vec_id", "e", "nrm")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
+def _ivf_assign_top1(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Max-cosine cell per vector (the assignment half of _ivf_search)."""
+    from pyspark.sql import Window
+
+    aff = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        F.round(
+            _dot("e", "ce").cast("double")
+            / (
+                F.sqrt(F.col("nrm").cast("double"))
+                * F.sqrt(F.col("cn").cast("double"))
+            ),
+            6,
+        ).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
+    return (
+        aff.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") == 1)
+        .select("vec_id", "cell_id")
+    )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    n_probe: int = 4,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Serve half: answer ANN queries from the PERSISTED index only (no
+    corpus rescan, no training). Probe cells come from the broadcast
+    centroid file; candidate vectors come from the partition-pruned
+    assignment read (cell_id IN probe-set reaches the parquet source as a
+    partition filter). queries_df: (query_id, e, nrm) quantized vectors."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probes = (
+        queries_df.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell_id",
+            F.round(
+                _dot("e", "ce").cast("double")
+                / (
+                    F.sqrt(F.col("nrm").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                ),
+                6,
+            ).alias("aff"),
+        )
+        .withColumn(
+            "crnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("aff"), F.asc("cell_id")
+                )
+            ),
+        )
+        .where(F.col("crnk") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    assigns = spark.read.parquet(f"{index_dir}/assignments").select(
+        "cell_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    qv = queries_df.select(
+        "query_id", F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    cand = probes.join(assigns, "cell_id").join(F.broadcast(qv), "query_id")
+    scored = cand.where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot("qe", "ne").cast("double")
+            / (
+                F.sqrt(F.col("qn").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return grouped_topn(
+        scored,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        top_k,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))

@@ -353,3 +353,41 @@ def test_ivf_trained_centroids_improve_recall(spark):
     row = QUERIES["ann_ivf_trained_topk"](spark, SF_DIR).collect()[0]
     assert row["recall_ok"] is True
     assert row["n_queries"] == 10
+
+
+def test_ivf_index_build_and_serve(spark, tmp_path):
+    """Build/serve split: searching the PERSISTED index must return the same
+    results as the in-memory trained search, and the probe plan must reach
+    the assignment files through a cell partition filter."""
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        _ivf_search,
+        _quantized,
+        build_ivf_index,
+        search_ivf_index,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as SF
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_DIR, idx)
+    vecs = _quantized(spark, SF_DIR)
+    queries_df = vecs.where(SF.col("vec_id") < N_QUERIES).select(
+        SF.col("vec_id").alias("query_id"), "e", "nrm"
+    )
+    served = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, queries_df).collect()
+    }
+    in_mem = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in _ivf_search(vecs, train_ivf_centroids(vecs)).collect()
+    }
+    assert served == in_mem
+    assert served, "served search returned nothing"
+    # partition pruning: assignments are laid out by cell_id
+    import os
+
+    assert any(
+        d.startswith("cell_id=") for d in os.listdir(f"{idx}/assignments")
+    )
