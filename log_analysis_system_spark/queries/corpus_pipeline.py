@@ -64,7 +64,7 @@ scored AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tokens) AS n_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        round(sum(quality_bp) / count(*), 2) AS avg_quality_bp
 FROM scored
 WHERE quality_bp >= {QUALITY_GATE_BP}

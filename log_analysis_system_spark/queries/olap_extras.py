@@ -157,11 +157,11 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_matrix",
     oracle="""
 SELECT strftime(ts, '%Y-%m-%d') AS date_key,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY 1
 """,
 )
@@ -268,7 +268,8 @@ def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -348,9 +349,9 @@ SELECT o_orderkey, o_custkey,
        round(percent_rank() OVER (PARTITION BY o_custkey
                                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)),
              6) AS price_pctrank,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
-           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS running_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_cents
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
@@ -442,7 +443,7 @@ HYPERTABLE_CUTOFF = "2024-01-25 00:00:00"
 SELECT date_trunc('hour', ts) AS bucket_ts,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_v_milli,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli,
        min(CAST(round(value * 1000) AS BIGINT)) AS min_v_milli,
        max(CAST(round(value * 1000) AS BIGINT)) AS max_v_milli
 FROM events

@@ -148,7 +148,7 @@ ranked AS (
 )
 SELECT rnk % {N_SHARDS} AS shard,
        count(*) AS n_docs,
-       sum(n_tokens) AS shard_tokens
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
 FROM ranked GROUP BY 1
 """,
 )

@@ -57,8 +57,8 @@ WITH daily AS (
     FROM events GROUP BY 1, 2
 )
 SELECT date_key, event_type, cnt,
-       sum(cnt) OVER (PARTITION BY event_type ORDER BY date_key
-                      ROWS UNBOUNDED PRECEDING) AS cum_cnt
+       CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY date_key
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
 FROM daily
 """,
 )

@@ -34,8 +34,9 @@ WITH o AS (
 ),
 s AS (
     SELECT user_id, ts,
-           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
     FROM o
 )
 SELECT user_id, session_idx, min(ts) AS session_start,

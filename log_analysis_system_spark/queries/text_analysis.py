@@ -302,7 +302,7 @@ scored AS (
     FROM tok t JOIN freq f USING (term) CROSS JOIN total tt
 )
 SELECT doc_id, count(*) AS n_tokens,
-       sum(rarity_q) // count(*) AS avg_rarity_q
+       CAST(sum(rarity_q) // count(*) AS BIGINT) AS avg_rarity_q
 FROM scored GROUP BY doc_id
 """,
 )

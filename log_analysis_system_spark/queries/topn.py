@@ -48,9 +48,9 @@ def _cat_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAT_COUNTS_CTE = """
 cat_counts AS (
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS category_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS order_count,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS pay_count
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS order_count,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pay_count
     FROM events GROUP BY 1
 )
 """

@@ -144,8 +144,9 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        o_orderpriority
 FROM customer
@@ -239,8 +240,9 @@ WITH c AS (
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
 )
-SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS promo_rev_c4,
-       sum(rev_c4) AS total_rev_c4,
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS BIGINT)
+           AS promo_rev_c4,
+       CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
        100.0 * sum(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
              / sum(rev_c4) AS promo_pct
 FROM c
@@ -382,7 +384,7 @@ WITH per AS (
     FROM lineitem GROUP BY l_partkey
 ),
 tot AS (SELECT sum(rev_c4) AS total_c4, count(*) AS n_parts FROM per)
-SELECT partkey, rev_c4,
+SELECT partkey, CAST(rev_c4 AS BIGINT) AS rev_c4,
        100.0 * rev_c4 / total_c4 AS share_pct
 FROM per, tot
 WHERE rev_c4 * n_parts * 10 > {AVG_MULT_TENTHS} * total_c4
@@ -420,8 +422,9 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
 SELECT n_name,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_c4
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_c4
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
