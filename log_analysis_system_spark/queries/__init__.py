@@ -15,6 +15,86 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver's correctness gate checks the FIRST 50 entries of
+# ``__spark_entry__.queries()``. This list pins that window to one
+# representative per operator family (SURVEY.md §2 + the training-data
+# pipeline extensions), so every family lands an official CORRECTNESS row
+# each round; the remaining registered queries follow in registration order
+# and are covered by scripts/driver_sim.py + tests instead.
+PRIORITY: tuple[str, ...] = (
+    # reference core: sessions / top-N / funnel (§2.1-2.6, 2.9-2.10, 2.12)
+    "session_agg",
+    "session_stats",
+    "session_filter",
+    "session_detail",
+    "hour_histogram",
+    "stratified_sample",
+    "top10_category",
+    "top10_session_per_category",
+    "area_top3",
+    "funnel",
+    # TPC-H battery representatives (incl. every previously hash-red row)
+    "pricing_summary",
+    "shipping_priority",
+    "promo_revenue_share",
+    "important_parts",
+    "local_supplier_volume",
+    "priority_by_line_status",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    # ANN / similarity family
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_trained_topk",
+    "embedding_near_dup",
+    # text analysis family
+    "text_metrics",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "doc_rarity_score",
+    # multimodal plumbing
+    "multimodal_frames",
+    # streaming batch oracles (§2.11 / A10-A13)
+    "stream_blacklist",
+    "stream_cumulative_stat",
+    "stream_top3_per_day",
+    "stream_sliding_window",
+    # scalar functions + set ops (§2.7-2.8)
+    "scalar_functions",
+    "set_ops_users",
+    # OLAP extras: one per operator family
+    "asof_join_orders",
+    "rollup_lineitem",
+    "value_percentiles",
+    "pivot_event_matrix",
+    "analytic_functions",
+    "range_join_events",
+    "skew_safe_event_totals",
+    "hypertable_rollup",
+    # corpus pipeline / temporal / sampling / graph
+    "corpus_pipeline",
+    "gap_sessions_events",
+    "resample_hourly_dense",
+    "sample_weighted_docs",
+    "balanced_shards",
+    "pagerank_trade_graph",
+)
+
+
+def ordered(reg: dict) -> dict:
+    """Return ``reg`` reordered so PRIORITY names come first (in PRIORITY
+    order), followed by the rest in registration order."""
+    missing = [n for n in PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"PRIORITY names not registered: {missing}")
+    head = {n: reg[n] for n in PRIORITY if n in reg}
+    tail = {n: v for n, v in reg.items() if n not in head}
+    return {**head, **tail}
+
 
 def query(name: str, oracle: str | None = None):
     """Register a query function, optionally with its DuckDB oracle SQL."""

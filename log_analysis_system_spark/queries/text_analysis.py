@@ -224,6 +224,72 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_metrics",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> w IN {_STOP_IN_SQL})) AS BIGINT) AS stop_hits,
+           lower(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g'),
+               '{WS_RE}', ' ', 'g'))) AS norm_text
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_chars,
+       round(n_alpha / n_tokens, 4) AS avg_token_len,
+       round(stop_hits / n_tokens, 4) AS stop_ratio,
+       CASE WHEN stop_hits / n_tokens >= 0.03 THEN 'en' ELSE 'other' END
+           AS predicted_lang,
+       round(least(n_tokens, 200) / 200.0 * 0.5
+             + CASE WHEN n_alpha / n_tokens BETWEEN 3 AND 8 THEN 0.3 ELSE 0 END
+             + CASE WHEN stop_hits > 0 THEN 0.2 ELSE 0 END, 4) AS quality,
+       CAST(length(norm_text) AS BIGINT) AS norm_chars
+FROM feat
+""",
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document text metrics: token/char counting, stopword
+    language ID, quality scoring, and normalized length in ONE projection
+    over ONE scan — the shape a 100 TB curation pass wants (each metric as
+    its own query re-reads the corpus; fused, the scan amortizes across
+    all of them). Pure codegen expressions, zero shuffle, zero UDFs.
+    Composes the same operators exposed individually as `token_count`,
+    `lang_id`, `quality_score`, and `text_normalize`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    avg_len = n_alpha / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    quality = (
+        F.least(n_tokens, F.lit(200)) / 200.0 * 0.5
+        + F.when(avg_len.between(3, 8), 0.3).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.when(stop_ratio >= 0.03, "en").otherwise("other").alias(
+            "predicted_lang"
+        ),
+        F.round(quality, 4).alias("quality"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("norm_chars"),
+    )
+
+
 TFIDF_TOP_K = 3
 _TFIDF_SCALE = 1_000_000
 

@@ -1,0 +1,61 @@
+"""The driver's correctness gate checks the FIRST 50 entries of
+``__spark_entry__.queries()``. Pin that window: exactly 50 priority names,
+all registered, all with oracles, and one representative per operator
+family so no SURVEY.md §2 or extension family lacks an official row.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from log_analysis_system_spark.queries import ORACLES, PRIORITY, load_all
+
+WINDOW = 50
+
+# One representative per family that MUST sit inside the driver's window.
+FAMILY_REPRESENTATIVES = {
+    # §2 core
+    "session_agg", "session_stats", "session_filter", "session_detail",
+    "hour_histogram", "stratified_sample", "top10_category",
+    "top10_session_per_category", "area_top3", "funnel",
+    # streaming batch oracles (§2.11)
+    "stream_blacklist", "stream_cumulative_stat", "stream_top3_per_day",
+    "stream_sliding_window",
+    # scalar + set ops (§2.7/2.8)
+    "scalar_functions", "set_ops_users",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_components",
+    # ANN family
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_trained_topk",
+    "embedding_near_dup",
+    # text analysis
+    "text_metrics", "doc_fingerprint", "tfidf_top_terms", "doc_rarity_score",
+    # multimodal / corpus / temporal / sampling / graph
+    "multimodal_frames", "corpus_pipeline", "gap_sessions_events",
+    "resample_hourly_dense", "sample_weighted_docs", "balanced_shards",
+    "pagerank_trade_graph",
+    # OLAP extras
+    "asof_join_orders", "rollup_lineitem", "value_percentiles",
+    "pivot_event_matrix", "analytic_functions", "range_join_events",
+    "skew_safe_event_totals", "hypertable_rollup",
+}
+
+
+def test_priority_is_exactly_the_window():
+    assert len(PRIORITY) == WINDOW
+    assert len(set(PRIORITY)) == WINDOW
+
+
+def test_window_covers_every_family():
+    missing = FAMILY_REPRESENTATIVES - set(PRIORITY)
+    assert not missing, f"families with no official correctness row: {missing}"
+
+
+def test_entry_order_puts_priority_first_with_oracles():
+    load_all()
+    names = list(entrymod.queries())
+    assert names[:WINDOW] == list(PRIORITY)
+    no_oracle = [n for n in names[:WINDOW] if n not in ORACLES]
+    assert not no_oracle, f"window queries without oracles: {no_oracle}"
+    # oracle ordering must match query ordering for the driver's zip
+    assert list(entrymod.oracle_sql())[:WINDOW] == list(PRIORITY)
