@@ -11,9 +11,10 @@ balanced shards.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sampling import global_rank
 from . import query
 
 SAMPLE_K = 200
@@ -158,17 +159,18 @@ def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     that bounds shard skew to one document's tokens without the sequential
     state greedy bin-packing needs. Emits per-shard document and token
     totals (the balance report a training job reads before launching).
-    The global rank is a single-partition window sort — fine for the
-    report-sized corpus here, but THE bottleneck at 100 TB; the cluster
-    form replaces it with a range-partitioned sort + per-partition
-    row_number offset by cumulative partition counts (same result, no
-    single-node sort). Everything after is projection + aggregate."""
+    The global rank runs through ``operators.sampling.global_rank`` — a
+    range-partitioned sort with per-partition ordinals shifted by the
+    cumulative partition counts — so NO stage funnels the corpus into a
+    single task (the naive ``row_number() OVER (ORDER BY ...)`` does).
+    Everything after is projection + aggregate."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sized = docs.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     )
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    ranked = sized.withColumn("rnk", F.row_number().over(w) - 1)
+    ranked = global_rank(
+        sized, [F.desc("n_tokens"), F.asc("doc_id")], rank_col="rnk"
+    )
     return ranked.groupBy((F.col("rnk") % N_SHARDS).alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),

@@ -265,3 +265,11 @@ def test_weighted_sample_is_take_ordered(spark):
     """Global weighted top-K must compile to a heap, not a total sort."""
     plan = plan_of(spark, "sample_weighted_docs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_balanced_shards_no_single_partition_stage(spark):
+    """The global rank must be the distributed range-partitioned form —
+    never a row_number() window that funnels the corpus into one task."""
+    plan = plan_of(spark, "balanced_shards")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
