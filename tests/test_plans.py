@@ -62,7 +62,7 @@ def test_order_priority_semi_join(spark):
 def test_no_cartesian_products_anywhere(spark):
     """Cross joins are only legitimate where a tiny broadcast side is crossed
     deliberately (funnel start_pv single row, ANN query set)."""
-    allowed_cross = {"funnel", "ann_brute_topk", "embedding_near_dup"}
+    allowed_cross = {"funnel", "ann_brute_topk"}
     for name in sorted(QUERIES):
         if name in allowed_cross:
             continue
@@ -273,3 +273,12 @@ def test_balanced_shards_no_single_partition_stage(spark):
     plan = plan_of(spark, "balanced_shards")
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_embedding_near_dup_is_distributed_lsh(spark):
+    """The near-dup production path must be the banded-LSH equi-join form:
+    no Python stage, no cartesian product, no driver-collected blocks."""
+    plan = plan_of(spark, "embedding_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" not in plan
