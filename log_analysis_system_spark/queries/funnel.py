@@ -11,7 +11,7 @@ whole query stays one DataFrame expression with a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import read_events
@@ -79,11 +79,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = spark.createDataFrame(
         [(t, i + 1) for i, t in enumerate(_TARGETS)], "split string, ord int"
     )
-    chained = (
-        targets.join(counts, "split", "left")
-        .withColumn("split_pv", F.coalesce(F.col("split_pv"), F.lit(0)))
-        .withColumn("prev_pv", F.lag("split_pv").over(Window.orderBy("ord")))
+    # prev-step lookup as a tiny self-join on ord-1 rather than lag() over an
+    # unpartitioned window: same 4-row result, but no single-partition window
+    # in any plan (keeps that warning reserved for real regressions).
+    filled = targets.join(counts, "split", "left").withColumn(
+        "split_pv", F.coalesce(F.col("split_pv"), F.lit(0))
     )
+    prev = filled.select(
+        F.col("ord").alias("prev_ord"), F.col("split_pv").alias("prev_pv")
+    )
+    chained = filled.join(
+        F.broadcast(prev), F.col("ord") - 1 == F.col("prev_ord"), "left"
+    ).drop("prev_ord")
     return chained.crossJoin(start_pv).select(
         "split",
         "split_pv",

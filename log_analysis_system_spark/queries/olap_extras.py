@@ -128,10 +128,13 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     for distinct counting. Spark's HLL++ and DuckDB's HLL produce different
     estimates by construction, so the sketch value itself cannot be
     hash-compared; instead the query emits a TOLERANCE VERDICT — the HLL++
-    estimate must land within 2x the configured rsd of the exact count —
-    and the oracle asserts that verdict holds. The sketch still runs (and
-    its quality is what's checked); the exact twin `distinct_users` pins
-    exact-count correctness."""
+    estimate must land within 5x the configured rsd of the exact count —
+    and the oracle asserts that verdict holds. rsd is a standard DEVIATION,
+    not a bound: at 2x rsd ~5% of groups legitimately fall outside (a gate
+    row that is flaky by construction); 5 sigma puts the false-failure
+    probability per group below 1e-6 while still catching a broken sketch
+    (which is off by orders of magnitude, not sigmas). The exact twin
+    `distinct_users` pins exact-count correctness."""
     rsd = 0.02
     return (
         read_events(spark, sf_dir)
@@ -147,7 +150,7 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events",
             (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 2 * rsd * F.col("exact_users")
+                <= 5 * rsd * F.col("exact_users")
             ).alias("approx_within_tol"),
         )
     )

@@ -291,11 +291,17 @@ def page_convert_rate(
     order = spark.createDataFrame(
         [(t, i) for i, t in enumerate(targets)], "split string, ord int"
     )
-    chained = (
-        order.join(counts, "split", "left")
-        .withColumn("split_pv", F.coalesce("split_pv", F.lit(0)))
-        .withColumn("prev_pv", F.lag("split_pv").over(Window.orderBy("ord")))
+    # prev-step via tiny self-join on ord-1, not lag() over an unpartitioned
+    # window — keeps the single-partition warning reserved for regressions.
+    filled = order.join(counts, "split", "left").withColumn(
+        "split_pv", F.coalesce("split_pv", F.lit(0))
     )
+    prev = filled.select(
+        F.col("ord").alias("prev_ord"), F.col("split_pv").alias("prev_pv")
+    )
+    chained = filled.join(
+        F.broadcast(prev), F.col("ord") - 1 == F.col("prev_ord"), "left"
+    ).drop("prev_ord")
     return chained.crossJoin(start_pv).select(
         "split",
         "split_pv",

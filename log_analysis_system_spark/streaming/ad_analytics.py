@@ -187,17 +187,38 @@ class AdAnalyticsPipeline:
                 return int(fh.read().strip())
         return -1
 
+    @staticmethod
+    def _recover(target: str) -> None:
+        """Heal a crash inside ``_swap_in``'s two-rename commit. If the old
+        partition was renamed aside but the new one never landed, restore
+        the aside (state = pre-batch; the marker makes the replay re-merge).
+        If the new one landed and only the aside cleanup was lost, finish
+        the cleanup. Either way, exactly one committed directory remains —
+        the committed history and its marker can never both vanish."""
+        aside = f"{target}.prev"
+        if os.path.isdir(aside):
+            if os.path.isdir(target):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, target)
+
     def _swap_in(self, df: DataFrame, target: str, batch_id: int) -> None:
         """Materialize ``df`` beside ``target`` with the batch marker inside,
-        then commit both with one rename — the lakehouse-commit test double.
-        Never overwrites a path the producing plan may still be reading."""
+        then commit rename-into-place: the live directory is renamed ASIDE
+        (never deleted pre-commit), the new one renamed in, and only then is
+        the aside removed — so a crash at any point leaves either the old or
+        the new committed state on disk for ``_recover``. Never overwrites a
+        path the producing plan may still be reading."""
         tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_applied_batch"), "w") as fh:
             fh.write(str(batch_id))
+        aside = f"{target}.prev"
         if os.path.isdir(target):
-            shutil.rmtree(target)
+            os.rename(target, aside)
         os.rename(tmp, target)
+        if os.path.isdir(aside):
+            shutil.rmtree(aside)
 
     def _merge_date_partition(
         self,
@@ -213,6 +234,7 @@ class AdAnalyticsPipeline:
         partition's committed marker says this batch was already applied
         (crash-replay window)."""
         part_dir = os.path.join(root, f"date_key={date_key}")
+        self._recover(part_dir)
         if self._applied_batch(part_dir) >= batch_id:
             return
         spark = delta.sparkSession
@@ -229,6 +251,15 @@ class AdAnalyticsPipeline:
         self._swap_in(merged, part_dir, batch_id)
 
     def _read_state(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
+        # Heal any partition whose two-rename commit was interrupted before
+        # Spark lists the directory tree.
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.endswith(".prev"):
+                    self._recover(os.path.join(path, d[: -len(".prev")]))
+                elif ".tmp-" in d:  # uncommitted write from a crashed batch
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        self._recover(path)
         if self._has_parquet(path):
             return spark.read.schema(schema).parquet(path)
         return spark.createDataFrame([], schema)

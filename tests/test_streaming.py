@@ -332,3 +332,44 @@ def test_batch_touches_only_its_date_partitions(spark, stream_env):
     }
     assert counts[("2024-01-01", 1)] == 1
     assert counts[("2024-01-02", 2)] == 2
+
+
+def test_swap_in_crash_windows_recoverable(spark, stream_env):
+    """The two-rename commit must leave a recoverable directory whatever the
+    crash point: aside-renamed-but-new-never-landed restores the OLD state
+    (and the replay re-merges); landed-but-aside-cleanup-lost finishes the
+    cleanup; a stray uncommitted .tmp- dir is swept. The old rmtree-then-
+    rename commit failed the first window by deleting history pre-commit."""
+    import os
+    import shutil
+
+    pipe = AdAnalyticsPipeline(stream_env["state"])
+    batch = parse_ad_click_log(
+        spark.createDataFrame(
+            [(_record(3, "Jiangsu", "Nanjing", 7, 4),)], "value string"
+        )
+    )
+    pipe.process_batch(batch, 0)
+    root = pipe.user_counts_path
+    part = next(
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("date_key=")
+    )
+
+    # window 1: old renamed aside, new never landed
+    os.rename(part, part + ".prev")
+    counts = pipe.user_counts(spark)  # read path must heal first
+    assert os.path.isdir(part) and not os.path.isdir(part + ".prev")
+    assert counts.count() == 1
+    assert AdAnalyticsPipeline._applied_batch(part) == 0
+
+    # window 2: new landed, aside cleanup lost
+    shutil.copytree(part, part + ".prev")
+    pipe.process_batch(batch, 1)  # merge path heals, then applies batch 1
+    assert not os.path.isdir(part + ".prev")
+    row = pipe.user_counts(spark).collect()[0]
+    assert row["click_count"] == 2  # batch 0 + batch 1, no double-apply
+
+    # window 3: uncommitted tmp dir from a crashed write is swept on read
+    shutil.copytree(part, part + ".tmp-deadbeef")
+    pipe.user_counts(spark)
+    assert not os.path.isdir(part + ".tmp-deadbeef")
