@@ -155,3 +155,125 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "event_type", "cnt"
         )
     )
+
+
+ATTRIBUTION_HORIZON_S = 3600
+
+
+@query(
+    "stream_attribution",
+    oracle=f"""
+WITH imp AS (
+    SELECT user_id, ts AS imp_ts FROM events WHERE event_type = 'view'
+),
+clk AS (
+    SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT i.user_id, i.imp_ts, c.click_ts
+FROM imp i JOIN clk c
+  ON c.user_id = i.user_id
+ AND c.click_ts >= i.imp_ts
+ AND c.click_ts <= i.imp_ts + INTERVAL {ATTRIBUTION_HORIZON_S} SECONDS
+""",
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.attribution.attribute_clicks`` — and it
+    calls the streaming module's OWN join builder (watermarks are a no-op
+    on batch input), so the oracle checks exactly the interval-join logic
+    the stream runs: each click attributes to every impression by the same
+    user within the preceding hour. At scale this is a shuffle on user_id
+    with watermark-bounded state buffering on both sides."""
+    from ..streaming.attribution import attribute_clicks
+
+    ev = read_events(spark, sf_dir)
+    # events carry no ad dimension on views; attribute on the user alone
+    # (ad_id = constant) and project it away — the module's join condition
+    # (user, ad, time-bound) is exercised unchanged.
+    imp = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.lit(0).alias("ad_id"), "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.lit(0).alias("ad_id"), "ts"
+    )
+    return attribute_clicks(
+        imp, clk, horizon=f"{ATTRIBUTION_HORIZON_S} seconds"
+    ).select("user_id", "imp_ts", "click_ts")
+
+
+CORPUS_MIN_QUALITY = 0.3
+_CORPUS_STOPS = "['the', 'a', 'of', 'and', 'in']"
+
+
+@query(
+    "stream_corpus_accept",
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+           list_has_any(string_split(text, ' '), {_CORPUS_STOPS}) AS has_stop,
+           string_split(text, ' ') AS words
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, words,
+           round(CASE WHEN n_chars BETWEEN 20 AND 10000 THEN 0.4 ELSE 0 END
+                 + (n_alpha + 0.0) / greatest(n_chars, 1) * 0.4
+                 + CASE WHEN has_stop THEN 0.2 ELSE 0 END, 4) AS quality
+    FROM feat
+),
+gated AS (
+    SELECT doc_id, quality, unnest(words) AS w
+    FROM scored WHERE quality >= {CORPUS_MIN_QUALITY}
+),
+wh AS (
+    SELECT doc_id, quality,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+    FROM gated
+),
+votes AS (
+    SELECT doc_id, quality, j,
+           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM wh, range(16) t(j)
+    GROUP BY 1, 2, 3
+),
+sh AS (
+    SELECT doc_id, quality,
+           CAST(sum(CASE WHEN v > 0 THEN power(2, j) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM votes GROUP BY 1, 2
+)
+SELECT doc_id, quality, simhash,
+       CAST(simhash // 4096 AS BIGINT) AS band
+FROM sh
+""",
+)
+def q_stream_corpus_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming corpus-curation front door
+    (``streaming.corpus``): the module's OWN stateless projections —
+    quality gate, 16-bit tf-weighted SimHash, band key — applied to the
+    documents table. The stateful FIFO dedup that follows in the stream is
+    order-dependent by design and is exercised by the streaming tests; this
+    query gives the stateless 90% (the part that runs per-row at 100 TB
+    with zero shuffle) a cross-engine oracle."""
+    from ..streaming.corpus import (
+        BAND_BITS,
+        SIMHASH_BITS,
+        quality_expr,
+        simhash_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("quality", quality_expr())
+        .where(F.col("quality") >= CORPUS_MIN_QUALITY)
+        .withColumn("simhash", simhash_expr())
+        .select(
+            "doc_id",
+            "quality",
+            "simhash",
+            F.shiftright("simhash", SIMHASH_BITS - BAND_BITS)
+            .cast("long")
+            .alias("band"),
+        )
+    )

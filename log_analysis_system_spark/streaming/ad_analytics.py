@@ -41,17 +41,24 @@ def build_kafka_stream(
     spark: SparkSession,
     brokers: str,
     topic: str = "AdRealTimeLog",
+    starting_offsets: str = "latest",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """S4/ST1: Kafka direct stream (value = 'ts province city userid adid').
     Requires the spark-sql-kafka package on the classpath; raises a clear
-    error otherwise (the container has no Kafka jars — tests use files)."""
+    error otherwise (the container has no Kafka jars — tests use files).
+    ``min_partitions`` should be >= the topic's partition count so a busy
+    Kafka partition can fan out across Spark tasks."""
     try:
-        raw = (
+        reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("subscribe", topic)
-            .load()
+            .option("startingOffsets", starting_offsets)
         )
+        if min_partitions is not None:
+            reader = reader.option("minPartitions", str(min_partitions))
+        raw = reader.load()
     except Exception as exc:  # pragma: no cover - no kafka jars in test env
         raise RuntimeError(
             "Kafka source unavailable (spark-sql-kafka jars not on classpath); "
