@@ -643,3 +643,63 @@ def q_entity_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
     )
+
+
+_CHUNK_W = 8  # words per non-overlapping chunk
+
+
+@query(
+    "chunk_dedup_docs",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+chunks AS (
+    SELECT doc_id,
+           md5(array_to_string(words[i * {_CHUNK_W} + 1 : (i + 1) * {_CHUNK_W}], ' ')) AS h
+    FROM w, LATERAL unnest(range(((len(words) - 1) // {_CHUNK_W}) + 1)) t(i)
+),
+freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h)
+SELECT c.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_chunks
+FROM chunks c JOIN freq f USING (h)
+GROUP BY c.doc_id
+HAVING sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) > 0
+""",
+)
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT substring dedup at chunk granularity (the
+    distributed proxy for suffix-array dedup a la RefinedWeb/Gopher): split
+    each document into non-overlapping {W}-word chunks, hash them, and
+    report every document containing a chunk that appears verbatim in
+    another document — the copy-paste / boilerplate contamination a
+    training pipeline strips even when whole-document hashes differ.
+
+    Scale shape: one explode to (doc_id, chunk_hash) rows (16-byte hashes,
+    never text), one hash-agg for chunk frequencies, one equi-join back on
+    the hash (the natural co-partitioning), one final per-doc agg. All
+    shuffles carry fixed-width rows; nothing is quadratic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(split(text, ' ')) - 1) / {_CHUNK_W} AS INT)), "
+                f"i -> md5(CAST(concat_ws(' ', slice(split(text, ' '), i * {_CHUNK_W} + 1, {_CHUNK_W})) AS BINARY)))"
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+        )
+        .where(F.col("n_shared_chunks") > 0)
+    )

@@ -397,3 +397,59 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.expr("sum(rarity_q) div count(1)").alias("avg_rarity_q"),
     )
+
+
+_REP_N = 3  # n-gram order for the repetition signal
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) >= {_REP_N}
+                THEN [array_to_string(words[i:i+{_REP_N}-1], ' ')
+                      FOR i IN range(1, len(words) - {_REP_N} + 2)]
+                ELSE [array_to_string(words, ' ')] END AS grams
+    FROM w
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+       round(1.0 - len(list_distinct(words)) / len(words), 4)
+           AS dup_token_ratio,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(1.0 - len(list_distinct(grams)) / len(grams), 4)
+           AS dup_gram_ratio
+FROM g
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family): duplicate
+    token fraction and duplicate {n}-gram fraction. Boilerplate, SEO spam,
+    and decoding loops score high and get filtered before training. Pure
+    array expressions — size/array_distinct over the in-row token list —
+    so the whole operator is a zero-shuffle codegen projection at any
+    scale; no explode, no aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= _REP_N,
+        F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {_REP_N}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_REP_N})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    n_tok = F.size(words).cast("long")
+    n_dtok = F.size(F.array_distinct(words)).cast("long")
+    n_grams = F.size(grams).cast("long")
+    n_dgrams = F.size(F.array_distinct(grams)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dtok.alias("n_distinct_tokens"),
+        F.round(1.0 - n_dtok / n_tok, 4).alias("dup_token_ratio"),
+        n_grams.alias("n_grams"),
+        F.round(1.0 - n_dgrams / n_grams, 4).alias("dup_gram_ratio"),
+    )
