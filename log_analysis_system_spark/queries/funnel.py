@@ -73,7 +73,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("split_pv"))
     )
-    start_pv = sess.where(F.col("event_type") == TARGET_FLOW[0]).agg(
+    # start_pv needs no session column — count from the RAW scan so this
+    # branch is a pushed-filter count, not a second sessionize window pass
+    # over the full corpus (same count either way).
+    start_pv = ev.where(F.col("event_type") == TARGET_FLOW[0]).agg(
         F.count(F.lit(1)).alias("pv")
     )
     targets = spark.createDataFrame(
