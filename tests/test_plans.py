@@ -282,3 +282,14 @@ def test_embedding_near_dup_is_distributed_lsh(spark):
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     assert "ExistingRDD" not in plan
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned in every
+    registered query: Python in the hot path is Arrow-vectorized
+    (ArrowEvalPython / MapInPandas) or absent. multimodal + the exact
+    near-dup kernel legitimately run mapInPandas; nothing may regress to
+    per-row pickling."""
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
