@@ -12,6 +12,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(ts: Column | str) -> Column:
+    """Integer microseconds since the epoch, for TIMESTAMP and TIMESTAMP_NTZ
+    alike.
+
+    Parquet naive timestamps (isAdjustedToUTC=false, the driver testdata's
+    encoding) read as TIMESTAMP_NTZ under Spark 4's NTZ inference, and
+    ``unix_micros`` rejects that type outright. Casting to ``timestamp_ltz``
+    first is a no-op for already-LTZ columns and interprets NTZ wall time in
+    the session timezone — exact and engine-portable because the engine pins
+    the session timezone to UTC (session.py / sources/catalog.py), matching
+    DuckDB's naive-timestamp ``epoch_us``.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_us_sql(col_sql: str) -> str:
+    """SQL-text form of :func:`epoch_us` for ``F.expr`` call sites."""
+    return f"unix_micros(cast({col_sql} as timestamp_ltz))"
+
+
 def date_key(ts: Column) -> Column:
     """F4: DateUtils.formatDateKey — 'yyyyMMdd' (util/DateUtils.java:141-148)."""
     return F.date_format(ts, "yyyyMMdd")

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us, epoch_us_sql
+
 
 def range_join(
     left: DataFrame,
@@ -48,12 +50,11 @@ def range_join(
     keys = keys or []
     d_us = int(max_diff_s) * 1_000_000
     w_us = 2 * d_us
-    lo = F.expr(f"(unix_micros({left_ts}) - {d_us}) div {w_us}")
+    lo = F.expr(f"({epoch_us_sql(left_ts)} - {d_us}) div {w_us}")
     l_rep = left.withColumn("__bucket", F.explode(F.array(lo, lo + F.lit(1))))
-    r_b = right.withColumn("__bucket", F.expr(f"unix_micros({right_ts}) div {w_us}"))
+    r_b = right.withColumn("__bucket", F.expr(f"{epoch_us_sql(right_ts)} div {w_us}"))
     residual: Column = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
-        <= d_us
+        F.abs(epoch_us(left_ts) - epoch_us(right_ts)) <= d_us
     )
     return (
         l_rep.join(r_b, keys + ["__bucket"], "inner")

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
+
 
 def sessionize(
     df: DataFrame,
@@ -36,10 +38,10 @@ def sessionize(
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
-    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    prev_us = F.lag(epoch_us(ts_col)).over(w)
     gap_us = gap_minutes * 60 * 1_000_000
     is_new = F.when(
-        prev_us.isNull() | (F.unix_micros(F.col(ts_col)) - prev_us > gap_us),
+        prev_us.isNull() | (epoch_us(ts_col) - prev_us > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     seq = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -71,7 +73,7 @@ def session_aggregate(
     by the concat string alone would force a second full shuffle.
     """
     visit_len = (
-        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+        (epoch_us(F.max(ts_col)) - epoch_us(F.min(ts_col)))
         / F.lit(1_000_000)
     ).cast("long")
     return (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
 from ..operators.asof import asof_join
 from ..sources.catalog import read_events
 from . import query
@@ -431,7 +432,7 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "error_id",
         # truncate-toward-zero to match DuckDB's integer `//` on negatives
-        ((F.unix_micros("e_ts") - F.unix_micros("p_ts")) / F.lit(1_000_000))
+        ((epoch_us("e_ts") - epoch_us("p_ts")) / F.lit(1_000_000))
         .cast("long")
         .alias("diff_s"),
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import epoch_us
 from ..sources.catalog import read_events
 from . import query
 
@@ -55,7 +56,7 @@ def q_gap_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_s = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > _GAP_US),
+        | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > _GAP_US),
         1,
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -207,7 +208,8 @@ def q_trend_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = read_events(spark, sf_dir).select(
         "event_type",
         F.expr(
-            "(unix_micros(ts) - 788918400000000) div 3600000000"
+            "(unix_micros(cast(ts as timestamp_ltz)) - 788918400000000)"
+            " div 3600000000"
         ).alias("x"),
         F.round(F.col("value") * 1000).cast("long").alias("y"),
     )

@@ -43,6 +43,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and integer-division to micros truncates exactly like DuckDB's ns→us cast,
     so both engines see identical timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP_NTZ;
+    # epoch arithmetic on them casts through timestamp_ltz (functions/scalar
+    # .epoch_us), which is only deterministic under a pinned session timezone.
+    # UTC matches DuckDB's naive-timestamp epoch semantics exactly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
