@@ -127,4 +127,5 @@ def load_all() -> None:
         temporal,
         sampling_extras,
         graph,
+        training_prep,
     )

@@ -1,0 +1,370 @@
+"""Training-data preparation operators: decontamination, sequence packing,
+boilerplate detection, PII redaction, curriculum binning, and mixture
+weighting over the ``documents`` table.
+
+No reference counterpart (the reference is clickstream analytics) — this is
+the LLM-pipeline extension surface (BASELINE.json north star), the stages a
+100 TB pretraining corpus goes through between raw scrape and tokenizer:
+
+- eval-set decontamination: drop training docs sharing long n-grams with a
+  held-out benchmark (the standard GPT-3/PaLM-style 'test set overlap'
+  filter). The eval side is ALWAYS small (benchmarks are KBs-MBs), so the
+  gram join broadcasts the eval grams — the 100 TB side never shuffles.
+- sequence packing: concatenate docs in deterministic order per language
+  stream and cut into fixed token-budget shards ('concat-and-chunk' packing).
+  Expressed as one per-lang cumulative-sum window — the partition key is the
+  language stream, so no global sort and no single-partition window.
+- boilerplate n-grams: document-frequency heavy hitters (headers/footers
+  repeated across a crawl). Two hash aggregates; the explode is the only
+  fan-out and collapses immediately into (gram, df) pairs.
+- PII redaction: pure-regex codegen scrub (emails / IPv4 / long digit runs);
+  patterns restricted to syntax with identical semantics in Java regex and
+  RE2 so Spark and the DuckDB oracle agree byte-for-byte.
+- quality deciles: curriculum binning via ntile over a deterministic
+  (quality, doc_id) total order per language.
+- mixture weights: per-language token shares vs a uniform target — the
+  static data-mixing reweight (DoReMi-style inputs) as one aggregate.
+
+All six are zero-UDF column expressions — whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+
+# ------------------------------------------------------------- shared bits
+
+EVAL_SOURCES = ("src0", "src1")  # simulated held-out benchmark slice
+_EVAL_IN = "('src0', 'src1')"
+DECON_N = 5  # n-gram order for contamination matching
+PACK_BUDGET = 512  # tokens per packed shard
+BOILERPLATE_N = 2
+BOILERPLATE_MIN_DF = 25  # ~5% of the sf0.01 corpus
+
+
+def _word_ngrams(n: int) -> F.Column:
+    """Distinct word n-grams of ``text`` as an array column (docs shorter
+    than ``n`` words yield none — a short doc cannot carry a full gram).
+    The short-doc case needs an explicit guard: Spark's ``sequence(1, 0)``
+    DESCENDS to [1, 0] and the 0 start would crash ``slice``."""
+    return F.when(
+        F.size(F.split("text", " ")) >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+_NGRAM_CTE = """
+words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id, source,
+           array_to_string(w[i:i+{nm1}], ' ') AS gram
+    FROM (SELECT doc_id, source, w,
+                 unnest(generate_series(1, len(w) - {nm1})) AS i
+          FROM words
+          WHERE len(w) >= {n})
+)
+""".format(n=DECON_N, nm1=DECON_N - 1)
+
+
+# ------------------------------------------------------- decontamination
+
+@query(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH {_NGRAM_CTE},
+eval_grams AS (
+    SELECT DISTINCT gram FROM grams WHERE source IN {_EVAL_IN}
+)
+SELECT g.doc_id, count(*) AS n_hit_grams
+FROM grams g JOIN eval_grams e USING (gram)
+WHERE g.source NOT IN {_EVAL_IN}
+GROUP BY 1
+""",
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source not in the eval
+    slice) that share at least one word {DECON_N}-gram with any eval doc,
+    with the count of distinct shared grams (the evidence a filter would log
+    before dropping the doc).
+
+    Scale shape: the eval side aggregates to a distinct-gram set that is
+    small by construction (benchmarks don't grow with the corpus), so the
+    join is a broadcast hash join against the exploded training grams —
+    the corpus-sized side is never shuffled, and the per-doc count is a
+    map-side-combinable hash aggregate on doc_id.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id", "source", F.explode(_word_ngrams(DECON_N)).alias("gram")
+    )
+    eval_grams = (
+        grams.where(F.col("source").isin(*EVAL_SOURCES))
+        .select("gram")
+        .distinct()
+    )
+    train = grams.where(~F.col("source").isin(*EVAL_SOURCES))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id,
+       CAST((cum - n_tokens) % {PACK_BUDGET} AS BIGINT) AS shard_offset
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per language stream, documents are
+    concatenated in doc_id order and cut into {PACK_BUDGET}-token shards; a
+    document belongs to the shard where its first token lands (the standard
+    drop-nothing packing used before tokenizer sharding).
+
+    Scale shape: ONE window partitioned by ``lang`` — the running sum never
+    crosses language streams, so there is no global sort; within a stream
+    the cumulative sum is the textbook prefix-scan window. At 100 TB the
+    stream key would be (lang, shard-range) from the layout, keeping every
+    partition bounded; the operator itself is unchanged.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (start / PACK_BUDGET).cast("long").alias("shard_id"),
+        (start % PACK_BUDGET).cast("long").alias("shard_offset"),
+    )
+
+
+# --------------------------------------------------- boilerplate n-grams
+
+@query(
+    "boilerplate_ngrams",
+    oracle=f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, len(w) - 1)) AS i
+          FROM words WHERE len(w) >= 2)
+)
+SELECT gram, count(*) AS doc_freq
+FROM grams GROUP BY 1 HAVING count(*) >= {BOILERPLATE_MIN_DF}
+""",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word {BOILERPLATE_N}-grams present in at least
+    {BOILERPLATE_MIN_DF} distinct documents (repeated headers / footers /
+    navigation chrome in a crawl). The output feeds a removal pass.
+
+    Scale shape: explode → distinct per doc (array_distinct before the
+    explode, so the fan-out is already deduped) → one hash aggregate on the
+    gram. Document frequency is a count of (gram, doc) pairs — map-side
+    combinable. For 100 TB the HAVING threshold prunes the long tail early
+    because partial counts below df threshold can't pass the final filter;
+    a count-min sketch pre-pass is the documented alternative when even the
+    (gram, df) pairs overflow.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(BOILERPLATE_N)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= BOILERPLATE_MIN_DF)
+    )
+
+
+# ------------------------------------------------------------ PII redact
+
+# Patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB): plain character classes and bounded repetition only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_DIGITS = r"[0-9]{9,}"
+
+
+def redact_pii(text: F.Column) -> F.Column:
+    """Replace emails, IPv4 addresses, and 9+-digit runs with typed tags.
+    Order matters: IPv4 before digit-runs so an address is not half-eaten."""
+    out = F.regexp_replace(text, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    return F.regexp_replace(out, _PII_DIGITS, "<NUM>")
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT)
+           AS n_ips,
+       CAST(len(regexp_extract_all(
+                regexp_replace(text, '{_PII_IPV4}', '<IP>', 'g'),
+                '{_PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g'),
+                '{_PII_DIGITS}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+FROM documents
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-document counts of redacted spans by type plus the
+    redacted text length (the audit record a compliance pass emits). The
+    synthetic corpus contains no PII — counts are legitimately zero here;
+    `tests/test_training_prep.py` drives the same expressions over crafted
+    fixtures with real hits.
+
+    Scale shape: row-local regex projection, zero shuffle, whole-stage
+    codegen; the only cost is the regex engine itself, which is why the
+    patterns are anchored character classes (no catastrophic backtracking).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace("text", _PII_IPV4, "<IP>"), F.lit(_PII_DIGITS)
+        )
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.length(redact_pii(F.col("text"))).cast("long").alias("redacted_len"),
+    )
+
+
+# ------------------------------------------------------ curriculum decile
+
+@query(
+    "quality_deciles",
+    oracle="""
+WITH feat AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang,
+       CAST(ntile(10) OVER (PARTITION BY lang
+                            ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+           AS decile
+FROM feat
+""",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: decile rank of each doc within its language by a
+    quality proxy (token count), ties broken by doc_id so the ntile is a
+    total order and both engines agree exactly.
+
+    Scale shape: one window partitioned by lang. For 100 TB curricula the
+    proxy column comes from the quality_score pass and the partition key
+    gains a shard component; ntile's distribution math is unchanged.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_tokens"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id",
+            "lang",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+    )
+
+
+# ------------------------------------------------------- mixture weights
+
+_MIX_SCALE = 1_000_000
+
+
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+WITH per_lang AS (
+    SELECT lang, count(*) AS n_docs,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_langs FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens * {_MIX_SCALE} // all_tokens AS BIGINT) AS share_ppm,
+       CAST({_MIX_SCALE} * all_tokens // (n_langs * n_tokens) AS BIGINT)
+           AS weight_ppm
+FROM per_lang, tot
+""",
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static mixture reweighting: per-language token share and the
+    resampling weight that moves the mix to a uniform-over-languages target
+    (weight = target_share / actual_share), in integer parts-per-million so
+    both engines agree bit-for-bit.
+
+    Scale shape: one hash aggregate (per-lang token sums) plus a broadcast
+    of the single-row total — the classic two-level aggregation; nothing
+    here grows with corpus size except the first map-side sum.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    j = per_lang.crossJoin(F.broadcast(tot))
+    # integer floor-division on both engines: operands stay far below 2^53,
+    # so the double intermediate is exact and cast("long") == floor here
+    share_ppm = F.floor(
+        (F.col("n_tokens") * _MIX_SCALE) / F.col("all_tokens")
+    ).cast("long")
+    weight_ppm = F.floor(
+        (F.lit(_MIX_SCALE) * F.col("all_tokens"))
+        / (F.col("n_langs") * F.col("n_tokens"))
+    ).cast("long")
+    return j.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        share_ppm.alias("share_ppm"),
+        weight_ppm.alias("weight_ppm"),
+    )
