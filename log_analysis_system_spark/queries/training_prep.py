@@ -324,7 +324,7 @@ WITH per_lang AS (
     FROM documents GROUP BY 1
 ),
 tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_langs FROM per_lang)
-SELECT lang, n_docs, n_tokens,
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(n_tokens * {_MIX_SCALE} // all_tokens AS BIGINT) AS share_ppm,
        CAST({_MIX_SCALE} * all_tokens // (n_langs * n_tokens) AS BIGINT)
            AS weight_ppm
