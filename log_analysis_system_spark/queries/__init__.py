@@ -58,11 +58,13 @@ PRIORITY: tuple[str, ...] = (
     "doc_rarity_score",
     # multimodal plumbing
     "multimodal_frames",
-    # streaming batch oracles (§2.11 / A10-A13)
+    # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotate out
+    # (pytest + driver_sim cover them) to make room for the behavior family
     "stream_blacklist",
     "stream_cumulative_stat",
-    "stream_top3_per_day",
-    "stream_sliding_window",
+    # behavior analytics family (cohort / sequence)
+    "cohort_retention",
+    "event_transitions",
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
@@ -128,4 +130,5 @@ def load_all() -> None:
         sampling_extras,
         graph,
         training_prep,
+        behavior,
     )

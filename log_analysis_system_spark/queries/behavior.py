@@ -1,0 +1,214 @@
+"""User-behavior analytics over the events table: cohort retention, Markov
+transition counts, robust (median/MAD) outlier detection, and term
+co-occurrence over documents.
+
+These extend the reference's session/funnel analytics (SURVEY.md §2.10,
+`UserVisitSessionAnalyzeSpark.java` computes per-session aggregates and
+conversion chains) with the cohort/retention and sequence-transition views a
+production log-analytics deployment layers on the same data. All four are
+pure DataFrame plans — no UDFs, no collects.
+
+Determinism: every window carries the (ts, event_id) total order; medians are
+computed on integer cents so midpoint interpolation is exact in double on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import read_events
+from . import query
+
+# MAD multiplier for the outlier fence (≈3 sigma for normal data under the
+# 1.4826 consistency constant — kept as a half-integer so threshold
+# arithmetic stays exact in double).
+MAD_K = 3.5
+
+# Minimum shared-document count for a co-occurring term pair to be emitted.
+COOC_MIN_DOCS = 3
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH weeks AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+c AS (
+    SELECT user_id, week,
+           min(week) OVER (PARTITION BY user_id) AS cohort_week
+    FROM weeks
+)
+SELECT cohort_week, CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the week of their
+    first activity, counted in every subsequent week they return.
+
+    Scale shape: the distinct (user, week) projection collapses the raw scan
+    to at most |users| x |weeks| rows map-side, the cohort week is a window
+    min over the SAME user_id hash partitioning the distinct produced, and
+    the closing count-distinct groups on (cohort_week, offset) — two
+    exchanges total, each over already-collapsed data. No join: the window
+    min replaces the self-join a naive cohort query does.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    weeks = ev.distinct()
+    w = Window.partitionBy("user_id")
+    c = weeks.withColumn("cohort_week", F.min("week").over(w))
+    offset = F.expr("CAST(datediff(week, cohort_week) / 7 AS BIGINT)")
+    return c.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream —
+    the edge weights of the page-flow graph the reference's funnel
+    (`PageOneStepConvertRateSpark.java:60-120`) slices one path out of;
+    this materializes ALL observed transitions in one pass.
+
+    Scale shape: one user-partitioned sort window (lead), then a hash
+    aggregate on the (from, to) pair whose cardinality is |event_types|² —
+    tiny — so the reduce side broadcasts trivially to any consumer join.
+    """
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        s.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "robust_outlier_events",
+    oracle=f"""
+WITH cents AS (
+    SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events
+),
+med AS (
+    SELECT event_type, median(c) AS med FROM cents GROUP BY 1
+),
+dev AS (
+    SELECT cents.event_type, c, med, abs(c - med) AS adev
+    FROM cents JOIN med USING (event_type)
+),
+mad AS (
+    SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type, any_value(med) AS med_cents, any_value(mad) AS mad_cents,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN adev > {MAD_K} * mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+""",
+)
+def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per event type, the median and median
+    absolute deviation of the value column (integer cents), and how many
+    events sit outside the {MAD_K}x-MAD fence. Median/MAD resist the heavy
+    tail that wrecks mean/stddev fences on log data.
+
+    Scale shape: exact medians need a per-group sort, but the group key is
+    event_type (a handful of groups), so each of the two median passes is
+    one hash-partitioned sort-agg; the per-group medians then BROADCAST back
+    onto the raw scan (both joins are broadcast — gated in
+    tests/test_plans.py), so the 100 TB side is never reshuffled: scan →
+    broadcast-join → partial count. For group keys with genuine high
+    cardinality the med/mad pass would switch to approx_percentile; this
+    operator keeps the exact form because its group count is bounded.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(F.median("c").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    fenced = dev.join(F.broadcast(mad), "event_type")
+    return fenced.groupBy("event_type").agg(
+        F.any_value("med").alias("med_cents"),
+        F.any_value("mad").alias("mad_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+@query(
+    "term_cooccurrence",
+    oracle=f"""
+WITH t AS (
+    SELECT DISTINCT doc_id, u.term
+    FROM documents, unnest(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> ''
+)
+SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+HAVING count(*) >= {COOC_MIN_DOCS}
+""",
+)
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence counts (the raw table behind PMI /
+    association mining): pairs of distinct terms appearing in the same
+    document, kept when they share >= {COOC_MIN_DOCS} documents.
+
+    Scale shape: explode + distinct collapses each document to its distinct
+    term set; the pair expansion self-joins on doc_id, so both sides hash to
+    the same partitioning and the join is a single co-located exchange. The
+    quadratic blowup is PER DOCUMENT (sum of d² over docs, d = distinct
+    terms), not corpus-wide — the standard trade for exact co-occurrence.
+    At 100 TB the HAVING threshold would be pushed into a count-min-style
+    pre-filter on high-DF terms (cf. boilerplate_ngrams' df_cap) before the
+    pair join; semantics here are the exact form the filter approximates.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    a = terms.alias("a")
+    b = terms.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.term") < F.col("b.term")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= COOC_MIN_DOCS)
+    )

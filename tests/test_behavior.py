@@ -1,0 +1,113 @@
+"""Behavior-analytics operators (queries/behavior.py): semantic fixtures the
+oracle can't isolate, plus plan-shape gates for the scale-critical
+properties (broadcast med/MAD joins, no global sorts)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+from log_analysis_system_spark.queries.behavior import MAD_K
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cohort_retention_triangle_shape(spark):
+    """Offset 0 exists for every cohort (a user is always active in their own
+    first week) and per-cohort offset-0 count >= any later offset."""
+    rows = QUERIES["cohort_retention"](spark, SF_DIR).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    assert by_cohort
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} missing offset 0"
+        assert all(offsets[0] >= n for n in offsets.values())
+
+
+def test_event_transitions_conservation(spark):
+    """Sum of transition counts == total events minus one per active user
+    (each user's chain has len(events)-1 edges)."""
+    from log_analysis_system_spark.sources.catalog import read_events
+
+    ev = read_events(spark, SF_DIR)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total = (
+        QUERIES["event_transitions"](spark, SF_DIR)
+        .agg(F.sum("n").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == n_events - n_users
+
+
+def test_robust_outliers_flags_injected_spike(spark):
+    """A synthetic series with one wild point flags exactly that point."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=i,
+            ts=base + datetime.timedelta(minutes=i),
+            user_id=1,
+            event_type="t",
+            value=10.0 + (i % 3),  # 10, 11, 12 repeating
+            props="{}",
+        )
+        for i in range(30)
+    ]
+    rows.append(
+        Row(
+            event_id=99,
+            ts=base + datetime.timedelta(days=1),
+            user_id=1,
+            event_type="t",
+            value=10_000.0,
+            props="{}",
+        )
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        out = QUERIES["robust_outlier_events"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 31
+    assert r.n_outliers == 1
+    assert r.mad_cents > 0
+
+
+def test_robust_outliers_broadcasts_medians(spark):
+    """The per-type med/MAD tables must broadcast back onto the raw scan —
+    the 100 TB side is never reshuffled for the join."""
+    plan = plan_of(spark, "robust_outlier_events")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_no_global_sort(spark):
+    """Cohort min is a user-partitioned window, never a global sort."""
+    plan = plan_of(spark, "cohort_retention")
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_term_cooccurrence_pairs_are_ordered(spark):
+    """Emitted pairs are canonical (term_a < term_b) and meet the threshold."""
+    df = QUERIES["term_cooccurrence"](spark, SF_DIR)
+    bad = df.where(
+        (F.col("term_a") >= F.col("term_b")) | (F.col("n_docs") < 3)
+    ).count()
+    assert bad == 0
+
+
+def test_mad_fence_constant_is_exact_in_double():
+    # Guard: MAD_K must stay a dyadic rational so fence arithmetic is exact.
+    assert MAD_K * 2 == int(MAD_K * 2)

@@ -17,9 +17,11 @@ FAMILY_REPRESENTATIVES = {
     "session_agg", "session_stats", "session_filter", "session_detail",
     "hour_histogram", "stratified_sample", "top10_category",
     "top10_session_per_category", "area_top3", "funnel",
-    # streaming batch oracles (§2.11)
-    "stream_blacklist", "stream_cumulative_stat", "stream_top3_per_day",
-    "stream_sliding_window",
+    # streaming batch oracles (§2.11) — top3/sliding rotated out of the
+    # window round 3 (pytest + driver_sim cover them)
+    "stream_blacklist", "stream_cumulative_stat",
+    # behavior analytics family
+    "cohort_retention", "event_transitions",
     # scalar + set ops (§2.7/2.8)
     "scalar_functions", "set_ops_users",
     # dedup family
