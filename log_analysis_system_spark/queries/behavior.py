@@ -178,20 +178,11 @@ GROUP BY 1, 2
 HAVING count(*) >= {COOC_MIN_DOCS}
 """,
 )
-def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-level term co-occurrence counts (the raw table behind PMI /
-    association mining): pairs of distinct terms appearing in the same
-    document, kept when they share >= {COOC_MIN_DOCS} documents.
-
-    Scale shape: explode + distinct collapses each document to its distinct
-    term set; the pair expansion self-joins on doc_id, so both sides hash to
-    the same partitioning and the join is a single co-located exchange. The
-    quadratic blowup is PER DOCUMENT (sum of d² over docs, d = distinct
-    terms), not corpus-wide — the standard trade for exact co-occurrence.
-    At 100 TB the HAVING threshold would be pushed into a count-min-style
-    pre-filter on high-DF terms (cf. boilerplate_ngrams' df_cap) before the
-    pair join; semantics here are the exact form the filter approximates.
-    """
+def term_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (term_a < term_b) co-occurring term pairs with their shared
+    document counts, thresholded at COOC_MIN_DOCS — the undirected edge list
+    of the term graph (shared by `term_cooccurrence` and the triangle
+    counter in graph.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     terms = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -211,4 +202,118 @@ def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= COOC_MIN_DOCS)
+    )
+
+
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence counts (the raw table behind PMI /
+    association mining): pairs of distinct terms appearing in the same
+    document, kept when they share >= {COOC_MIN_DOCS} documents.
+
+    Scale shape: explode + distinct collapses each document to its distinct
+    term set; the pair expansion self-joins on doc_id, so both sides hash to
+    the same partitioning and the join is a single co-located exchange. The
+    quadratic blowup is PER DOCUMENT (sum of d² over docs, d = distinct
+    terms), not corpus-wide — the standard trade for exact co-occurrence.
+    At 100 TB the HAVING threshold would be pushed into a count-min-style
+    pre-filter on high-DF terms (cf. boilerplate_ngrams' df_cap) before the
+    pair join; semantics here are the exact form the filter approximates.
+    """
+    return term_pair_edges(spark, sf_dir)
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH base AS (
+    SELECT user_id, count(*) AS frequency,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS monetary_cents,
+           max(ts) AS last_ts
+    FROM events GROUP BY 1
+),
+n AS (SELECT count(*) AS n_users FROM base),
+anchor AS (SELECT max(ts) AS now FROM events),
+feat AS (
+    SELECT user_id, frequency, CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST((epoch_us(now) - epoch_us(last_ts)) // 86400000000 AS BIGINT)
+               AS recency_days
+    FROM base, anchor
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY recency_days, user_id) - 1 AS rr,
+           row_number() OVER (ORDER BY frequency DESC, user_id) - 1 AS fr,
+           row_number() OVER (ORDER BY monetary_cents DESC, user_id) - 1 AS mr
+    FROM feat
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(rr * 5 // n_users + 1 AS BIGINT) AS r_score,
+       CAST(fr * 5 // n_users + 1 AS BIGINT) AS f_score,
+       CAST(mr * 5 // n_users + 1 AS BIGINT) AS m_score
+FROM ranked, n
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, days since last activity, event count,
+    and value sum in cents, each quintile-scored 1 (best: most recent /
+    most frequent / highest spend) to 5.
+
+    Quintiles use floor(rank * 5 / n) + 1 over the distributed
+    ``global_rank`` operator — NOT ``ntile`` over a global window, which
+    funnels all rows into one partition (the exact anti-pattern
+    ``balanced_shards`` was de-bottlenecked from). Three range-partitioned
+    rank passes over the per-user aggregate (already |users|-sized, not
+    |events|-sized) and two user_id equi-joins; the oracle states the same
+    formula with row_number so both engines bucket identically, ties broken
+    by user_id everywhere.
+    """
+    from ..functions.scalar import epoch_us
+    from ..operators.sampling import global_rank
+
+    ev = read_events(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    anchor = ev.agg(F.max("ts").alias("now"))
+    feat = base.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.floor(
+            (epoch_us("now") - epoch_us("last_ts")) / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("recency_days"),
+    )
+    n_users = feat.agg(F.count(F.lit(1)).alias("n_users"))
+    rr = global_rank(
+        feat, [F.asc("recency_days"), F.asc("user_id")], rank_col="rr"
+    ).select("user_id", "rr")
+    fr = global_rank(
+        feat, [F.desc("frequency"), F.asc("user_id")], rank_col="fr"
+    ).select("user_id", "fr")
+    mr = global_rank(
+        feat, [F.desc("monetary_cents"), F.asc("user_id")], rank_col="mr"
+    ).select("user_id", "mr")
+    score = lambda c: (  # noqa: E731
+        F.expr(f"{c} * 5 div n_users") + F.lit(1)
+    ).cast("long")
+    return (
+        feat.join(rr, "user_id")
+        .join(fr, "user_id")
+        .join(mr, "user_id")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            score("rr").alias("r_score"),
+            score("fr").alias("f_score"),
+            score("mr").alias("m_score"),
+        )
     )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
+from .behavior import COOC_MIN_DOCS, term_pair_edges
 
 PR_ITERS = 3
 PR_START = 1_000_000  # micro-units
@@ -85,6 +86,90 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .localCheckpoint()
         )
     return pr
+
+
+_TRI_ORACLE = """
+WITH t AS (
+    SELECT DISTINCT doc_id, u.term
+    FROM documents, unnest(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> ''
+),
+p AS (
+    SELECT a.term AS ta, b.term AS tb
+    FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING count(*) >= {min_docs}
+),
+deg AS (
+    SELECT term, count(*) AS d
+    FROM (SELECT ta AS term FROM p UNION ALL SELECT tb FROM p)
+    GROUP BY 1
+),
+o AS (
+    SELECT CASE WHEN (da.d, p.ta) < (db.d, p.tb) THEN p.ta ELSE p.tb END AS src,
+           CASE WHEN (da.d, p.ta) < (db.d, p.tb) THEN p.tb ELSE p.ta END AS dst
+    FROM p JOIN deg da ON da.term = p.ta JOIN deg db ON db.term = p.tb
+),
+tri AS (
+    SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+    FROM o o1
+    JOIN o o2 ON o2.src = o1.src AND o1.dst < o2.dst
+    JOIN p ON p.ta = least(o1.dst, o2.dst) AND p.tb = greatest(o1.dst, o2.dst)
+)
+SELECT term, count(*) AS n_triangles
+FROM (SELECT a AS term FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY 1
+"""
+
+
+@query("triangle_count_terms", oracle=_TRI_ORACLE.format(min_docs=COOC_MIN_DOCS))
+def q_triangle_count_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the term co-occurrence graph (edges =
+    canonical term pairs sharing >= COOC_MIN_DOCS documents, from
+    behavior.term_pair_edges) — the clustering-coefficient numerator, and
+    the second member of the iterative/graph family beside PageRank.
+
+    Algorithm: degree orientation. Each undirected edge is directed from
+    its lower-(degree, term) endpoint; the resulting DAG gives every
+    triangle exactly one vertex with two out-edges, so one self-join on the
+    source (wedges, the out-neighbor pair ordered by term to count once)
+    plus one closure join against the canonical edge list counts each
+    triangle exactly once. Degree orientation is THE distributed-triangle
+    trick: it bounds every vertex's out-degree by O(sqrt(|E|)), so the
+    wedge join's per-key fan-out — the step that explodes on skewed hub
+    nodes under naive orientation — stays bounded at any scale. Plans as
+    three shuffle joins on term keys; the oracle expresses the identical
+    orientation so both engines count the same triangles.
+    """
+    p = term_pair_edges(spark, sf_dir).select("term_a", "term_b")
+    deg = (
+        p.select(F.col("term_a").alias("term"))
+        .unionAll(p.select(F.col("term_b").alias("term")))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("term").alias("term_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("term").alias("term_b"), F.col("d").alias("db"))
+    keyed = p.join(da, "term_a").join(db, "term_b")
+    a_first = F.struct("da", "term_a") < F.struct("db", "term_b")
+    o = keyed.select(
+        F.when(a_first, F.col("term_a")).otherwise(F.col("term_b")).alias("src"),
+        F.when(a_first, F.col("term_b")).otherwise(F.col("term_a")).alias("dst"),
+    )
+    o1 = o.select(F.col("src"), F.col("dst").alias("b"))
+    o2 = o.select(F.col("src"), F.col("dst").alias("c"))
+    wedges = o1.join(o2, "src").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        p,
+        (F.col("term_a") == F.least("b", "c"))
+        & (F.col("term_b") == F.greatest("b", "c")),
+    ).select("src", "b", "c")
+    corners = (
+        closed.select(F.col("src").alias("term"))
+        .unionAll(closed.select(F.col("b").alias("term")))
+        .unionAll(closed.select(F.col("c").alias("term")))
+    )
+    return corners.groupBy("term").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 @query("pagerank_trade_graph", oracle=_pagerank_oracle())

@@ -111,3 +111,51 @@ def test_term_cooccurrence_pairs_are_ordered(spark):
 def test_mad_fence_constant_is_exact_in_double():
     # Guard: MAD_K must stay a dyadic rational so fence arithmetic is exact.
     assert MAD_K * 2 == int(MAD_K * 2)
+
+
+def test_rfm_scores_partition_users_into_quintiles(spark):
+    """Every score is 1..5 and bucket sizes follow floor(rank*5/n)+1 —
+    within 1 of n/5 per bucket, all users covered exactly once."""
+    rows = QUERIES["rfm_segments"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0 and len({r.user_id for r in rows}) == n
+    for col in ("r_score", "f_score", "m_score"):
+        counts: dict = {}
+        for r in rows:
+            s = r[col]
+            assert 1 <= s <= 5
+            counts[s] = counts.get(s, 0) + 1
+        assert all(abs(c - n / 5) <= 1 for c in counts.values()), (col, counts)
+
+
+def test_rfm_best_scores_align_with_features(spark):
+    """The user with rank-0 frequency holds f_score 1; the least-recent
+    user holds the maximal r_score."""
+    rows = QUERIES["rfm_segments"](spark, SF_DIR).collect()
+    top_freq = max(rows, key=lambda r: (r.frequency, -r.user_id))
+    assert top_freq.f_score == 1
+    stale = max(rows, key=lambda r: (r.recency_days, r.user_id))
+    assert stale.r_score == max(r.r_score for r in rows)
+
+
+def test_triangle_count_on_known_graph(spark):
+    """K4 plus a pendant vertex: docs constructed so the term graph is
+    exactly that shape — K4 has 4 triangles, 3 per K4-vertex, 0 pendant."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    # Edge (x, y) exists iff >= 3 docs contain both terms. Build doc sets:
+    # K4 over a,b,c,d: all 6 pairs appear in 3 shared docs (the three
+    # "abcd" docs). Pendant e attaches to a only via three "a e" docs.
+    docs = [Row(doc_id=i, text="a b c d", lang="en", source="s", n_chars=7)
+            for i in range(3)]
+    docs += [Row(doc_id=10 + i, text="a e", lang="en", source="s", n_chars=3)
+             for i in range(3)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs).write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.term: r.n_triangles
+            for r in QUERIES["triangle_count_terms"](spark, d).collect()
+        }
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
