@@ -38,10 +38,19 @@ def stratified_sample_exact(
     """
     counts = df.groupBy(*stratum_cols).agg(F.count(F.lit(1)).alias("stratum_n"))
     quotas = counts.withColumn("stratum_quota", quota.cast("long"))
-    w = Window.partitionBy(*stratum_cols).orderBy(
-        F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col)
+    # Slice-bounded rank (grouped_prefix_sum of 1s == row_number over the
+    # same order): a bare-stratum window would funnel each stratum into one
+    # task — a straggler once any stratum outgrows a partition. The md5
+    # key's leading byte is the deterministic slice id (fast path).
+    md5_key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    ranked = grouped_prefix_sum(
+        df,
+        stratum_cols,
+        [F.asc(md5_key), F.asc(id_col)],
+        F.lit(1).cast("long"),
+        out_col=rank_col,
+        slice_col=F.conv(F.substring(md5_key, 1, 1), 16, 10),
     )
-    ranked = df.withColumn(rank_col, F.row_number().over(w))
     return (
         ranked.join(F.broadcast(quotas), stratum_cols)
         .where(F.col(rank_col) <= F.col("stratum_quota"))
@@ -102,4 +111,90 @@ def global_rank(
         arranged.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, F.col("__offset") + F.col("__local"))
         .drop("__mid", "__pid", "__local", "__offset")
+    )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    value_col: Column,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+    slice_col: Column | None = None,
+) -> DataFrame:
+    """Per-group inclusive running sum of ``value_col`` by ``order_cols`` —
+    the scale-safe replacement for ``sum(v) OVER (PARTITION BY grp ORDER BY
+    ...)`` when groups are few and huge (languages, tenants, event types):
+    the naive window makes each group ONE task, so five languages at 100 TB
+    become five straggler tasks no matter how many executors exist.
+
+    Plan: range-partition on (group, order) so every partition holds a
+    contiguous slice of one-or-more groups' order ranges, compute each
+    row's running sum WITHIN its (range-partition, group) slice — that
+    window's key includes the synthetic partition id, so its tasks are
+    bounded by partition size, never group size — then lift slice-local
+    sums to global ones by adding each group's preceding-slice totals,
+    computed on the O(num_partitions x groups) totals table and broadcast
+    back. Two data-sized exchanges at any scale, neither keyed by the bare
+    group.
+
+    ``order_cols`` must totally order rows within each group (add a unique
+    tiebreaker), or boundary ties make slice membership — and the running
+    sum — partition-placement-dependent.
+
+    ``slice_col`` fast path: when the caller can derive a DETERMINISTIC
+    slice id that is monotone non-decreasing in the group's order (e.g. the
+    leading hex byte of an md5 sort key, or a min/max-scaled dense id),
+    pass it — the range exchange, the nondeterministic partition id, and
+    the checkpoint all disappear, leaving ONE hash exchange on
+    (slice, group) plus the broadcast lift. Slice balance then rests on the
+    caller's key distribution (md5 prefixes are uniform by construction).
+    """
+    if slice_col is not None:
+        arranged = df.withColumn("__pid", slice_col.cast("long"))
+        checkpoint = False  # every expression is deterministic — recompute-safe
+    else:
+        n = num_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        gcols = [F.col(g) for g in group_cols]
+        arranged = df.repartitionByRange(n, *gcols, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Pin ONE materialization of the range exchange: __pid is
+    # nondeterministic (partition-placement-derived), and the totals branch
+    # and the final join would otherwise recompute it independently —
+    # same reason global_rank checkpoints its arranged frame. `checkpoint`
+    # exists only so plan-shape tests can inspect the full un-truncated
+    # plan; production callers must leave it True.
+    loc = arranged.withColumn("__v", value_col).withColumn(
+        "__loc", F.sum("__v").over(w_local)
+    )
+    if checkpoint:
+        loc = loc.localCheckpoint(eager=False)
+    totals = loc.groupBy("__pid", *group_cols).agg(F.sum("__v").alias("__tot"))
+    # Exclusive prefix over each group's slice totals. This table is
+    # O(slices x groups) — the window partitions on the bare group, but its
+    # per-group input is the O(slices) totals vector, never data rows, so
+    # it is bounded at any scale (a slice x slice self-join here would be
+    # quadratic in slices PER GROUP and dominates once groups are many).
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).drop("__tot")
+    return (
+        loc.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(out_col, F.col("__loc") + F.col("__off"))
+        .drop("__pid", "__v", "__loc", "__off")
     )

@@ -282,10 +282,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_h"), F.floor(F.col("n_h") * 100.0 / F.col("n_d")).cast("long")
         ).alias("quota"),
     )
-    w = Window.partitionBy("date_key", "hour_key").orderBy(
-        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    # Rank inside each stratum WITHOUT a bare-stratum window: one busy hour
+    # at 100 TB would otherwise become a single straggler task. The
+    # grouped_prefix_sum of 1s over the same (md5, id) order is the
+    # identical row_number, computed in slice-bounded tasks; the slice id
+    # is the md5 key's leading hex byte — deterministic, monotone in the
+    # order, uniform by construction — so the whole rank costs ONE hash
+    # exchange and needs no checkpoint.
+    from ..operators.sampling import grouped_prefix_sum
+
+    md5_key = F.md5(F.col("event_id").cast("string"))
+    ranked = grouped_prefix_sum(
+        keyed,
+        ["date_key", "hour_key"],
+        [F.asc(md5_key), F.asc("event_id")],
+        F.lit(1).cast("long"),
+        out_col="rnk",
+        slice_col=F.conv(F.substring(md5_key, 1, 1), 16, 10),
     )
-    ranked = keyed.withColumn("rnk", F.row_number().over(w))
     return (
         ranked.join(F.broadcast(quotas), ["date_key", "hour_key"])
         .where(F.col("rnk") <= F.col("quota"))

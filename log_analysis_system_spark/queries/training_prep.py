@@ -30,9 +30,10 @@ All six are zero-UDF column expressions — whole-stage codegen end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sampling import grouped_prefix_sum
 from . import query
 
 # ------------------------------------------------------------- shared bits
@@ -146,21 +147,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     document belongs to the shard where its first token lands (the standard
     drop-nothing packing used before tokenizer sharding).
 
-    Scale shape: ONE window partitioned by ``lang`` — the running sum never
-    crosses language streams, so there is no global sort; within a stream
-    the cumulative sum is the textbook prefix-scan window. At 100 TB the
-    stream key would be (lang, shard-range) from the layout, keeping every
-    partition bounded; the operator itself is unchanged.
+    Scale shape: ``grouped_prefix_sum`` — a window partitioned by the bare
+    ``lang`` would make each language ONE task (five languages = five
+    stragglers at 100 TB), so the running sum is computed per
+    (range-partition, lang) slice and lifted to the stream-global value by
+    a broadcast offset join over the O(parallelism x langs) totals table.
+    Task size is bounded by partition size, never language size, and the
+    result is placement-independent (CPUS-sweep checked).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     toks = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).cast("long")
-    return toks.select(
+    cum = grouped_prefix_sum(
+        toks, ["lang"], [F.asc("doc_id")], F.col("n_tokens"), out_col="__cum"
+    )
+    start = (F.col("__cum") - F.col("n_tokens")).cast("long")
+    return cum.select(
         "doc_id",
         "lang",
         "n_tokens",
@@ -291,22 +293,37 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality proxy (token count), ties broken by doc_id so the ntile is a
     total order and both engines agree exactly.
 
-    Scale shape: one window partitioned by lang. For 100 TB curricula the
-    proxy column comes from the quality_score pass and the partition key
-    gains a shard component; ntile's distribution math is unchanged.
+    Scale shape: ``grouped_prefix_sum`` of 1s gives each doc its 1-based
+    rank within its language WITHOUT a bare-lang window (which would make
+    each language a single straggler task at 100 TB); ntile's exact bucket
+    arithmetic — the first n mod 10 deciles get one extra row — is then a
+    row-local formula over (rank, per-lang count), with the tiny per-lang
+    count table broadcast. Output is bit-identical to the window ntile the
+    oracle states.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_tokens = F.size(F.split("text", " ")).cast("long")
-    w = Window.partitionBy("lang").orderBy(
-        F.desc("n_tokens"), F.col("doc_id")
+    feat = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    ranked = grouped_prefix_sum(
+        feat,
+        ["lang"],
+        [F.desc("n_tokens"), F.asc("doc_id")],
+        F.lit(1).cast("long"),
+        out_col="__r1",
     )
-    return (
-        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .select(
-            "doc_id",
-            "lang",
-            F.ntile(10).over(w).cast("long").alias("decile"),
-        )
+    counts = feat.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    r0 = F.col("__r1") - 1
+    n, k = F.col("__n"), F.lit(10)
+    big, small = n % k, F.floor(n / k).cast("long")
+    # ntile(k): the first (n mod k) buckets hold ceil(n/k) rows each.
+    decile = (
+        F.when(r0 < big * (small + 1), F.floor(r0 / (small + 1)))
+        .otherwise(big + F.floor((r0 - big * (small + 1)) / F.greatest(small, F.lit(1))))
+        .cast("long")
+        + 1
+    )
+    return ranked.join(F.broadcast(counts), "lang").select(
+        "doc_id", "lang", decile.alias("decile")
     )
 
 

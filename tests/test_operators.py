@@ -417,3 +417,33 @@ def test_ivf_index_build_and_serve(spark, tmp_path):
     assert any(
         d.startswith("cell_id=") for d in os.listdir(f"{idx}/assignments")
     )
+
+
+def test_grouped_prefix_sum_matches_window_at_any_parallelism(spark):
+    """grouped_prefix_sum must equal the naive per-group window running sum
+    for every num_partitions — the offsets compose identically no matter
+    where the range boundaries land."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as SF
+
+    from log_analysis_system_spark.operators.sampling import grouped_prefix_sum
+
+    rows = [
+        Row(grp=f"g{i % 3}", k=i, v=(i * 7) % 11 - 3) for i in range(101)
+    ]
+    df = spark.createDataFrame(rows)
+    w = Window.partitionBy("grp").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        (r.grp, r.k): r.c
+        for r in df.withColumn("c", SF.sum("v").over(w)).collect()
+    }
+    for n in (1, 3, 7, 32):
+        got = {
+            (r.grp, r.k): r.c
+            for r in grouped_prefix_sum(
+                df, ["grp"], [SF.asc("k")], SF.col("v"), "c", num_partitions=n
+            ).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={n}"

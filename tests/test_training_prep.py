@@ -136,17 +136,53 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pack_sequences_single_lang_exchange(spark):
-    """One lang-partitioned exchange feeds the prefix-sum window — no
-    global sort, no single-partition funnel."""
+def _assert_windows_are_slice_bounded(plan: str) -> None:
+    """Every window spec must key on the synthetic range-slice id (__pid),
+    never the bare lang — a bare-group window makes each language ONE task
+    regardless of cluster size."""
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        keys = frag.split("specifiedwindowframe")[0]
+        assert "__pid" in keys, f"window not slice-bounded: {keys[:120]}"
+
+
+def test_pack_sequences_slice_bounded_scan(spark):
+    """No single-partition funnel and every visible window keys on the
+    range-slice id. (The checkpoint truncates the executed plan, so the
+    full grouped_prefix_sum shape is gated below on the un-checkpointed
+    operator plan.)"""
     plan = plan_of(spark, "pack_sequences")
     assert "SinglePartition" not in plan
-    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    _assert_windows_are_slice_bounded(plan)
 
 
-def test_quality_deciles_no_single_partition(spark):
+def test_quality_deciles_slice_bounded(spark):
     plan = plan_of(spark, "quality_deciles")
     assert "SinglePartition" not in plan
+    _assert_windows_are_slice_bounded(plan)
+
+
+def test_grouped_prefix_sum_plan_shape(spark):
+    """The operator's full (un-checkpointed) plan: one range exchange, the
+    running-sum window keyed on (__pid, group) — never the bare group —
+    and the offset lift joined back as a broadcast."""
+    from pyspark.sql import functions as SF
+
+    from log_analysis_system_spark.operators.sampling import grouped_prefix_sum
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        "doc_id", "lang", SF.size(SF.split("text", " ")).cast("long").alias("n")
+    )
+    out = grouped_prefix_sum(
+        toks, ["lang"], [SF.asc("doc_id")], SF.col("n"), "cum",
+        checkpoint=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower().replace(" ", "")
+    _assert_windows_are_slice_bounded(plan)
+    assert "windowspecdefinition" in plan  # the window IS present to check
+    assert "BroadcastHashJoin" in plan
 
 
 def test_boilerplate_two_hash_aggs(spark):
