@@ -107,6 +107,132 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_path_topk",
+    oracle="""
+WITH s AS (
+    SELECT event_type,
+           lead(event_type, 1) OVER w AS t2,
+           lead(event_type, 2) OVER w AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS step1, t2 AS step2, t3 AS step3, count(*) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step1, step2, step3
+LIMIT 10
+""",
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common length-3 event-type paths across user streams —
+    the discovery view for funnels: the reference's conversion chain
+    (`PageOneStepConvertRateSpark.java`) evaluates ONE configured path,
+    this surfaces which paths are worth configuring.
+
+    Scale shape: one user-partitioned sort window serves both leads, the
+    path aggregate's key space is |event_types|³ (tiny), and the final
+    top-10 compiles to TakeOrderedAndProject (a per-partition heap + merge,
+    never a global sort). Fully ordered tiebreak makes the LIMIT
+    deterministic on both engines.
+    """
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        s.where(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+hist AS (SELECT c, count(*) AS k FROM per_key GROUP BY 1),
+cum AS (
+    SELECT c, sum(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS ck
+    FROM hist
+),
+tot AS (
+    SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+           max(c) AS max_c
+    FROM per_key
+)
+SELECT n_keys, n_rows, max_c AS max_rows_per_key,
+       CAST(n_rows // n_keys AS BIGINT) AS avg_rows_per_key,
+       (SELECT min(c) FROM cum, tot WHERE ck >= (n_keys + 1) // 2)
+           AS p50_rows_per_key,
+       (SELECT min(c) FROM cum, tot WHERE ck * 100 >= 99 * n_keys)
+           AS p99_rows_per_key,
+       CAST(max_c * 1000000 // n_rows AS BIGINT) AS top_key_share_ppm
+FROM tot
+""",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics for shuffle planning: row counts per
+    user_id summarized as exact max / average / median / p99 and the
+    hottest key's traffic share (ppm) — the numbers that decide whether a
+    join on this key needs salting or AQE skew handling.
+
+    Scale shape: percentiles come from the counts-of-counts histogram —
+    per-key counts (one hash agg) collapse to |distinct count values| rows,
+    so the exact p50/p99 need NO data-sized sort and no percentile buffer
+    over |keys| values (Spark's exact `percentile` buffers every value per
+    group; this stays O(histogram)). The cumulative window runs on that
+    histogram table only; every output is integer arithmetic, bit-equal on
+    both engines.
+    """
+    ev = read_events(spark, sf_dir).select("user_id")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = per_key.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    # Histogram is O(distinct per-key counts) — tiny by construction — so a
+    # single-partition cumulative window here is bounded; lit(0) partition
+    # key keeps the global-sort warning reserved for data-sized frames.
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("c", F.sum("k").over(w).alias("ck"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    cum_t = cum.crossJoin(F.broadcast(tot))
+    p50 = (
+        cum_t.where(F.col("ck") >= F.expr("(n_keys + 1) div 2"))
+        .agg(F.min("c").alias("p50_rows_per_key"))
+    )
+    p99 = (
+        cum_t.where(F.col("ck") * 100 >= F.col("n_keys") * 99)
+        .agg(F.min("c").alias("p99_rows_per_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.col("max_c").alias("max_rows_per_key"),
+            F.expr("n_rows div n_keys").alias("avg_rows_per_key"),
+            "p50_rows_per_key",
+            "p99_rows_per_key",
+            F.expr("max_c * 1000000 div n_rows").alias("top_key_share_ppm"),
+        )
+    )
+
+
+@query(
     "robust_outlier_events",
     oracle=f"""
 WITH cents AS (

@@ -113,6 +113,37 @@ def test_mad_fence_constant_is_exact_in_double():
     assert MAD_K * 2 == int(MAD_K * 2)
 
 
+def test_session_path_topk_is_heap_not_sort(spark):
+    plan = plan_of(spark, "session_path_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_profile_on_known_distribution(spark):
+    """3 keys with 1, 4, and 5 rows: max=5, avg=3, p50=4, p99=5,
+    top share = 5e6/10."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import Row
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, cnt in ((1, 1), (2, 4), (3, 5)):
+        for _ in range(cnt):
+            rows.append(
+                Row(event_id=eid, ts=base + datetime.timedelta(minutes=eid),
+                    user_id=uid, event_type="t", value=1.0, props="{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["key_skew_profile"](spark, d).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_rows_per_key) == (3, 10, 5)
+    assert (r.avg_rows_per_key, r.p50_rows_per_key, r.p99_rows_per_key) == (3, 4, 5)
+    assert r.top_key_share_ppm == 500_000
+
+
 def test_rfm_scores_partition_users_into_quintiles(spark):
     """Every score is 1..5 and bucket sizes follow floor(rank*5/n)+1 —
     within 1 of n/5 per bucket, all users covered exactly once."""
