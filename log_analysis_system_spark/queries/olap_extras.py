@@ -115,6 +115,58 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_rollup_users",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_tol
+FROM events GROUP BY event_type
+""",
+)
+def q_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch serving: per-(event_type, day) Apache DataSketches
+    HLL sketches (``hll_sketch_agg``) unioned across days
+    (``hll_union_agg``) into a whole-window distinct estimate — the
+    incremental-rollup pattern ``hypertable_rollup`` applies to sums,
+    extended to the non-additive distinct-count aggregate. At 100 TB the
+    daily sketch table is the persisted rollup (O(days x types x 4 KiB));
+    serving any date range is a union over already-built sketches, never a
+    rescan of raw data.
+
+    Like approx_distinct_users, the sketch estimate itself is not
+    engine-comparable, so the query emits a tolerance VERDICT: the merged
+    estimate must land within 10% of the exact distinct count (default
+    lgConfigK=12 gives ~1.6% RSE; 10% is >5 sigma, catching only broken
+    merges). The exact twin column pins correctness of everything else.
+    """
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("date_key"),
+    )
+    daily = ev.groupBy("event_type", "date_key").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("merged_within_tol"),
+    )
+
+
+@query(
     "approx_distinct_users",
     oracle="""
 SELECT event_type,
