@@ -290,6 +290,100 @@ def q_robust_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # step-1 anchored conversion window
+
+
+@query(
+    "timed_funnel",
+    oracle=f"""
+WITH v AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2, max(v.t1) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > v.t1
+      AND epoch_us(e.ts) <= v.t1 + {FUNNEL_WINDOW_US}
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > c.t2
+      AND epoch_us(e.ts) <= c.t1 + {FUNNEL_WINDOW_US}
+    GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_step1,
+       (SELECT count(*) FROM c) AS n_step2,
+       (SELECT count(*) FROM p) AS n_step3,
+       CAST((SELECT count(*) FROM c) * 1000000
+            // (SELECT count(*) FROM v) AS BIGINT) AS conv12_ppm,
+       CAST((SELECT count(*) FROM p) * 1000000
+            // (SELECT count(*) FROM v) AS BIGINT) AS conv13_ppm
+""",
+)
+def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: users whose first view is followed by a click
+    and then a purchase, in order, all within {WINDOW} of the first view —
+    the conversion-window semantics the reference's page funnel
+    (`PageOneStepConvertRateSpark.java`) lacks (it checks adjacency only).
+
+    Scale shape: each step is a predicate-pushed scan of ONE event type
+    (the parquet filter prunes the other types at the source) followed by
+    an equi-join on user_id against the ever-shrinking qualifier set —
+    funnels narrow, so each join's build side is smaller than the last and
+    AQE broadcasts the later stages. Timestamps are integer microseconds;
+    conversion rates are ppm floor divisions — bit-equal on both engines.
+    """
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", epoch_us("ts").alias("t")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"), F.max("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("t") > F.col("t2"))
+            & (F.col("t") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n_step1"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_step2"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.expr("n_step2 * 1000000 div n_step1").alias("conv12_ppm"),
+            F.expr("n_step3 * 1000000 div n_step1").alias("conv13_ppm"),
+        )
+    )
+
+
 @query(
     "term_cooccurrence",
     oracle=f"""

@@ -144,6 +144,34 @@ def test_key_skew_profile_on_known_distribution(spark):
     assert r.top_key_share_ppm == 500_000
 
 
+def test_timed_funnel_on_constructed_journeys(spark):
+    """u1 converts fully in-window; u2 clicks only; u3's purchase lands
+    outside the 24 h window; u4 clicks BEFORE viewing (wrong order)."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def e(eid, uid, typ, minutes):
+        return Row(event_id=eid, ts=t0 + datetime.timedelta(minutes=minutes),
+                   user_id=uid, event_type=typ, value=1.0, props="{}")
+
+    rows = [
+        e(1, 1, "view", 0), e(2, 1, "click", 10), e(3, 1, "purchase", 20),
+        e(4, 2, "view", 0), e(5, 2, "click", 30),
+        e(6, 3, "view", 0), e(7, 3, "click", 30), e(8, 3, "purchase", 25 * 60),
+        e(9, 4, "click", 0), e(10, 4, "view", 10), e(11, 4, "purchase", 20),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        r = QUERIES["timed_funnel"](spark, d).collect()[0]
+    # u4's view at minute 10 precedes no click, so step2 excludes it.
+    assert (r.n_step1, r.n_step2, r.n_step3) == (4, 3, 1)
+    assert r.conv12_ppm == 750_000 and r.conv13_ppm == 250_000
+
+
 def test_rfm_scores_partition_users_into_quintiles(spark):
     """Every score is 1..5 and bucket sizes follow floor(rank*5/n)+1 —
     within 1 of n/5 per bucket, all users covered exactly once."""
