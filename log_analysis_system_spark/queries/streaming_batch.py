@@ -200,6 +200,48 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "imp_ts", "click_ts")
 
 
+@query(
+    "stream_attribution_unmatched",
+    oracle=f"""
+WITH imp AS (
+    SELECT user_id, ts AS imp_ts FROM events WHERE event_type = 'view'
+),
+clk AS (
+    SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+)
+SELECT i.user_id, i.imp_ts
+FROM imp i LEFT JOIN clk c
+  ON c.user_id = i.user_id
+ AND c.click_ts >= i.imp_ts
+ AND c.click_ts <= i.imp_ts + INTERVAL {ATTRIBUTION_HORIZON_S} SECONDS
+WHERE c.click_ts IS NULL
+""",
+)
+def q_stream_attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT-OUTER attribution join: impressions no click
+    ever followed within the horizon — the unattributed-impression feed.
+    Calls the streaming module's own builder with ``how="leftOuter"``, so
+    the oracle checks the same join logic whose streaming form emits these
+    rows on watermark expiry (state-store timeout emission, gated in
+    tests/test_streaming_attribution.py)."""
+    from ..streaming.attribution import attribute_clicks
+
+    ev = read_events(spark, sf_dir)
+    imp = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.lit(0).alias("ad_id"), "ts"
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.lit(0).alias("ad_id"), "ts"
+    )
+    return (
+        attribute_clicks(
+            imp, clk, horizon=f"{ATTRIBUTION_HORIZON_S} seconds", how="leftOuter"
+        )
+        .where(F.col("click_ts").isNull())
+        .select("user_id", "imp_ts")
+    )
+
+
 CORPUS_MIN_QUALITY = 0.3
 _CORPUS_STOPS = "['the', 'a', 'of', 'and', 'in']"
 

@@ -24,12 +24,22 @@ def attribute_clicks(
     clicks: DataFrame,
     horizon: str = "2 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join click events to the impression they follow within ``horizon``
-    on (user_id, ad_id). Inner interval join; both sides watermarked so
-    Spark can prove when buffered impressions/clicks are no longer joinable
-    and evict them (unbounded state otherwise — the planner rejects the
-    join without both watermark and time bound)."""
+    on (user_id, ad_id). Interval join; both sides watermarked so Spark can
+    prove when buffered impressions/clicks are no longer joinable and evict
+    them (unbounded state otherwise — the planner rejects the join without
+    both watermark and time bound).
+
+    ``how="leftOuter"`` additionally emits each UNMATCHED impression once —
+    with null click columns — as soon as the watermark proves no click can
+    still arrive for it (imp_ts + horizon < watermark). That is the
+    unattributed-impression feed every ads pipeline reports on, and it
+    exercises the state store's timeout-driven null emission rather than
+    match-driven output."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type for attribution: {how!r}")
     imp = impressions.withWatermark("ts", watermark).select(
         F.col("user_id").alias("i_user"),
         F.col("ad_id").alias("i_ad"),
@@ -45,4 +55,10 @@ def attribute_clicks(
             f"AND click_ts >= imp_ts "
             f"AND click_ts <= imp_ts + interval {horizon}"
         ),
-    ).select("user_id", "ad_id", "imp_ts", "click_ts")
+        how,
+    ).select(
+        F.coalesce("user_id", "i_user").alias("user_id"),
+        F.coalesce("ad_id", "i_ad").alias("ad_id"),
+        "imp_ts",
+        "click_ts",
+    )
