@@ -973,3 +973,49 @@ def search_ivf_index(
         top_k,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# ------------------------------------------- embedding near-dup clustering
+
+
+def _embedding_components_oracle() -> str:
+    """Recursive-CTE transitive closure over the embedding near-dup pairs —
+    the same composition dedup_components applies to the MinHash graph."""
+    from . import ORACLES
+
+    pairs_sql = ORACLES["embedding_near_dup"].strip().rstrip(";")
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT vec_a, vec_b FROM ({pairs_sql})),
+edges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM pairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+walk(doc_id, reach) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT doc_id AS vec_id, min(reach) AS component_id FROM walk GROUP BY doc_id
+"""
+
+
+@query("embedding_dup_clusters", oracle=_embedding_components_oracle())
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: connected components over the sign-LSH
+    candidate pair graph — turns the pairwise cosine near-dups into
+    keep/drop groups (canonical vector = min vec_id per component), the
+    same pairs->clusters composition `dedup_components` applies to the
+    MinHash graph. Iterative min-label propagation (2 shuffles/round,
+    checkpointed lineage, raises on non-convergence) vs a recursive-CTE
+    oracle."""
+    from .dedup import connected_components
+
+    pairs = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
