@@ -131,4 +131,5 @@ def load_all() -> None:
         graph,
         training_prep,
         behavior,
+        data_quality,
     )

@@ -1,0 +1,140 @@
+"""Data-quality operators: column profiling and constraint validation — the
+guardrail pass a production pipeline runs before analytics consume a load.
+The reference trusts its inputs (its ETL loads Hive tables unchecked); a
+100 TB ingest cannot, so the engine carries the checks as first-class,
+oracle-verified queries.
+
+All outputs are integer counts — bit-equal across engines by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag")
+
+
+@query(
+    "dq_profile_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the fact table: row count, null count, and exact
+    distinct cardinality per profiled column — the statistics that drive
+    both DQ alerting (null spikes) and physical design (a distinct count
+    decides dictionary encoding, broadcast eligibility, and join-key
+    sanity).
+
+    Scale shape: one aggregate with N countDistincts compiles to a single
+    Expand + two-phase hash aggregate over the pruned 4-column scan — one
+    pass over the data regardless of how many columns are profiled (the
+    row multiplication is x|cols|, map-side combined before any exchange).
+    The per-column rows are unpivoted from that single result row, so no
+    per-column rescans exist.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*_PROFILE_COLS)
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"cnt_{c}") for c in _PROFILE_COLS],
+        *[F.countDistinct(c).alias(f"dst_{c}") for c in _PROFILE_COLS],
+    )
+    stack = ", ".join(
+        f"'{c}', cnt_{c}, dst_{c}" for c in _PROFILE_COLS
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (col_name, cnt, dst)",
+    ).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("cnt")).alias("n_nulls"),
+        F.col("dst").alias("n_distinct"),
+    )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+SELECT 'orphan_orders' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'nonpositive_quantity',
+       (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+UNION ALL
+SELECT 'ship_before_order',
+       (SELECT count(*) FROM lineitem l JOIN orders o
+        ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate < o.o_orderdate)
+UNION ALL
+SELECT 'null_user_events',
+       (SELECT count(*) FROM events WHERE user_id IS NULL)
+UNION ALL
+SELECT 'duplicate_orderkey',
+       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        (SELECT count(*) AS c FROM orders GROUP BY o_orderkey))
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation over the load: referential integrity (orders
+    without a customer), domain rules (non-positive quantities, shipments
+    dated before their order), required fields, and primary-key
+    uniqueness. Each row is (check_name, n_violations); a clean load is
+    all-zeros — and zero rows must still be COUNTED, so every check runs
+    even when it passes.
+
+    Scale shape: the FK check is a left-anti join (shuffles only the key
+    column); ship-before-order is the fact-fact equi-join the engine
+    already co-locates on orderkey; PK uniqueness is one hash aggregate.
+    Checks are unioned as independent single-row aggregates, so Spark
+    schedules them as parallel jobs over pruned scans.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    orphan = one(
+        "orphan_orders",
+        orders.join(
+            cust, orders.o_custkey == cust.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    nonpos = one(
+        "nonpositive_quantity",
+        li.where(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("n")),
+    )
+    ship = one(
+        "ship_before_order",
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    nullu = one(
+        "null_user_events",
+        ev.where(F.col("user_id").isNull()).agg(F.count(F.lit(1)).alias("n")),
+    )
+    dup = one(
+        "duplicate_orderkey",
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n")),
+    )
+    return orphan.unionByName(nonpos).unionByName(ship).unionByName(nullu).unionByName(dup)
