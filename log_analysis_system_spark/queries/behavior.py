@@ -319,10 +319,14 @@ p AS (
 SELECT (SELECT count(*) FROM v) AS n_step1,
        (SELECT count(*) FROM c) AS n_step2,
        (SELECT count(*) FROM p) AS n_step3,
-       CAST((SELECT count(*) FROM c) * 1000000
-            // (SELECT count(*) FROM v) AS BIGINT) AS conv12_ppm,
-       CAST((SELECT count(*) FROM p) * 1000000
-            // (SELECT count(*) FROM v) AS BIGINT) AS conv13_ppm
+       CAST(CASE WHEN (SELECT count(*) FROM v) > 0
+                 THEN (SELECT count(*) FROM c) * 1000000
+                      // (SELECT count(*) FROM v)
+                 ELSE 0 END AS BIGINT) AS conv12_ppm,
+       CAST(CASE WHEN (SELECT count(*) FROM v) > 0
+                 THEN (SELECT count(*) FROM p) * 1000000
+                      // (SELECT count(*) FROM v)
+                 ELSE 0 END AS BIGINT) AS conv13_ppm
 """,
 )
 def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,8 +382,14 @@ def q_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_step1",
             "n_step2",
             "n_step3",
-            F.expr("n_step2 * 1000000 div n_step1").alias("conv12_ppm"),
-            F.expr("n_step3 * 1000000 div n_step1").alias("conv13_ppm"),
+            F.expr(
+                "CASE WHEN n_step1 > 0 THEN n_step2 * 1000000 div n_step1 "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("conv12_ppm"),
+            F.expr(
+                "CASE WHEN n_step1 > 0 THEN n_step3 * 1000000 div n_step1 "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("conv13_ppm"),
         )
     )
 

@@ -1,0 +1,48 @@
+"""Empty-corpus robustness: every behavior/DQ/graph/training query must
+return a well-formed (possibly 0-row) DataFrame on 0-row inputs, never
+raise — the round-2 advisory found exactly this failure mode in the
+embedding near-dup block walker."""
+
+from __future__ import annotations
+
+import pytest
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+EMPTY_SAFE_QUERIES = [
+    "cohort_retention",
+    "event_transitions",
+    "robust_outlier_events",
+    "term_cooccurrence",
+    "rfm_segments",
+    "session_path_topk",
+    "key_skew_profile",
+    "timed_funnel",
+    "triangle_count_terms",
+    "pack_sequences",
+    "quality_deciles",
+    "source_mixture_weights",
+    "dq_checks",
+    "dq_profile_lineitem",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in ("events", "documents", "lineitem", "orders", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0).write.parquet(
+            f"{d}/{t}.parquet"
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMPTY_SAFE_QUERIES)
+def test_query_survives_empty_input(spark, empty_dir, name):
+    df = QUERIES[name](spark, empty_dir)
+    rows = df.collect()  # must not raise
+    assert rows is not None
+    assert df.columns  # schema survives
