@@ -128,3 +128,45 @@ def read_jdbc(
             .option("upperBound", str(upper_bound))
         )
     return reader.load()
+
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Write a table in any interchange format the engine serves
+    (S1/S13 generalized): columnar parquet/ORC for analytics, JSON-lines /
+    CSV for interchange with line-oriented tooling. CSV keeps headers and
+    explicit timestamp formatting so a round-trip is lossless for the flat
+    schemas the catalog carries."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt in ("json", "csv"):
+        # Text formats default to millisecond timestamp rendering; micros
+        # keep the round-trip lossless vs the parquet TIMESTAMP(NTZ).
+        w = w.option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | None = None
+) -> DataFrame:
+    """Read a table written by ``write_table``. Schemaless columnar formats
+    (parquet/ORC) self-describe; JSON/CSV take the explicit schema — no
+    inference in production paths (inference is a full extra pass at
+    100 TB and can mistype empty partitions)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} reads require an explicit schema")
+        reader = reader.schema(schema).option(
+            "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        )
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
