@@ -373,3 +373,51 @@ def test_swap_in_crash_windows_recoverable(spark, stream_env):
     shutil.copytree(part, part + ".tmp-deadbeef")
     pipe.user_counts(spark)
     assert not os.path.isdir(part + ".tmp-deadbeef")
+
+
+def test_available_now_drains_and_terminates(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, then STOP — the
+    incremental-batch mode (cron-driven catch-up runs) that replaces
+    processingTime triggers when the pipeline is scheduled, not resident.
+    The query must terminate on its own and the counts must cover every
+    input row."""
+    from pyspark.sql import functions as SF
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt_an")
+    _write_chunk(
+        in_dir,
+        "batch1.txt",
+        [_record(i, "Jiangsu", "Nanjing", 1, 9) for i in range(4)]
+        + [_record(i, "Zhejiang", "Hangzhou", 2, 5) for i in range(3)],
+    )
+    counts = (
+        build_file_stream(spark, in_dir)
+        .groupBy("province")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("an_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-terminate"
+    got = {r.province: r.n for r in spark.sql("SELECT * FROM an_sink").collect()}
+    assert got == {"Jiangsu": 4, "Zhejiang": 3}
+
+    # A second availableNow run resumes from the checkpoint: only NEW files
+    # are processed, and prior state is still reflected in complete mode.
+    _write_chunk(in_dir, "batch2.txt", [_record(50, "Jiangsu", "Nanjing", 3, 9)])
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("an_sink2")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    got2 = {r.province: r.n for r in spark.sql("SELECT * FROM an_sink2").collect()}
+    assert got2 == {"Jiangsu": 5, "Zhejiang": 3}
