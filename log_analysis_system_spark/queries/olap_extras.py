@@ -6,7 +6,7 @@ sketches, so the raw estimate itself is not comparable)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import epoch_us
@@ -384,6 +384,54 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(v, 0.90)"), 4).alias("p90"),
         F.round(F.expr("percentile(v, 0.99)"), 4).alias("p99"),
         F.max("v").alias("vmax"),
+    )
+
+
+@query(
+    "rolling_range_frame",
+    oracle="""
+WITH base AS (
+    SELECT event_id, user_id, epoch_us(ts) // 1000000 AS t_s,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_id, user_id, t_s,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY t_s
+                             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_cents,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY t_s
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_1h_events
+FROM base
+""",
+)
+def q_rolling_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frames: per user, the trailing one-hour sum and
+    count at every event — the rolling-metric shape (rate limiting, spend
+    caps, burst detection) that ROWS frames cannot express because the
+    frame is defined by the ORDER-BY VALUE distance, not a row count.
+    Timestamp ties are handled by RANGE peer semantics identically on both
+    engines (all peers join the frame), so no tiebreak column is needed —
+    or allowed, since RANGE requires a single numeric ordering key.
+    Integer epoch-seconds and cents keep every sum exact."""
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        (epoch_us("ts") / F.lit(1_000_000)).cast("long").alias("t_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "t_s",
+        F.sum("cents").over(w).alias("trailing_1h_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
     )
 
 
