@@ -138,3 +138,19 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n")),
     )
     return orphan.unionByName(nonpos).unionByName(ship).unionByName(nullu).unionByName(dup)
+
+
+def with_audit(df: DataFrame, name: str, metrics: dict[str, F.Column]):
+    """Attach zero-cost audit counters to a DataFrame: the metrics are
+    computed by ``Observation`` inside the SAME action that materializes
+    ``df`` — no second scan, no cached intermediate. This is how a 100 TB
+    pipeline stage reports rows-in/rows-dropped/null-rate without paying
+    for a separate DQ pass.
+
+    Returns (observed_df, observation); read ``observation.get`` AFTER an
+    action has run on the returned frame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs

@@ -97,3 +97,26 @@ def test_dq_profile_values(spark):
         assert n_rows == n
         assert n_nulls == li.where(F.col(c).isNull()).count()
         assert n_distinct == li.select(c).distinct().count()
+
+
+def test_with_audit_counts_in_single_action(spark):
+    """Observation metrics arrive from the SAME action as the result —
+    rows seen, nulls, and value sum captured with no extra scan."""
+    from log_analysis_system_spark.queries.data_quality import with_audit
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    audited, obs = with_audit(
+        ev,
+        "ingest_audit",
+        {
+            "rows_in": F.count(F.lit(1)),
+            "null_users": F.count(F.lit(1)) - F.count("user_id"),
+            "value_cents": F.sum(F.floor(F.col("value") * 100).cast("long")),
+        },
+    )
+    kept = audited.where(F.col("event_type") != "error").count()
+    got = obs.get
+    assert got["rows_in"] == ev.count()
+    assert kept < got["rows_in"]
+    assert got["null_users"] == 0
+    assert got["value_cents"] > 0

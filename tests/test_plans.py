@@ -293,3 +293,39 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
     for name in sorted(QUERIES):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """With runtime bloom filters on, a selective dim-side predicate plants
+    a bloom_filter_agg on the build side and a might_contain probe on the
+    fact scan — semi-join reduction before the shuffle, the Spark-native
+    replacement for hand-built bloom pre-filters at 100 TB."""
+    from pyspark.sql import functions as SF
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            SF.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
