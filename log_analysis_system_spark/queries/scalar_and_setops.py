@@ -86,3 +86,46 @@ def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = clicks.intersect(buys).withColumn("tag", F.lit("click_and_purchase"))
     return click_only.unionByName(both)
+
+
+@query(
+    "array_function_surface",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(len(list_filter(
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+           x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(list_sum(list_transform(embedding,
+           x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+           AS BIGINT) AS l1_mq,
+       CAST(list_aggregate(
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+           'max') AS BIGINT) AS max_mq
+FROM embeddings
+""",
+)
+def q_array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate /
+    array_max lambdas evaluated per row INSIDE codegen, the complex-type
+    expression surface the similarity operators build on (`F.aggregate`
+    dot products, `F.zip_with`). Everything quantizes float components to
+    milli-units through an exact float->double cast before rounding, so
+    both engines compute identical integers; no UDF, no explode — the
+    zero-shuffle way to compute per-vector statistics at any scale.
+    Cites reference parity: the reference has no array columns at all
+    (flat log rows); this surface exists for the embedding extension.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mq = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    return emb.select(
+        "vec_id",
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dim"),
+        F.expr(f"CAST(size(filter({mq}, x -> x > 0)) AS BIGINT)").alias("n_pos"),
+        F.expr(
+            f"aggregate({mq}, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+        ).alias("l1_mq"),
+        F.expr(f"array_max({mq})").alias("max_mq"),
+    )
