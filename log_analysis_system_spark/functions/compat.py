@@ -123,3 +123,32 @@ def rewrite_reference_sql(text: str) -> str:
         out.append(text[i:j])
         out.append(f"concat_ws(',', array_sort(collect_set({arg})))")
         i = p + 1
+
+
+def register_reference_udtfs(spark: SparkSession) -> tuple[str, ...]:
+    """Register the Python UDTF (table function) surface — Spark 4's third
+    UDx kind beside UDF/UDAF. ``explode_packed(packed, pair_sep, kv_sep)``
+    unpacks the reference's packed ``k=v|k=v`` session strings
+    (UserVisitSessionAnalyzeSpark.java builds these with
+    ``concat_long_string``) into (key, value) rows — a LATERAL-joinable
+    table function callable from SQL.
+
+    Production guidance in-tree: for the hot path the engine uses the
+    codegen equivalent ``explode(str_to_map(...))`` (F1/F3); the UDTF
+    exists for API parity and for unpack logic too irregular for
+    str_to_map. Idempotent registration."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key: string, value: string")
+    class ExplodePacked:
+        def eval(self, packed: str, pair_sep: str = "|", kv_sep: str = "="):
+            if packed is None:
+                return
+            for pair in packed.split(pair_sep):
+                if not pair:
+                    continue
+                k, sep, v = pair.partition(kv_sep)
+                yield k, (v if sep else None)
+
+    spark.udtf.register("explode_packed", ExplodePacked)
+    return ("explode_packed",)

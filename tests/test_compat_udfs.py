@@ -111,3 +111,26 @@ def test_random_prefix_registered_nondeterministic(spark):
         """
     ).collect()[0]["n"]
     assert n > 1, "random_prefix produced a constant — registered deterministic?"
+
+
+def test_explode_packed_udtf_lateral_join(spark):
+    from log_analysis_system_spark.functions.compat import (
+        register_reference_udtfs,
+    )
+
+    register_reference_udtfs(spark)
+    rows = spark.sql(
+        "SELECT t.key, t.value FROM VALUES ('a=1|b=2|c', 'r1') AS v(packed, id), "
+        "LATERAL explode_packed(v.packed, '|', '=') t ORDER BY t.key"
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [
+        ("a", "1"), ("b", "2"), ("c", None)
+    ]
+    # matches the codegen str_to_map path on well-formed input
+    builtin = spark.sql(
+        "SELECT explode(str_to_map('a=1|b=2', '\\\\|', '=')) AS (key, value)"
+    ).collect()
+    udtf_rows = spark.sql(
+        "SELECT t.key, t.value FROM LATERAL explode_packed('a=1|b=2', '|', '=') t"
+    ).collect()
+    assert sorted(map(tuple, builtin)) == sorted(map(tuple, udtf_rows))
