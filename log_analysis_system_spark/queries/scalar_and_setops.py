@@ -129,3 +129,56 @@ def q_array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l1_mq"),
         F.expr(f"array_max({mq})").alias("max_mq"),
     )
+
+
+@query(
+    "map_aggregation_surface",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       array_to_string(
+           list_sort(list(event_type || ':' || CAST(c AS VARCHAR))), ','
+       ) AS type_counts
+FROM counts GROUP BY 1
+""",
+)
+def q_map_aggregation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation surface: per user, a genuine
+    ``map<event_type, count>`` built with ``map_from_entries`` over
+    collected (key, count) structs, then rendered canonically (entries ->
+    transform -> array_sort -> array_join) so the hash compare is
+    order-insensitive — maps have no cross-engine canonical order, strings
+    do. The map stays a real map inside the plan (consumers would
+    ``m['click']`` it); only the oracle edge flattens.
+
+    Scale shape: two hash aggregates; the collect_list is bounded by
+    |event_types| per user, never by event count.
+    """
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("m")
+    )
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("m"),
+                lambda e: F.concat(
+                    e["key"], F.lit(":"), e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
+    )
+    return per_user.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        rendered.alias("type_counts"),
+    )
