@@ -182,3 +182,48 @@ def q_map_aggregation_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_types"),
         rendered.alias("type_counts"),
     )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+WITH base AS (
+    SELECT user_id, nullif(event_type, 'error') AS et FROM events
+)
+SELECT coalesce(et, '<null>') AS et_key,
+       count(*) AS n_rows,
+       count(et) AS n_nonnull,
+       CAST(count(DISTINCT et) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM base GROUP BY et
+""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL semantics pinned by oracle: ``nullif`` manufactures NULLs
+    deterministically, then the query exercises the rules engines most
+    often diverge on — GROUP BY collects all NULLs into ONE group,
+    ``count(*)`` counts them, ``count(col)`` and ``count(DISTINCT col)``
+    skip them. The grouping key itself stays nullable inside the plan;
+    only the output edge coalesces it to a printable token.
+    One hash aggregate; nothing here shuffles more than the group key.
+    """
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", F.nullif("event_type", F.lit("error")).alias("et")
+    )
+    return (
+        base.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("et").alias("n_nonnull"),
+            F.countDistinct("et").alias("n_distinct"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.coalesce("et", F.lit("<null>")).alias("et_key"),
+            "n_rows",
+            "n_nonnull",
+            "n_distinct",
+            "n_users",
+        )
+    )
