@@ -547,3 +547,53 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("mr").alias("m_score"),
         )
     )
+
+
+@query(
+    "hourly_anomalies",
+    oracle="""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+           CAST(sum(cnt * cnt) AS BIGINT) AS s2
+    FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour_ts, h.cnt,
+       CASE WHEN (n * h.cnt - s) * (n * h.cnt - s) > 9 * (n * s2 - s * s)
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM hourly h JOIN stats USING (event_type)
+""",
+)
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma anomaly flags on hourly event-type counts WITHOUT floats:
+    |c - mean| > 3*stddev is cross-multiplied into
+    (n*c - s)^2 > 9*(n*s2 - s^2) — pure BIGINT arithmetic, so the flag is
+    bit-identical on any engine (a sqrt/stddev form would hash-diverge in
+    the last ulp). Works in int64 up to ~1e9 rows/hour x 1e4 hours; past
+    that the two sides move to DECIMAL(38,0) with identical semantics.
+
+    Scale shape: the hourly rollup is one map-combinable aggregate; stats
+    is an aggregate OVER the rollup (days x types rows); the flag join
+    broadcasts stats back onto the rollup. The raw scan is touched once.
+    """
+    ev = read_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var9 = 9 * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))
+    return j.select(
+        "event_type",
+        "hour_ts",
+        "cnt",
+        (dev * dev > var9).alias("is_anomaly"),
+    )

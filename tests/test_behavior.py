@@ -218,3 +218,30 @@ def test_triangle_count_on_known_graph(spark):
             for r in QUERIES["triangle_count_terms"](spark, d).collect()
         }
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_hourly_anomalies_flags_injected_burst(spark):
+    """29 quiet hours at ~4 events + one 200-event burst hour: only the
+    burst hour is flagged."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import Row
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 200 if h == 7 else 4 + (h % 2)
+        for i in range(n):
+            rows.append(
+                Row(event_id=eid,
+                    ts=t0 + datetime.timedelta(hours=h, seconds=i),
+                    user_id=1, event_type="t", value=1.0, props="{}")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(f"{d}/events.parquet")
+        out = QUERIES["hourly_anomalies"](spark, d).collect()
+    flagged = {r.hour_ts.hour for r in out if r.is_anomaly}
+    assert flagged == {7}
