@@ -294,3 +294,53 @@ def q_session_state_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlaps.groupBy("n_states").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@query(
+    "forward_fill_values",
+    oracle="""
+WITH base AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(floor(value * 100) AS BIGINT) END AS v,
+           ts
+    FROM events
+)
+SELECT event_id, user_id, v,
+       last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS v_filled
+FROM base
+""",
+)
+def q_forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation (last observation carried forward): error rows carry
+    no reading (manufactured NULL), and each user's gap inherits the most
+    recent non-null value — `F.last(ignorenulls=True)` over the running
+    frame, the imputation twin of `resample_hourly_dense`'s zero-fill.
+    Rows before a user's first reading stay NULL by definition.
+
+    Scale shape: one user-partitioned sort window over the (ts, event_id)
+    total order — the same exchange every sessionize/SCD2 operator rides;
+    integer cents keep filled values bit-equal.
+    """
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("value") * 100).cast("long"))
+        .alias("v"),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
