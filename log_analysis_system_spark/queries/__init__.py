@@ -77,10 +77,12 @@ PRIORITY: tuple[str, ...] = (
     "range_join_events",
     "skew_safe_event_totals",
     "hypertable_rollup",
-    # corpus pipeline / temporal / sampling / graph
+    # corpus pipeline / temporal / sampling / graph / data quality
+    # (resample_hourly_dense rotated out round 3 — temporal keeps
+    # gap_sessions_events; driver_sim + pytest cover the rest)
     "corpus_pipeline",
     "gap_sessions_events",
-    "resample_hourly_dense",
+    "dq_checks",
     "sample_weighted_docs",
     "balanced_shards",
     "pagerank_trade_graph",

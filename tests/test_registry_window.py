@@ -32,9 +32,10 @@ FAMILY_REPRESENTATIVES = {
     "embedding_near_dup",
     # text analysis
     "text_metrics", "doc_fingerprint", "tfidf_top_terms", "doc_rarity_score",
-    # multimodal / corpus / temporal / sampling / graph
+    # multimodal / corpus / temporal / sampling / graph / data quality
+    # (resample_hourly_dense rotated out round 3; sim + pytest cover it)
     "multimodal_frames", "corpus_pipeline", "gap_sessions_events",
-    "resample_hourly_dense", "sample_weighted_docs", "balanced_shards",
+    "dq_checks", "sample_weighted_docs", "balanced_shards",
     "pagerank_trade_graph",
     # OLAP extras
     "asof_join_orders", "rollup_lineitem", "value_percentiles",
