@@ -32,3 +32,24 @@ def test_roundtrip_matches_parquet(spark, tmp_path, fmt):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError):
         read_table(spark, "/nowhere", "avro")
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: an upstream adds a column mid-stream; a
+    mergeSchema read unifies old and new footers, back-filling NULL for
+    rows written before the column existed — the no-rewrite way a 100 TB
+    table grows columns."""
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [Row(id=1, v=10), Row(id=2, v=20)]
+    ).write.parquet(f"{base}/load=1")
+    spark.createDataFrame(
+        [Row(id=3, v=30, source="s3")]
+    ).write.parquet(f"{base}/load=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "source", "load"}
+    rows = {r.id: (r.v, r.source) for r in merged.collect()}
+    assert rows == {1: (10, None), 2: (20, None), 3: (30, "s3")}
