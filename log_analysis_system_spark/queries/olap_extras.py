@@ -677,3 +677,46 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "event_type", "n_events", ok(0.5, "50"), ok(0.9, "90"), ok(0.99, "99")
     )
+
+
+FREQ_SUPPORT = 0.1
+
+
+@query(
+    "freq_items_verdict",
+    oracle=f"""
+WITH tot AS (SELECT count(*) AS n FROM events)
+SELECT event_type,
+       count(*) AS cnt,
+       TRUE AS in_sketch
+FROM events, tot
+GROUP BY event_type, n
+HAVING count(*) > {FREQ_SUPPORT} * any_value(n)
+""",
+)
+def q_freq_items_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (Karp-Papadimitriou-Shenker via
+    ``DataFrame.stat.freqItems``) with the standard sketch-verdict
+    protocol: the sketch guarantees a SUPERSET of every item above the
+    support threshold, so the check emits each EXACT heavy hitter with a
+    boolean confirming sketch membership — the deterministic property, while
+    the sketch's extra false positives (partition-order dependent) never
+    reach the output. Same protocol as approx_distinct_users /
+    sketch_rollup_users: exact twin columns pin everything else.
+
+    Scale shape: the sketch is one streaming pass with O(1/support)
+    state per partition; the exact side is one hash aggregate. Both touch
+    the scan once.
+    """
+    ev = read_events(spark, sf_dir).select("event_type")
+    n = ev.count()
+    freq = set(
+        ev.stat.freqItems(["event_type"], FREQ_SUPPORT).collect()[0][0]
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > FREQ_SUPPORT * n)
+    )
+    in_sketch = F.col("event_type").isin(*sorted(freq)) if freq else F.lit(False)
+    return exact.select("event_type", "cnt", in_sketch.alias("in_sketch"))

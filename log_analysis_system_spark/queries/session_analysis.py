@@ -305,3 +305,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= F.col("quota"))
         .select("event_id", "user_id", "event_type", "date_key", "hour_key")
     )
+
+
+@query(
+    "bounce_rate_daily",
+    oracle=f"""
+WITH {SESS_CTE}
+SELECT CAST(start_time AS DATE) AS date_key,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN step_length = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(sum(CASE WHEN step_length = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS bounce_ppm
+FROM sess_agg GROUP BY 1
+""",
+)
+def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions that consist of a single event
+    — THE engagement KPI the reference's session-stats job feeds dashboards
+    with (its step-length histogram has the 1-3 bin; this isolates the
+    actionable single-step share per day, in ppm integer arithmetic).
+
+    Scale shape: rides the session aggregate's existing single exchange;
+    the daily rollup groups the |sessions|-sized frame by date — a second
+    small hash aggregate, nothing rescans events.
+    """
+    agg = _session_agg(spark, sf_dir)
+    bounce = F.sum(F.when(F.col("step_length") == 1, 1).otherwise(0))
+    return (
+        agg.groupBy(F.col("start_time").cast("date").alias("date_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+        )
+        .select(
+            "date_key",
+            "n_sessions",
+            "n_bounces",
+            F.expr("n_bounces * 1000000 div n_sessions").alias("bounce_ppm"),
+        )
+    )
