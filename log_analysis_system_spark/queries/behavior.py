@@ -597,3 +597,51 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (dev * dev > var9).alias("is_anomaly"),
     )
+
+
+@query(
+    "weekly_change",
+    oracle="""
+WITH weekly AS (
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, cnt,
+       lag(cnt) OVER (PARTITION BY event_type ORDER BY week) AS prev_cnt,
+       CASE WHEN lag(cnt) OVER (PARTITION BY event_type ORDER BY week)
+                 IS NOT NULL
+            THEN CAST((cnt - lag(cnt) OVER (PARTITION BY event_type
+                                            ORDER BY week)) * 1000000
+                      // lag(cnt) OVER (PARTITION BY event_type
+                                        ORDER BY week) AS BIGINT)
+            END AS change_ppm
+FROM weekly
+""",
+)
+def q_weekly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week traffic change per event type in ppm — the trend
+    delta every ops dashboard renders beside the raw series. The lag
+    window runs over the WEEKLY ROLLUP (|types| x |weeks| rows), never
+    raw events, so the bare-type partition key is safe here: per-task
+    input is the number of weeks. First week has no baseline -> NULL.
+    Integer ppm floor division keeps the delta bit-equal (a float
+    percentage would diverge in rendering).
+    """
+    ev = read_events(spark, sf_dir)
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    # `div` truncates toward zero like DuckDB's integer `//`; floor() would
+    # diverge by one on every negative delta.
+    return weekly.withColumn("prev_cnt", F.lag("cnt").over(w)).select(
+        "event_type",
+        "week",
+        "cnt",
+        "prev_cnt",
+        F.when(
+            F.col("prev_cnt").isNotNull(),
+            F.expr("(cnt - prev_cnt) * 1000000 div prev_cnt"),
+        ).alias("change_ppm"),
+    )
