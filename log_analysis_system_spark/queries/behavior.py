@@ -645,3 +645,75 @@ def q_weekly_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt - prev_cnt) * 1000000 div prev_cnt"),
         ).alias("change_ppm"),
     )
+
+
+@query(
+    "term_lift",
+    oracle=f"""
+WITH t AS (
+    SELECT DISTINCT doc_id, u.term
+    FROM documents, unnest(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> ''
+),
+df AS (SELECT term, count(*) AS n_docs FROM t GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS total FROM t),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+    FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_DOCS}
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       da.n_docs AS n_a, db.n_docs AS n_b,
+       CASE WHEN p.n_ab * n.total > da.n_docs * db.n_docs
+            THEN TRUE ELSE FALSE END AS positive_assoc
+FROM pairs p
+JOIN df da ON da.term = p.term_a
+JOIN df db ON db.term = p.term_b
+CROSS JOIN n
+""",
+)
+def q_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact association test on co-occurring term pairs: lift > 1 (i.e.
+    PMI > 0) cross-multiplied into pure integers — n_ab * N > n_a * n_b —
+    so the flag is bit-equal where a floating lift ratio would wobble in
+    the last ulp. The statistical layer over `term_cooccurrence`'s raw
+    counts; the same integer-cross-multiplication trick as
+    `hourly_anomalies` (int64-safe to ~1e9-doc corpora per the factors'
+    magnitudes; DECIMAL(38,0) beyond).
+
+    Scale shape: the pair table joins two broadcast-sized document-
+    frequency vectors and the single-row total; nothing beyond the pair
+    aggregation itself shuffles.
+    """
+    t = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    df_counts = t.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = t.agg(F.countDistinct("doc_id").alias("total"))
+    pairs = term_pair_edges(spark, sf_dir).select(
+        "term_a", "term_b", F.col("n_docs").alias("n_ab")
+    )
+    da = df_counts.select(
+        F.col("term").alias("term_a"), F.col("n_docs").alias("n_a")
+    )
+    db = df_counts.select(
+        F.col("term").alias("term_b"), F.col("n_docs").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") * F.col("total") > F.col("n_a") * F.col("n_b")).alias(
+                "positive_assoc"
+            ),
+        )
+    )
