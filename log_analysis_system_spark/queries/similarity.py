@@ -1019,3 +1019,129 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
+
+
+# --------------------------------------------------- semantic clustering
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Unrolled-CTE DuckDB replica of ``train_ivf_centroids`` + final
+    assignment: every Lloyd round (6-dp cosine argmax assignment,
+    floored-mean centroid update, empty-cell carry-over) is one CTE layer,
+    so the TRAINED clustering itself is oracle-exact — unlike
+    ``ann_ivf_trained_topk`` whose official check is a recall verdict."""
+    rounds = []
+    for r in range(1, iters + 1):
+        p = r - 1
+        rounds.append(f"""
+aff{r} AS (
+    SELECT f.vec_id, c.cell_id,
+           round(CAST(sum(f.v * c.v) AS DOUBLE) /
+                 (sqrt(CAST(any_value(nv.nrm) AS DOUBLE)) *
+                  sqrt(CAST(any_value(nc.nrm) AS DOUBLE))), 6) AS aff
+    FROM flat f
+    JOIN cf{p} c ON c.i = f.i
+    JOIN norms nv ON nv.vec_id = f.vec_id
+    JOIN cn{p} nc ON nc.cell_id = c.cell_id
+    GROUP BY 1, 2
+),
+top{r} AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY aff DESC, cell_id) AS crnk
+        FROM aff{r}
+    ) WHERE crnk = 1
+),
+mean{r} AS (
+    SELECT t.cell_id, f.i,
+           CAST(floor(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+    FROM top{r} t JOIN flat f ON f.vec_id = t.vec_id
+    GROUP BY 1, 2
+),
+cf{r} AS (
+    SELECT p.cell_id, p.i, COALESCE(m.v, p.v) AS v
+    FROM cf{p} p LEFT JOIN mean{r} m
+      ON m.cell_id = p.cell_id AND m.i = p.i
+),
+cn{r} AS (SELECT cell_id, sum(v * v) AS nrm FROM cf{r} GROUP BY cell_id)""")
+    return f"""
+WITH {_FLAT_CTE},
+cf0 AS (
+    SELECT vec_id AS cell_id, i, v FROM flat WHERE vec_id % {CENT_MOD} = 0
+),
+cn0 AS (SELECT cell_id, sum(v * v) AS nrm FROM cf0 GROUP BY cell_id),
+{",".join(rounds)},
+final_aff AS (
+    SELECT f.vec_id, c.cell_id, sum(f.v * c.v) AS dot,
+           round(CAST(sum(f.v * c.v) AS DOUBLE) /
+                 (sqrt(CAST(any_value(nv.nrm) AS DOUBLE)) *
+                  sqrt(CAST(any_value(nc.nrm) AS DOUBLE))), 6) AS aff
+    FROM flat f
+    JOIN cf{iters} c ON c.i = f.i
+    JOIN norms nv ON nv.vec_id = f.vec_id
+    JOIN cn{iters} nc ON nc.cell_id = c.cell_id
+    GROUP BY 1, 2
+),
+assigned AS (
+    SELECT vec_id, cell_id, dot FROM (
+        SELECT vec_id, cell_id, dot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY aff DESC, cell_id) AS crnk
+        FROM final_aff
+    ) WHERE crnk = 1
+)
+SELECT cell_id AS cluster_id,
+       count(*) AS n_vecs,
+       min(vec_id) AS min_vec_id,
+       max(vec_id) AS max_vec_id,
+       CAST(sum(dot) AS BIGINT) AS sum_dot
+FROM assigned GROUP BY 1
+"""
+
+
+@query("semantic_clusters", oracle=_kmeans_oracle(KMEANS_ITERS))
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus — the grouping step of
+    cluster-scoped curation (SemDeDup-style: near-dup pruning and diversity
+    sampling operate WITHIN semantic clusters, so the pair search never
+    crosses cluster boundaries). Runs the same deterministic integer
+    k-means the IVF index trains (`train_ivf_centroids`: broadcast
+    centroids, 6-dp cosine argmax, floored integer means, empty-cell
+    carry-over, localCheckpoint per round) and emits per-cluster size,
+    id-range, and the exact integer sum of member-centroid dot products —
+    all oracle-exact against an unrolled-SQL replica of every round.
+
+    Scale design: assignment is a broadcast crossJoin (centroid table is
+    K rows) + per-vector argmax window partitioned by vec_id; each Lloyd
+    round shuffles only (cell, dim) partial sums. No driver-side data
+    movement at any corpus size; K grows with the corpus via the CENT_MOD
+    stride so cells stay O(sqrt n)-ish without a config knob."""
+    from pyspark.sql import Window
+
+    vecs = _quantized(spark, sf_dir)
+    cents = train_ivf_centroids(vecs)
+    aff = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        _dot("e", "ce").alias("dot"),
+        F.round(
+            _dot("e", "ce").cast("double")
+            / (
+                F.sqrt(F.col("nrm").cast("double"))
+                * F.sqrt(F.col("cn").cast("double"))
+            ),
+            6,
+        ).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
+    assigned = (
+        aff.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") == 1)
+    )
+    return assigned.groupBy(F.col("cell_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.sum("dot").alias("sum_dot"),
+    )
