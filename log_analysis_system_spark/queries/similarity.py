@@ -1024,12 +1024,14 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------- semantic clustering
 
 
-def _kmeans_oracle(iters: int) -> str:
+def _kmeans_cte(iters: int) -> str:
     """Unrolled-CTE DuckDB replica of ``train_ivf_centroids`` + final
     assignment: every Lloyd round (6-dp cosine argmax assignment,
     floored-mean centroid update, empty-cell carry-over) is one CTE layer,
     so the TRAINED clustering itself is oracle-exact — unlike
-    ``ann_ivf_trained_topk`` whose official check is a recall verdict."""
+    ``ann_ivf_trained_topk`` whose official check is a recall verdict.
+    Returns the WITH prefix through ``assigned(vec_id, cell_id, dot)``;
+    callers append their final SELECT (and any further CTEs)."""
     rounds = []
     for r in range(1, iters + 1):
         p = r - 1
@@ -1091,6 +1093,12 @@ assigned AS (
         FROM final_aff
     ) WHERE crnk = 1
 )
+"""
+
+
+_KMEANS_ORACLE = (
+    _kmeans_cte(KMEANS_ITERS)
+    + """
 SELECT cell_id AS cluster_id,
        count(*) AS n_vecs,
        min(vec_id) AS min_vec_id,
@@ -1098,9 +1106,10 @@ SELECT cell_id AS cluster_id,
        CAST(sum(dot) AS BIGINT) AS sum_dot
 FROM assigned GROUP BY 1
 """
+)
 
 
-@query("semantic_clusters", oracle=_kmeans_oracle(KMEANS_ITERS))
+@query("semantic_clusters", oracle=_KMEANS_ORACLE)
 def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering of the embedding corpus — the grouping step of
     cluster-scoped curation (SemDeDup-style: near-dup pruning and diversity
@@ -1117,6 +1126,20 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round shuffles only (cell, dim) partial sums. No driver-side data
     movement at any corpus size; K grows with the corpus via the CENT_MOD
     stride so cells stay O(sqrt n)-ish without a config knob."""
+    assigned = _kmeans_assigned(spark, sf_dir)
+    return assigned.groupBy(F.col("cell_id").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.sum("dot").alias("sum_dot"),
+    )
+
+
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell_id, dot): every vector's trained-k-means cluster plus
+    the exact integer dot with its centroid — the shared assignment step of
+    `semantic_clusters` and `semantic_dedup_keep` (mirrors the oracle's
+    ``assigned`` CTE)."""
     from pyspark.sql import Window
 
     vecs = _quantized(spark, sf_dir)
@@ -1135,13 +1158,112 @@ def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("aff"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
-    assigned = (
+    return (
         aff.withColumn("crnk", F.row_number().over(w))
         .where(F.col("crnk") == 1)
+        .select("vec_id", "cell_id", "dot")
     )
-    return assigned.groupBy(F.col("cell_id").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.min("vec_id").alias("min_vec_id"),
-        F.max("vec_id").alias("max_vec_id"),
-        F.sum("dot").alias("sum_dot"),
+
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD  # cosine above which two docs are dups
+
+
+_SEMDEDUP_ORACLE = (
+    _kmeans_cte(KMEANS_ITERS)
+    + f""",
+members AS (
+    SELECT a.vec_id AS doc_id, a.cell_id AS cluster_id, d.n_chars
+    FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+),
+pairs AS (
+    SELECT a.doc_id AS keep_side, b.doc_id AS drop_side,
+           round(CAST(sum(fa.v * fb.v) AS DOUBLE) /
+                 (sqrt(CAST(any_value(na.nrm) AS DOUBLE)) *
+                  sqrt(CAST(any_value(nb.nrm) AS DOUBLE))), 6) AS cosine
+    FROM members a
+    JOIN members b ON b.cluster_id = a.cluster_id
+       AND (a.n_chars > b.n_chars
+            OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+    JOIN flat fa ON fa.vec_id = a.doc_id
+    JOIN flat fb ON fb.vec_id = b.doc_id AND fb.i = fa.i
+    JOIN norms na ON na.vec_id = a.doc_id
+    JOIN norms nb ON nb.vec_id = b.doc_id
+    GROUP BY 1, 2
+),
+dropped AS (
+    SELECT DISTINCT drop_side AS doc_id FROM pairs
+    WHERE cosine >= {SEMDEDUP_THRESHOLD}
+)
+SELECT m.doc_id, m.cluster_id, m.n_chars,
+       (d.doc_id IS NULL) AS keep
+FROM members m LEFT JOIN dropped d ON d.doc_id = m.doc_id
+"""
+)
+
+
+@query("semantic_dedup_keep", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with the
+    trained k-means, then WITHIN each cluster drop any document whose
+    cosine to a higher-quality clustermate (more ``n_chars``; doc_id
+    tiebreak) reaches the near-dup threshold. Emits the per-document
+    keep/drop verdict — quality-aware canonical selection, where the exact
+    dedup families keep min-id.
+
+    Scale design: the pair search is scoped to a cluster (one shuffle on
+    cluster_id), never the corpus — the quadratic term is bounded by the
+    largest cluster, which the k-means K (CENT_MOD stride) controls; the
+    quality rank needs no window (the keep rule compares pair-local
+    (n_chars, doc_id) tuples, so it broadcasts nothing and sorts nothing
+    globally)."""
+    assigned = _kmeans_assigned(spark, sf_dir)
+    vecs = _quantized(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    members = (
+        assigned.select(F.col("vec_id").alias("doc_id"),
+                        F.col("cell_id").alias("cluster_id"))
+        .join(docs, "doc_id")
+        .join(vecs.select(F.col("vec_id").alias("doc_id"), "e", "nrm"),
+              "doc_id")
+    )
+    a = members.select(
+        F.col("cluster_id"),
+        F.col("doc_id").alias("a_id"), F.col("n_chars").alias("a_chars"),
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = members.select(
+        F.col("cluster_id"),
+        F.col("doc_id").alias("b_id"), F.col("n_chars").alias("b_chars"),
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    outranks = (F.col("a_chars") > F.col("b_chars")) | (
+        (F.col("a_chars") == F.col("b_chars"))
+        & (F.col("a_id") < F.col("b_id"))
+    )
+    pairs = a.join(b, ["cluster_id"]).where(outranks)
+    cos = F.round(
+        _dot("ea", "eb").cast("double")
+        / (
+            F.sqrt(F.col("na").cast("double"))
+            * F.sqrt(F.col("nb").cast("double"))
+        ),
+        6,
+    )
+    dropped = (
+        pairs.where(cos >= SEMDEDUP_THRESHOLD)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        members.select("doc_id", "cluster_id", "n_chars")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
     )
