@@ -703,3 +703,174 @@ def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_shared_chunks") > 0)
     )
+
+
+# ------------------------------------------------- incremental (delta) dedup
+
+DELTA_MOD = 5  # doc_id % DELTA_MOD == DELTA_MOD - 1 -> the "new batch" slice
+
+
+def _band_keys_col() -> Column:
+    """The N_BANDS banded LSH keys of a signature row as an array column
+    (same layout as _BAND_KEYS_SQL: 'band:mh_even:mh_odd')."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.col(f"mh{2*b}").cast("string"),
+                F.col(f"mh{2*b+1}").cast("string"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+@query(
+    "incremental_dedup_delta",
+    oracle=f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS (
+    SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key FROM sig
+),
+delta AS (SELECT doc_id FROM documents WHERE doc_id % {DELTA_MOD} = {DELTA_MOD - 1}),
+base AS (SELECT doc_id FROM documents WHERE doc_id % {DELTA_MOD} <> {DELTA_MOD - 1}),
+texth AS (SELECT doc_id, md5(text) AS th FROM documents),
+exact AS (
+    SELECT DISTINCT a.doc_id
+    FROM texth a
+    JOIN delta dl ON dl.doc_id = a.doc_id
+    JOIN texth b ON b.th = a.th
+    JOIN base bs ON bs.doc_id = b.doc_id
+),
+cand AS (
+    SELECT DISTINCT d.doc_id AS delta_id, b2.doc_id AS base_id
+    FROM bands d
+    JOIN delta dl ON dl.doc_id = d.doc_id
+    JOIN bands b2 ON b2.band_key = d.band_key
+    JOIN base bs ON bs.doc_id = b2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ver AS (
+    SELECT c.delta_id, c.base_id, count(*) AS inter_n,
+           any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.delta_id
+    JOIN sh b ON b.doc_id = c.base_id AND a.shingle = b.shingle
+    JOIN sizes sa ON sa.doc_id = c.delta_id
+    JOIN sizes sb ON sb.doc_id = c.base_id
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT delta_id, count(*) AS n FROM ver
+    WHERE inter_n / (na + nb - inter_n) >= {JACCARD_THRESHOLD}
+    GROUP BY 1
+),
+ncand AS (SELECT delta_id, count(*) AS n FROM cand GROUP BY 1)
+SELECT dt.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.delta_id IS NOT NULL THEN 'near_dup'
+            ELSE 'accept' END AS verdict,
+       CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(nr.n, 0) AS BIGINT) AS n_matches
+FROM delta dt
+LEFT JOIN exact e ON e.doc_id = dt.doc_id
+LEFT JOIN near nr ON nr.delta_id = dt.doc_id
+LEFT JOIN ncand nc ON nc.delta_id = dt.doc_id
+""",
+)
+def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: screen a NEW batch of documents (the
+    ``doc_id % DELTA_MOD`` slice stands in for today's crawl) against the
+    already-accepted corpus without recomputing anything corpus-wide —
+    the daily-increment workflow a 100 TB pipeline actually runs. Verdict
+    per new doc: ``exact_dup`` (text md5 collides with a base doc),
+    ``near_dup`` (shares an LSH band with a base doc AND exact shingle
+    Jaccard >= threshold), else ``accept``; plus candidate/match counts.
+    Intra-batch duplicates are deliberately out of scope here — that is
+    `dedup_minhash_lsh` run over the delta alone.
+
+    Scale design: the band join is delta-signatures vs base-signatures —
+    the delta side is a day's increment (small), so AQE broadcasts it and
+    the BASE side is never reshuffled; in a deployment the base bands and
+    text hashes are the persisted index `build_ivf_index`-style (write
+    once, bucket by band_key / th), making each increment a
+    bucket-pruned probe rather than a corpus scan. Signatures stay the
+    zero-shuffle row-wise projection (doc_shingle_signatures)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_delta = (F.col("doc_id") % DELTA_MOD) == (DELTA_MOD - 1)
+
+    texth = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("th")
+    )
+    delta_ids = docs.where(is_delta).select("doc_id")
+    exact = (
+        texth.where(is_delta)
+        .join(
+            texth.where(~is_delta).select(F.col("th")),
+            "th",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    sig = doc_shingle_signatures(docs).cache()
+    bands = sig.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
+    cand = (
+        bands.where(is_delta)
+        .select(F.col("doc_id").alias("delta_id"), "band_key")
+        .join(
+            bands.where(~is_delta).select(
+                F.col("doc_id").alias("base_id"), "band_key"
+            ),
+            "band_key",
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    meta = sig.select("doc_id", "sh_arr", "n_sh")
+    ver = (
+        cand.join(
+            meta.select(
+                F.col("doc_id").alias("delta_id"),
+                F.col("sh_arr").alias("arr_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            "delta_id",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("sh_arr").alias("arr_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "base_id",
+        )
+        .withColumn("inter_n", F.size(F.array_intersect("arr_a", "arr_b")))
+    )
+    jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
+    near = (
+        ver.where(jac >= JACCARD_THRESHOLD)
+        .groupBy("delta_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    ncand = cand.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        delta_ids.join(exact, "doc_id", "left")
+        .join(near.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
+        .join(ncand.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("n_matches").isNotNull(), "near_dup")
+            .otherwise("accept")
+            .alias("verdict"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )

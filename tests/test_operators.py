@@ -447,3 +447,37 @@ def test_grouped_prefix_sum_matches_window_at_any_parallelism(spark):
             ).collect()
         }
         assert got == expected, f"mismatch at num_partitions={n}"
+
+
+def test_incremental_dedup_delta_verdicts(spark, tmp_path):
+    """All three verdict branches on a synthetic corpus: delta doc 4 is an
+    exact copy of base doc 0, delta doc 9 is a near-dup (one word changed)
+    of base doc 1, delta doc 14 is novel. (The driver corpus has no exact
+    text collisions, so this branch is only reachable here.)"""
+    from log_analysis_system_spark.queries.dedup import (
+        q_incremental_dedup_delta,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    near_text = "the quick brown fox leaps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base_text, "en", "web", len(base_text)),
+            (1, near_text.replace("leaps", "hops"), "en", "web", 60),
+            (2, "completely unrelated text one two three", "en", "web", 40),
+            (3, "another unrelated base document four five", "en", "web", 41),
+            (4, base_text, "en", "web", len(base_text)),      # delta: exact
+            (9, near_text, "en", "web", len(near_text)),       # delta: near
+            (14, "zq xv wk yj pq mn bb cc dd ee ff gg", "en", "web", 36),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["verdict"], r["n_candidates"], r["n_matches"])
+        for r in q_incremental_dedup_delta(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {4, 9, 14}
+    assert out[4][0] == "exact_dup"
+    assert out[9][0] == "near_dup" and out[9][2] >= 1
+    assert out[14] == ("accept", 0, 0)
