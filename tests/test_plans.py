@@ -329,3 +329,24 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_pair_join_keys_on_cluster(spark):
+    """The SemDeDup pair search must be an equi-join on cluster_id (the
+    quadratic term bounded by cluster size), never a cartesian/global pair
+    blowup, and centroid assignment must broadcast the centroid side."""
+    plan = plan_of(spark, "semantic_dedup_keep")
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid crossJoin only
+
+
+def test_incremental_dedup_signatures_zero_shuffle(spark):
+    """Delta screening: signatures are a row-wise projection (no explode->
+    groupBy shuffle for minhash) and no cartesian product anywhere — the
+    candidate join is a band-key equi-join."""
+    plan = plan_of(spark, "incremental_dedup_delta")
+    assert "CartesianProduct" not in plan
+    # the minhash signature path must NOT aggregate over exploded shingles
+    assert "partial_min" not in plan.lower()
+    assert "band_key" in plan
