@@ -385,3 +385,76 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_ppm.alias("share_ppm"),
         weight_ppm.alias("weight_ppm"),
     )
+
+
+# ------------------------------------------------------- mixture schedule
+
+SCHED_SCALE = 1 << 20  # integer stride resolution (exact in double)
+SCHED_LIMIT = 100      # schedule slots emitted
+
+
+@query(
+    "mixture_schedule",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               - 1 AS rnk
+    FROM toks
+),
+sizes AS (SELECT source, sum(nt) AS n_tokens FROM toks GROUP BY 1)
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rank_in_source,
+       CAST(floor(CAST(r.rnk AS DOUBLE) * {SCHED_SCALE} / s.n_tokens)
+            AS BIGINT) AS sched_key
+FROM ranked r JOIN sizes s USING (source)
+ORDER BY sched_key, source, doc_id
+LIMIT {SCHED_LIMIT}
+""",
+)
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing schedule (stride scheduling): interleave
+    sources into one global training order at frequencies proportional to
+    their token mass — doc ``r`` of source ``s`` is scheduled at key
+    ``floor(r * SCALE / tokens_s)``, so a source with 2x the tokens surfaces
+    2x as often, uniformly across the epoch instead of in source-sized
+    runs. Within a source the order is an md5 shuffle (stable across runs
+    and engines). Emits the first SCHED_LIMIT slots; companions:
+    `source_mixture_weights` (the target weights), `pack_sequences` (what
+    happens to each slot next).
+
+    Scale design: the per-source rank runs through ``grouped_prefix_sum``'s
+    md5-nibble slice fast path — one hash exchange on (slice, source),
+    never a one-task-per-source window — and the final cut is an
+    ``ORDER BY ... LIMIT`` that compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of SCHED_LIMIT rows), not a global
+    sort. The per-source token totals are a broadcast dimension."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+    )
+    md5k = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    ranked = grouped_prefix_sum(
+        docs,
+        ["source"],
+        [F.asc(md5k), F.asc("doc_id")],
+        F.lit(1).cast("long"),
+        out_col="rn",
+        slice_col=F.conv(F.substring(md5k, 1, 1), 16, 10),
+    ).withColumn("rnk", F.col("rn") - 1)
+    sizes = docs.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    keyed = ranked.join(F.broadcast(sizes), "source").select(
+        "doc_id",
+        "source",
+        F.col("rnk").alias("rank_in_source"),
+        F.floor(
+            F.col("rnk") * F.lit(SCHED_SCALE) / F.col("n_tokens")
+        ).cast("long").alias("sched_key"),
+    )
+    return keyed.orderBy("sched_key", "source", "doc_id").limit(SCHED_LIMIT)
