@@ -458,3 +458,79 @@ def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("sched_key"),
     )
     return keyed.orderBy("sched_key", "source", "doc_id").limit(SCHED_LIMIT)
+
+
+# ------------------------------------------------------ context chunking
+
+CHUNK_TOKENS = 32   # context-window length (tokens)
+CHUNK_STRIDE = 24   # step between chunk starts (=> CHUNK_TOKENS-STRIDE overlap)
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n,
+           unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
+                         AS BIGINT) END)) AS chunk_idx
+    FROM t
+)
+SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       least({CHUNK_TOKENS}, c.n - c.chunk_idx * {CHUNK_STRIDE})
+           AS chunk_tokens,
+       md5(array_to_string(
+           list_slice(t.w, c.chunk_idx * {CHUNK_STRIDE} + 1,
+                      c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+           AS chunk_md5
+FROM c JOIN t USING (doc_id)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (so consecutive
+    chunks overlap by CHUNK_TOKENS-STRIDE tokens — the standard long-doc
+    preprocessing before packing/tokenization; the trailing chunk keeps
+    whatever remains). Emits per-chunk token count and content md5, so the
+    oracle verifies the chunk BOUNDARIES and BYTES, not just counts.
+
+    Scale design: pure per-row projection + one explode — zero shuffles,
+    whole-stage codegen end to end (same class as text_metrics); chunk
+    count per doc is data-bounded (ceil(n/stride)), never collected."""
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("w"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    n_extra = F.when(F.col("n") <= C, F.lit(0).cast("long")).otherwise(
+        F.ceil((F.col("n") - C) / F.lit(float(S))).cast("long")
+    )
+    c = t.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * S
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(C).cast("long"), F.col("n") - start).alias(
+            "chunk_tokens"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("w"), (start + 1).cast("int"), C)
+            ).cast("binary")
+        ).alias("chunk_md5"),
+    )
