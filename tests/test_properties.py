@@ -214,3 +214,65 @@ def test_user_state_intervals_partition_time(rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] <= a["valid_to"]
+
+
+# --------------------------------------------------------------- chunking
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=90).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def model_chunks(text: str, C: int, S: int) -> list[tuple[int, int, str]]:
+    """Pure-Python chunker: (chunk_idx, n_tokens, chunk_text)."""
+    w = text.split(" ")
+    n = len(w)
+    n_chunks = 1 if n <= C else 1 + -(-(n - C) // S)
+    out = []
+    for i in range(n_chunks):
+        part = w[i * S : i * S + C]
+        out.append((i, len(part), " ".join(part)))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_chunk_documents_matches_model(texts):
+    """chunk_documents boundaries/bytes equal the pure-Python chunker, and
+    stitching the stride-aligned prefixes reconstructs every document."""
+    import hashlib
+
+    from log_analysis_system_spark.queries.training_prep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_documents,
+    )
+
+    spark = _get_spark()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_md5"])
+            for r in q_chunk_documents(spark, d).collect()
+        }
+    for i, t in enumerate(texts):
+        model = model_chunks(t, CHUNK_TOKENS, CHUNK_STRIDE)
+        assert {k[1] for k in got if k[0] == i} == {m[0] for m in model}
+        for idx, ntok, ctext in model:
+            md5 = hashlib.md5(ctext.encode()).hexdigest()
+            assert got[(i, idx)] == (ntok, md5), (i, idx)
+        # stitching: stride-prefixes of each chunk + full last chunk == doc
+        words = []
+        for idx, _, ctext in model[:-1]:
+            words.extend(ctext.split(" ")[:CHUNK_STRIDE])
+        words.extend(model[-1][2].split(" "))
+        assert " ".join(words) == t
