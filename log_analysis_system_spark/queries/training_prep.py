@@ -534,3 +534,114 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------- training manifest
+
+MANIFEST_BUDGET = 256  # tokens per training shard
+
+# chunk boundaries as a reusable CTE (same math as chunk_documents' oracle,
+# plus the source column the packing stream keys on)
+_CHUNKS_CTE = f"""
+t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, source, chunk_idx,
+           least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE})
+               AS chunk_tokens
+    FROM (
+        SELECT doc_id, source, n,
+               unnest(generate_series(0,
+                   CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                        ELSE CAST(ceil((n - {CHUNK_TOKENS})
+                                       / {CHUNK_STRIDE}.0) AS BIGINT) END))
+                   AS chunk_idx
+        FROM t
+    )
+)
+"""
+
+
+@query(
+    "training_manifest",
+    oracle=f"""
+WITH {_CHUNKS_CTE},
+packed AS (
+    SELECT source, doc_id, chunk_tokens,
+           sum(chunk_tokens) OVER (PARTITION BY source
+                                   ORDER BY doc_id, chunk_idx
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+    FROM chunks
+)
+SELECT source,
+       CAST((cum - chunk_tokens) // {MANIFEST_BUDGET} AS BIGINT) AS shard_id,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(chunk_tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY 1, 2
+""",
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training manifest: chunk every document into overlapping
+    context windows (chunk_documents math), concatenate each source's
+    chunks in (doc_id, chunk_idx) order, cut the stream into
+    MANIFEST_BUDGET-token shards (a chunk belongs to the shard where its
+    first token lands — drop-nothing packing), and emit the per-shard
+    manifest (chunk/doc counts, token fill) a loader consumes. This is the
+    post-curation half of the pipeline as ONE declarative plan:
+    `corpus_pipeline` decides WHAT survives; this decides WHERE each
+    surviving token lands.
+
+    Scale design: chunking is a zero-shuffle explode; the running token
+    sum uses ``grouped_prefix_sum`` so no source becomes a single task;
+    the manifest aggregate is map-side combinable on (source, shard_id).
+    Only shard-level rows come back — O(corpus_tokens / BUDGET), never
+    chunk-level."""
+    C, S = CHUNK_TOKENS, CHUNK_STRIDE
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n"),
+    )
+    n_extra = F.when(F.col("n") <= C, F.lit(0).cast("long")).otherwise(
+        F.ceil((F.col("n") - C) / F.lit(float(S))).cast("long")
+    )
+    chunks = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias(
+            "chunk_idx"
+        ),
+        "n",
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.least(
+            F.lit(C).cast("long"), F.col("n") - F.col("chunk_idx") * S
+        ).alias("chunk_tokens"),
+    )
+    packed = grouped_prefix_sum(
+        chunks,
+        ["source"],
+        [F.asc("doc_id"), F.asc("chunk_idx")],
+        F.col("chunk_tokens"),
+        out_col="__cum",
+    )
+    start = (F.col("__cum") - F.col("chunk_tokens")).cast("long")
+    return (
+        packed.withColumn(
+            "shard_id", (start / MANIFEST_BUDGET).cast("long")
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("chunk_tokens").alias("shard_tokens"),
+        )
+    )
