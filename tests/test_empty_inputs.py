@@ -27,6 +27,10 @@ EMPTY_SAFE_QUERIES = [
     "source_mixture_weights",
     "dq_checks",
     "dq_profile_lineitem",
+    "mixture_schedule",
+    "chunk_documents",
+    "training_manifest",
+    "incremental_dedup_delta",
 ]
 
 

@@ -350,3 +350,21 @@ def test_incremental_dedup_signatures_zero_shuffle(spark):
     # the minhash signature path must NOT aggregate over exploded shingles
     assert "partial_min" not in plan.lower()
     assert "band_key" in plan
+
+
+def test_mixture_schedule_heap_cut_no_bare_source_window(spark):
+    """The schedule cut must be a TakeOrderedAndProject heap (never a global
+    sort), and no window may key on the bare source column (one task per
+    source at scale) — ranks come from the grouped_prefix_sum slice path."""
+    import re
+
+    plan = plan_of(spark, "mixture_schedule")
+    assert "TakeOrderedAndProject" in plan
+    for w in re.findall(r"Window \[[^\n]*\], \[([^\]]*)\]", plan):
+        assert "source" not in w or "slice" in w or "__pid" in w, w
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    """Chunking is a pure projection + explode: no Exchange anywhere."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan
