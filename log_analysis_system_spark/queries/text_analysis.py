@@ -453,3 +453,111 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_grams.alias("n_grams"),
         F.round(1.0 - n_dgrams / n_grams, 4).alias("dup_gram_ratio"),
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+CMS_W = 16  # counters per row — deliberately tiny so collisions are REAL
+CMS_D = 4   # hash rows; estimate = min over rows
+
+
+def _cms_rows_sql() -> str:
+    """(d, bucket) pairs for one term under the affine md5 hash family
+    (DuckDB side). Mirrors the Spark expression bit for bit."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    rows = ", ".join(
+        f"({d}, ((CAST(('0x' || substr(md5(term), 1, 7)) AS BIGINT) "
+        f"* {MINHASH_A[d]} + {MINHASH_B[d]}) % {MINHASH_P}) % {CMS_W})"
+        for d in range(CMS_D)
+    )
+    return rows
+
+
+def _cms_oracle() -> str:
+    return f"""
+WITH terms AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+hashed AS (
+    SELECT term, v.d, v.bucket
+    FROM terms, (VALUES {_cms_rows_sql()}) v(d, bucket)
+),
+sketch AS (
+    SELECT d, bucket, count(*) AS counter FROM hashed GROUP BY 1, 2
+),
+truth AS (SELECT term, count(*) AS true_n FROM terms GROUP BY 1),
+probe AS (
+    SELECT DISTINCT t.term, h.d, h.bucket FROM truth t
+    JOIN hashed h ON h.term = t.term
+),
+est AS (
+    SELECT p.term, min(s.counter) AS cms_n
+    FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+    GROUP BY 1
+)
+SELECT t.term, CAST(t.true_n AS BIGINT) AS true_n,
+       CAST(e.cms_n AS BIGINT) AS cms_n,
+       e.cms_n >= t.true_n AS never_underestimates
+FROM truth t JOIN est e ON e.term = t.term
+"""
+
+
+@query("countmin_terms", oracle=_cms_oracle())
+def q_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the term stream: a {CMS_D}x{CMS_W} counter
+    table (affine md5 hash family, shared with minhash) summarizes every
+    term occurrence; a term's frequency estimate is the MIN of its
+    {CMS_D} counters. Emits estimate vs exact count per term plus the
+    sketch's defining guarantee (never underestimates) — checked exactly
+    by the oracle, not asserted.
+
+    Scale design: the sketch build is ONE hash aggregate whose key space
+    is fixed at D x W counters regardless of corpus size — partials
+    combine map-side and the merged table is KBs; this is the mergeable-
+    summary pattern (same class as hypertable partials and the HLL
+    rollup) that turns a 100 TB frequency question into a
+    constant-memory pass. W is set collision-heavy here so the test data
+    exercises genuine overestimation; a deployment sizes W ~ e/eps."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    base = F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    pairs = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            (base * MINHASH_A[d] + MINHASH_B[d]) % MINHASH_P
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("term", "h.d", "h.bucket")
+    sketch = pairs.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("counter")
+    )
+    truth = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_n"))
+    probe = pairs.distinct()
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.min("counter").alias("cms_n"))
+    )
+    return truth.join(est, "term").select(
+        "term",
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
+    )
