@@ -1267,3 +1267,55 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------ LSH recall audit
+
+
+def _recall_audit_oracle() -> str:
+    """Compose the LSH and exact near-dup oracles as derived tables (each
+    carries its own WITH scope) and compare pair sets."""
+    from . import ORACLES
+
+    lsh = ORACLES["embedding_near_dup"]
+    exact = ORACLES["embedding_near_dup_exact"]
+    return f"""
+SELECT CAST((SELECT count(*) FROM ({exact}) e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM ({lsh}) l) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM ({exact}) e
+             WHERE NOT EXISTS (SELECT 1 FROM ({lsh}) l
+                               WHERE l.vec_a = e.vec_a
+                                 AND l.vec_b = e.vec_b)) AS BIGINT)
+           AS n_missed,
+       CAST((SELECT count(*) FROM ({lsh}) l
+             WHERE NOT EXISTS (SELECT 1 FROM ({exact}) e
+                               WHERE e.vec_a = l.vec_a
+                                 AND e.vec_b = l.vec_b)) AS BIGINT)
+           AS n_false_pos
+"""
+
+
+@query("lsh_recall_audit", oracle=_recall_audit_oracle())
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: the banded-LSH near-dup path
+    (`embedding_near_dup`) measured against the exact all-pairs kernel
+    (`embedding_near_dup_exact`) — pair counts, pairs the bands MISSED,
+    and false positives (must be 0: candidates are exact-rescored). This
+    is the audit a pipeline runs on a sample before trusting the index
+    at full scale; both sides and the comparison are oracle-exact.
+
+    Scale shape: the exact side is the expensive one by design — the
+    audit runs on a bounded sample tier (here the whole sf corpus); the
+    comparison itself is two slim anti-joins on (vec_a, vec_b)."""
+    lsh = q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    exact = q_embedding_near_dup_exact(spark, sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_missed = exact.join(lsh, ["vec_a", "vec_b"], "left_anti").count()
+    n_false = lsh.join(exact, ["vec_a", "vec_b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(n_exact, n_lsh, n_missed, n_false)],
+        "n_exact long, n_lsh long, n_missed long, n_false_pos long",
+    )
