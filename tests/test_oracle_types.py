@@ -4,7 +4,7 @@ DuckDB promotes integer ``sum()`` results to HUGEINT (Arrow decimal128),
 which the official driver canonicalizes differently from Spark's BIGINT —
 the only cause of every official hash failure in rounds 1-2. Every exposed
 integer aggregate must be ``CAST(... AS BIGINT)`` in the oracle string; this
-test executes all 84 oracles under DuckDB at sf0.001 and fails on any
+test executes every registered oracle under DuckDB at sf0.001 and fails on any
 decimal/int128 output column, so the failure mode can't silently return.
 """
 

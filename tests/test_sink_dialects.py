@@ -112,3 +112,48 @@ def test_derby_merge_executes_for_real(spark, tmp_path):
         assert got == {1: 5, 2: 1, 3: 5}
     finally:
         conn.close()
+
+
+def test_sqlite_dialect_as_streaming_foreach_batch(spark, tmp_path):
+    """The dialect upsert as a REAL Structured Streaming sink: a file
+    stream drives writeStream.foreachBatch with the generated statement;
+    overlapping keys across micro-batches accumulate exactly once each."""
+    import json
+
+    db = str(tmp_path / "stream_state.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE clicks (user_id INTEGER PRIMARY KEY, cnt INTEGER)"
+        )
+    stmt = upsert_statement(
+        "sqlite", "clicks", key_cols=["user_id"], increment_cols=["cnt"]
+    )
+    sink = upsert_foreach_batch(
+        stmt.sql, list(stmt.param_cols), lambda: sqlite3.connect(db)
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in
+                  [{"user_id": 1, "cnt": 2}, {"user_id": 2, "cnt": 1}])
+    )
+    (inp / "b.json").write_text(
+        "\n".join(json.dumps(r) for r in
+                  [{"user_id": 1, "cnt": 3}, {"user_id": 3, "cnt": 5}])
+    )
+    stream = (
+        spark.readStream.schema("user_id long, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT user_id, cnt FROM clicks").fetchall())
+    assert got == {1: 5, 2: 1, 3: 5}
