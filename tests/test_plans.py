@@ -368,3 +368,13 @@ def test_chunk_documents_zero_shuffle(spark):
     """Chunking is a pure projection + explode: no Exchange anywhere."""
     plan = plan_of(spark, "chunk_documents")
     assert "Exchange" not in plan
+
+
+def test_countmin_sketch_single_hash_aggregate(spark):
+    """The sketch build must be a two-phase hash aggregate over the fixed
+    D x W key space (map-side combinable partials), never a sort
+    aggregate, and the tiny sketch side must broadcast into the probe."""
+    plan = plan_of(spark, "countmin_terms")
+    assert "HashAggregate" in plan and "partial_count" in plan
+    assert "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
