@@ -793,48 +793,60 @@ def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: the band join is delta-signatures vs base-signatures —
     the delta side is a day's increment (small), so AQE broadcasts it and
-    the BASE side is never reshuffled; in a deployment the base bands and
-    text hashes are the persisted index `build_ivf_index`-style (write
-    once, bucket by band_key / th), making each increment a
-    bucket-pruned probe rather than a corpus scan. Signatures stay the
-    zero-shuffle row-wise projection (doc_shingle_signatures)."""
+    the BASE side is never reshuffled; the deployment form persists the
+    base side once (`build_dedup_index`) and screens each increment from
+    the index alone (`screen_delta` — equivalence-tested against this
+    inline query). Signatures stay the zero-shuffle row-wise projection
+    (doc_shingle_signatures)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     is_delta = (F.col("doc_id") % DELTA_MOD) == (DELTA_MOD - 1)
 
     texth = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("th")
     )
-    delta_ids = docs.where(is_delta).select("doc_id")
+    sig = doc_shingle_signatures(docs).cache()
+    bands = sig.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
+    meta = sig.select("doc_id", "sh_arr", "n_sh")
+    return _screen_verdicts(
+        delta_th=texth.where(is_delta),
+        base_th=texth.where(~is_delta),
+        delta_bands=bands.where(is_delta),
+        base_bands=bands.where(~is_delta),
+        delta_meta=meta.where(is_delta),
+        base_meta=meta.where(~is_delta),
+    )
+
+
+def _screen_verdicts(
+    delta_th: DataFrame,
+    base_th: DataFrame,
+    delta_bands: DataFrame,
+    base_bands: DataFrame,
+    delta_meta: DataFrame,
+    base_meta: DataFrame,
+) -> DataFrame:
+    """Core of delta-vs-base screening, shared by the inline query and the
+    persisted-index serve path. All frames carry (doc_id, ...); returns one
+    verdict row per delta doc."""
+    delta_ids = delta_th.select("doc_id")
     exact = (
-        texth.where(is_delta)
-        .join(
-            texth.where(~is_delta).select(F.col("th")),
-            "th",
-            "left_semi",
-        )
+        delta_th.join(base_th.select(F.col("th")), "th", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_exact", F.lit(True))
     )
-
-    sig = doc_shingle_signatures(docs).cache()
-    bands = sig.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
     cand = (
-        bands.where(is_delta)
-        .select(F.col("doc_id").alias("delta_id"), "band_key")
+        delta_bands.select(F.col("doc_id").alias("delta_id"), "band_key")
         .join(
-            bands.where(~is_delta).select(
-                F.col("doc_id").alias("base_id"), "band_key"
-            ),
+            base_bands.select(F.col("doc_id").alias("base_id"), "band_key"),
             "band_key",
         )
         .select("delta_id", "base_id")
         .distinct()
     )
-    meta = sig.select("doc_id", "sh_arr", "n_sh")
     ver = (
         cand.join(
-            meta.select(
+            delta_meta.select(
                 F.col("doc_id").alias("delta_id"),
                 F.col("sh_arr").alias("arr_a"),
                 F.col("n_sh").alias("na"),
@@ -842,7 +854,7 @@ def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_id",
         )
         .join(
-            meta.select(
+            base_meta.select(
                 F.col("doc_id").alias("base_id"),
                 F.col("sh_arr").alias("arr_b"),
                 F.col("n_sh").alias("nb"),
@@ -873,4 +885,49 @@ def q_incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
             F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
         )
+    )
+
+
+def build_dedup_index(docs: DataFrame, index_dir: str) -> None:
+    """Build half of the incremental-dedup lifecycle: persist the accepted
+    corpus's screening structures — banded LSH keys, text hashes, and the
+    shingle sets the exact-Jaccard verify needs — as parquet. Write once
+    per corpus version; every daily increment screens against these files
+    without touching the corpus text again. (Parquet min/max stats on the
+    sorted band_key give file-level pruning; a lakehouse deployment would
+    additionally bucketBy(band_key) for shuffle-free probes.)"""
+    sig = doc_shingle_signatures(docs)
+    (
+        sig.select("doc_id", F.explode(_band_keys_col()).alias("band_key"))
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/bands")
+    )
+    sig.select("doc_id", "sh_arr", "n_sh").write.mode("overwrite").parquet(
+        f"{index_dir}/shingles"
+    )
+    docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("th")
+    ).write.mode("overwrite").parquet(f"{index_dir}/text_hashes")
+
+
+def screen_delta(
+    spark: SparkSession, index_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Serve half: screen a new document batch against the PERSISTED index
+    only — no base-corpus rescan. The delta's signatures are computed
+    row-wise on the fly; verdict semantics are identical to
+    `incremental_dedup_delta` (equivalence-tested)."""
+    dsig = doc_shingle_signatures(delta_docs)
+    return _screen_verdicts(
+        delta_th=delta_docs.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("th")
+        ),
+        base_th=spark.read.parquet(f"{index_dir}/text_hashes"),
+        delta_bands=dsig.select(
+            "doc_id", F.explode(_band_keys_col()).alias("band_key")
+        ),
+        base_bands=spark.read.parquet(f"{index_dir}/bands"),
+        delta_meta=dsig.select("doc_id", "sh_arr", "n_sh"),
+        base_meta=spark.read.parquet(f"{index_dir}/shingles"),
     )

@@ -481,3 +481,30 @@ def test_incremental_dedup_delta_verdicts(spark, tmp_path):
     assert out[4][0] == "exact_dup"
     assert out[9][0] == "near_dup" and out[9][2] >= 1
     assert out[14] == ("accept", 0, 0)
+
+
+def test_screen_delta_from_index_matches_inline_query(spark, tmp_path):
+    """The persisted-index serve path (build_dedup_index + screen_delta)
+    must produce exactly the inline incremental_dedup_delta verdicts."""
+    from log_analysis_system_spark.queries.dedup import (
+        DELTA_MOD,
+        build_dedup_index,
+        q_incremental_dedup_delta,
+        screen_delta,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    is_delta = (F.col("doc_id") % DELTA_MOD) == (DELTA_MOD - 1)
+    build_dedup_index(docs.where(~is_delta), str(tmp_path / "idx"))
+    served = {
+        tuple(r)
+        for r in screen_delta(
+            spark, str(tmp_path / "idx"), docs.where(is_delta)
+        ).collect()
+    }
+    inline = {
+        tuple(r) for r in q_incremental_dedup_delta(spark, SF_DIR).collect()
+    }
+    assert served == inline and served
