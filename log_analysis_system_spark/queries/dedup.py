@@ -931,3 +931,113 @@ def screen_delta(
         delta_meta=dsig.select("doc_id", "sh_arr", "n_sh"),
         base_meta=spark.read.parquet(f"{index_dir}/shingles"),
     )
+
+
+# ----------------------------------------------- winnowing (partial overlap)
+
+WINNOW_K = 3       # words per gram
+WINNOW_W = 4       # grams per winnowing window
+WINNOW_MIN_SHARED = 3
+
+
+@query(
+    "winnow_overlap",
+    oracle=f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(w) - {WINNOW_K - 1}, 1)),
+               i -> CAST(('0x' || substr(md5(
+                        array_to_string(w[i:i+{WINNOW_K - 1}], ' ')), 1, 7))
+                    AS BIGINT)) AS gh
+    FROM words
+),
+wins AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(gh) - {WINNOW_W - 1}, 1)),
+               j -> list_min(gh[j:j+{WINNOW_W - 1}]))) AS fps
+    FROM grams
+),
+fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+sizes AS (SELECT doc_id, len(fps) AS nf FROM wins),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+       round(p.shared / least(sa.nf, sb.nf), 4) AS containment
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""",
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprint scheme): hash
+    every {WINNOW_K}-word gram, slide a {WINNOW_W}-gram window, keep each
+    window's MIN hash — a deterministic ~1/w sample of grams that is
+    position-robust, so documents sharing a long-enough passage share
+    fingerprints wherever the passage sits. Pairs with >=
+    {WINNOW_MIN_SHARED} shared fingerprints are partial-overlap candidates
+    (quotes, boilerplate spans, spliced text) — the overlap class whole-doc
+    MinHash misses when the rest of the documents differ. Emits shared
+    count + containment (shared / smaller fingerprint set).
+
+    Scale design: fingerprint extraction is a zero-shuffle row-wise
+    projection (array HOFs inside codegen, ~n_tokens/w fingerprints per
+    doc); candidates come from a fingerprint equi-join (shuffle on the
+    8-byte fp key), never a pair scan. A hot fingerprint (corpus-wide
+    boilerplate) fans out quadratically within its bucket — the same
+    df_cap stop-gram bound ngram_jaccard_pairs applies is the deployment
+    mitigation."""
+    K, W = WINNOW_K, WINNOW_W
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ")
+    gh = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {K - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(cast(concat_ws(' ', "
+        f"slice(split(text, ' '), i, {K})) as binary)), 1, 7), 16, 10) as bigint))"
+    )
+    wins = docs.select("doc_id", gh.alias("gh")).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(gh) - {W - 1}, 1)), "
+                f"j -> array_min(slice(gh, j, {W})))"
+            )
+        ).alias("fps"),
+    )
+    fp = wins.select("doc_id", F.explode("fps").alias("fp"))
+    sizes = wins.select("doc_id", F.size("fps").alias("nf"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+    )
