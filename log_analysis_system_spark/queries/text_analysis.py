@@ -561,3 +561,132 @@ def q_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
     )
+
+
+# ------------------------------------------------- source curation report
+
+
+def _source_report_oracle() -> str:
+    from .dedup import (
+        _BAND_KEYS_SQL,
+        _MINHASH_MINS,
+        JACCARD_THRESHOLD,
+        SHINGLE_CTE,
+    )
+
+    return f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_MINHASH_MINS} FROM sh GROUP BY doc_id),
+bands AS (
+    SELECT doc_id, unnest([{_BAND_KEYS_SQL}]) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ver AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter_n,
+           any_value(sa.n_sh) AS na, any_value(sb.n_sh) AS nb
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    GROUP BY c.doc_a, c.doc_b
+),
+dups AS (
+    SELECT DISTINCT doc_b AS doc_id FROM ver
+    WHERE inter_n / (na + nb - inter_n) >= {JACCARD_THRESHOLD}
+),
+feat AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor(round(
+               least(CAST(len(string_split(text, ' ')) AS BIGINT), 200)
+                   / 200.0 * 0.5
+               + CASE WHEN CAST(length(replace(text, ' ', '')) AS BIGINT)
+                           / CAST(len(string_split(text, ' ')) AS BIGINT)
+                      BETWEEN 3 AND 8 THEN 0.3 ELSE 0 END
+               + CASE WHEN len(list_filter(string_split(text, ' '),
+                          w -> w IN {_STOP_IN_SQL})) > 0
+                      THEN 0.2 ELSE 0 END, 4) * 1000) AS BIGINT) AS q_milli
+    FROM documents
+)
+SELECT f.source,
+       count(*) AS n_docs,
+       CAST(sum(f.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(floor(CAST(sum(f.q_milli) AS DOUBLE) / count(*)) AS BIGINT)
+           AS mean_quality_milli,
+       CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS near_dup_docs,
+       CAST(floor(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*)) AS BIGINT) AS near_dup_ppm
+FROM feat f LEFT JOIN dups d ON d.doc_id = f.doc_id
+GROUP BY 1
+"""
+
+
+@query("source_curation_report", oracle=_source_report_oracle())
+def q_source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard — the keep/downweight/drop table a
+    crawl pipeline reviews per snapshot (RefinedWeb-style per-domain
+    triage): document/token volume, mean heuristic quality, and the
+    near-duplicate rate (fraction of the source's docs that are the
+    DROPPED side of a verified MinHash near-dup pair). Float-sum-free:
+    per-doc quality is floored to integer milli-units before aggregation
+    (the per-doc double is engine-identical — `quality_score` proves it —
+    and integer sums are order-independent), so the report is
+    bit-deterministic at any parallelism.
+
+    Scale shape: one pass for features (zero-shuffle projection + one
+    hash-agg on source), with the dup-doc set coming from the banded-LSH
+    pipeline — result-sized, AQE-broadcast into the per-source rollup."""
+    from .dedup import q_dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    avg_len = n_alpha / n_tokens
+    quality = (
+        F.least(n_tokens, F.lit(200)) / 200.0 * 0.5
+        + F.when(avg_len.between(3, 8), 0.3).otherwise(0.0)
+        + F.when(stop_hits > 0, 0.2).otherwise(0.0)
+    )
+    feat = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.round(quality, 4) * 1000).cast("long").alias("q_milli"),
+    )
+    dups = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("long"))
+    )
+    joined = feat.join(dups, "doc_id", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(0))
+    )
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("q_milli").alias("sum_q"),
+        F.sum("is_dup").alias("near_dup_docs"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("sum_q").cast("double") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_quality_milli"),
+        "near_dup_docs",
+        F.floor(F.col("near_dup_docs") * 1000000.0 / F.col("n_docs"))
+        .cast("long")
+        .alias("near_dup_ppm"),
+    )
