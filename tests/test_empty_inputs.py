@@ -31,13 +31,18 @@ EMPTY_SAFE_QUERIES = [
     "chunk_documents",
     "training_manifest",
     "incremental_dedup_delta",
+    "winnow_overlap",
+    "source_curation_report",
+    "countmin_terms",
+    "embedding_near_dup",
 ]
 
 
 @pytest.fixture(scope="module")
 def empty_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
-    for t in ("events", "documents", "lineitem", "orders", "customer"):
+    for t in ("events", "documents", "lineitem", "orders", "customer",
+              "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0).write.parquet(
             f"{d}/{t}.parquet"
         )
