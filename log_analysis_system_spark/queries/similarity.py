@@ -1319,3 +1319,111 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_lsh, n_missed, n_false)],
         "n_exact long, n_lsh long, n_missed long, n_false_pos long",
     )
+
+
+# --------------------------------------------------- contrastive mining
+
+HARDNEG_K = 3  # hard negatives kept per query vector
+
+
+@query(
+    "contrastive_mining",
+    oracle=f"""
+WITH {_FLAT_CTE},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+    FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < {N_QUERIES}
+                            AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           la.label = lb.label AS same_label,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+    JOIN embeddings la ON la.vec_id = d.query_id
+    JOIN embeddings lb ON lb.vec_id = d.neighbor_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id, same_label
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM scored
+)
+SELECT query_id,
+       CASE WHEN same_label THEN 'hard_positive' ELSE 'hard_negative' END
+           AS kind,
+       neighbor_id, cosine, rnk
+FROM ranked
+WHERE (same_label AND rnk <= 1)
+   OR (NOT same_label AND rnk <= {HARDNEG_K})
+""",
+)
+def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining over the labeled embedding corpus: for each
+    query vector, the {HARDNEG_K} nearest DIFFERENT-label neighbors (hard
+    negatives — the pairs a contrastive loss learns most from) and the
+    single nearest same-label neighbor (the hardest positive). Uses the
+    `label` column as the supervision signal; exact integer cosine like
+    every similarity query.
+
+    Scale shape: identical to `ann_brute_topk` — the bounded query set is
+    broadcast against the corpus and ranked per (query, label-side)
+    window; for corpus-x-corpus mining the LSH/IVF candidate paths
+    substitute for the broadcast, unchanged downstream."""
+    from pyspark.sql import Window
+
+    vecs = _quantized(spark, sf_dir)
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    q = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .join(labels, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"), F.col("label").alias("qlabel"),
+        )
+    )
+    corpus = vecs.join(labels, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"), F.col("label").alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("qlabel") == F.col("nlabel")).alias("same_label"),
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return ranked.where(
+        (F.col("same_label") & (F.col("rnk") <= 1))
+        | (~F.col("same_label") & (F.col("rnk") <= HARDNEG_K))
+    ).select(
+        "query_id",
+        F.when(F.col("same_label"), "hard_positive")
+        .otherwise("hard_negative")
+        .alias("kind"),
+        "neighbor_id",
+        "cosine",
+        "rnk",
+    )
