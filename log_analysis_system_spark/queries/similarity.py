@@ -1427,3 +1427,79 @@ def q_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rnk",
     )
+
+
+_PURITY_ORACLE = (
+    _kmeans_cte(KMEANS_ITERS)
+    + """,
+labeled AS (
+    SELECT a.cell_id AS cluster_id, e.label
+    FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+by_label AS (
+    SELECT cluster_id, label, count(*) AS n
+    FROM labeled GROUP BY 1, 2
+),
+tops AS (
+    SELECT cluster_id, label AS majority_label, n AS majority_n
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n DESC, label) AS r
+        FROM by_label
+    ) WHERE r = 1
+),
+totals AS (SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_vecs
+           FROM by_label GROUP BY 1)
+SELECT t.cluster_id, tt.n_vecs, t.majority_label,
+       CAST(t.majority_n AS BIGINT) AS majority_n,
+       CAST(t.majority_n * 1000000 // tt.n_vecs AS BIGINT) AS purity_ppm
+FROM tops t JOIN totals tt ON tt.cluster_id = t.cluster_id
+"""
+)
+
+
+@query("cluster_label_purity", oracle=_PURITY_ORACLE)
+def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per trained-k-means cluster, the majority
+    label and its integer-ppm share — the purity metric that tells a
+    curation pipeline whether its semantic clusters track the labels
+    before it trusts them for cluster-scoped dedup or balanced sampling.
+    Rides the oracle-exact clustering (`semantic_clusters`) plus one
+    labels join; all arithmetic integer.
+
+    Scale shape: assignment as in `semantic_clusters`; the purity rollup
+    is two hash aggregates on (cluster, label) then cluster — map-side
+    combinable, output O(K)."""
+    assigned = _kmeans_assigned(spark, sf_dir)
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    by_label = (
+        assigned.join(labels, "vec_id")
+        .groupBy(F.col("cell_id").alias("cluster_id"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    tops = (
+        by_label.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    totals = by_label.groupBy("cluster_id").agg(
+        F.sum("n").alias("n_vecs")
+    )
+    return tops.join(totals, "cluster_id").select(
+        "cluster_id",
+        "n_vecs",
+        "majority_label",
+        "majority_n",
+        F.floor(F.col("majority_n") * 1000000 / F.col("n_vecs"))
+        .cast("long")
+        .alias("purity_ppm"),
+    )
