@@ -993,13 +993,18 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation."""
     K, W = WINNOW_K, WINNOW_W
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = F.split(F.col("text"), " ")
     gh = F.expr(
         f"transform(sequence(1, greatest(size(split(text, ' ')) - {K - 1}, 1)), "
         f"i -> cast(conv(substring(md5(cast(concat_ws(' ', "
         f"slice(split(text, ' '), i, {K})) as binary)), 1, 7), 16, 10) as bigint))"
     )
-    wins = docs.select("doc_id", gh.alias("gh")).select(
+    # CACHE BARRIER, load-bearing: without it CollapseProject inlines the
+    # gram-hash array into the window-min lambda, re-evaluating ALL ~n
+    # gram md5s for EVERY window position — O(n^2) md5 per doc (measured
+    # 104 s -> 4.8 s at sf0.1, 22x). Same materialization pattern as
+    # similarity._quantized; the cached projection is ~8 B/token.
+    ghf = docs.select("doc_id", gh.alias("gh")).cache()
+    wins = ghf.select(
         "doc_id",
         F.array_distinct(
             F.expr(
