@@ -71,3 +71,102 @@ def merge_rollups(*rollups: DataFrame) -> DataFrame:
     return out.groupBy(*group_cols).agg(
         *[fn(c).alias(c) for c, fn in _MERGES.items()]
     )
+
+
+# ---------------------------------------------- persisted incremental store
+
+def append_rollup_batch(
+    events_batch: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    bucket: str = "hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """Incremental-maintenance write path: roll up ONE ingest batch and
+    persist its partial aggregates under ``batches/batch=<id>`` —
+    append-only and NATURALLY idempotent: a replayed batch overwrites its
+    own directory with byte-identical deterministic content, so no marker
+    file or read-modify-write of history is needed (the failure mode a
+    merge-into-place refresh has: replay after a crash between data write
+    and marker double-merges the delta). History is never rewritten;
+    serving merges partials (`serve_rollup`); `compact_rollup` bounds the
+    batch-dir count."""
+    rollup_events(
+        events_batch, bucket=bucket, keys=keys, ts_col=ts_col,
+        value_col=value_col,
+    ).write.mode("overwrite").parquet(f"{store_dir}/batches/batch={batch_id}")
+
+
+def _live_dirs(spark, store_dir: str) -> list[str]:
+    """Current batch/base dirs: the compaction pointer names a base dir;
+    batch dirs newer than the pointer's high-water mark are live."""
+    import json
+    import os
+
+    ptr = os.path.join(store_dir, "_base_pointer.json")
+    base, upto = None, -1
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            meta = json.load(f)
+        base, upto = meta["base"], meta["upto"]
+    dirs = []
+    if base:
+        dirs.append(os.path.join(store_dir, base))
+    broot = os.path.join(store_dir, "batches")
+    if os.path.isdir(broot):
+        for d in sorted(os.listdir(broot)):
+            if d.startswith("batch=") and int(d.split("=")[1]) > upto:
+                dirs.append(os.path.join(broot, d))
+    return dirs
+
+
+def serve_rollup(spark, store_dir: str) -> DataFrame:
+    """Serving path: merge the persisted partials (compacted base + live
+    batch dirs) into the current continuous-aggregate view — identical to
+    rolling up all raw history (the merge-algebra invariant, tested), but
+    reading only O(buckets) partial rows."""
+    dirs = _live_dirs(spark, store_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no rollup partials under {store_dir}")
+    return merge_rollups(*[spark.read.parquet(d) for d in dirs])
+
+
+def compact_rollup(spark, store_dir: str) -> None:
+    """Compaction: merge every live partial into one new base dir and
+    commit it with an ATOMIC pointer-file swap (write `_base_pointer.json`
+    aside, `os.replace` into place) — a crash before the swap leaves the
+    old pointer and the old read path fully intact; batch dirs at or below
+    the new high-water mark become dead and are removed only AFTER the
+    commit (best-effort; leftovers are ignored by `_live_dirs`)."""
+    import json
+    import os
+    import shutil
+
+    broot = os.path.join(store_dir, "batches")
+    live = _live_dirs(spark, store_dir)
+    if not live:
+        raise FileNotFoundError(f"nothing to compact under {store_dir}")
+    upto = max(
+        (
+            int(d.split("=")[1])
+            for d in os.listdir(broot)
+            if d.startswith("batch=")
+        ),
+        default=-1,
+    )
+    base_name = f"base_upto_{upto}"
+    merged = merge_rollups(*[spark.read.parquet(d) for d in live])
+    merged.write.mode("overwrite").parquet(os.path.join(store_dir, base_name))
+    tmp = os.path.join(store_dir, "_base_pointer.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"base": base_name, "upto": upto}, f)
+    os.replace(tmp, os.path.join(store_dir, "_base_pointer.json"))  # commit
+    # post-commit cleanup: dead batch dirs and superseded bases
+    for d in os.listdir(broot):
+        if d.startswith("batch=") and int(d.split("=")[1]) <= upto:
+            shutil.rmtree(os.path.join(broot, d), ignore_errors=True)
+    for d in os.listdir(store_dir):
+        if d.startswith("base_upto_") and d != base_name:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)

@@ -41,3 +41,46 @@ def test_incremental_maintenance_step(spark):
     batch = ev.where(F.col("ts") >= cutoff)
     updated = merge_rollups(existing, rollup_events(batch, "day"))
     assert _canon(updated) == _canon(rollup_events(ev, "day"))
+
+
+def test_incremental_store_lifecycle(spark, tmp_path):
+    """Persisted incremental maintenance: per-batch partial appends merge
+    to exactly the full recompute; a REPLAYED batch changes nothing
+    (idempotence without markers); compaction preserves the view and
+    collapses the live dirs to one base."""
+    import os
+
+    from log_analysis_system_spark.operators.hypertable import (
+        append_rollup_batch,
+        compact_rollup,
+        serve_rollup,
+    )
+
+    ev = read_events(spark, SF_DIR).select("ts", "value")
+    store = str(tmp_path / "store")
+    # three ingest batches split by event hash
+    parts = [ev.where(F.abs(F.hash("ts", "value")) % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        append_rollup_batch(p, store, batch_id=i)
+
+    full = _canon(rollup_events(ev))
+    assert _canon(serve_rollup(spark, store)) == full
+
+    # replay batch 1 (crash-retry): byte-identical overwrite, same view
+    append_rollup_batch(parts[1], store, batch_id=1)
+    assert _canon(serve_rollup(spark, store)) == full
+
+    # compact: one base dir, same view; late batch after compaction merges
+    compact_rollup(spark, store)
+    assert _canon(serve_rollup(spark, store)) == full
+    assert os.path.exists(os.path.join(store, "_base_pointer.json"))
+    live_batches = [
+        d for d in os.listdir(os.path.join(store, "batches"))
+        if d.startswith("batch=")
+    ]
+    assert live_batches == []
+
+    # new batch after compaction: view = full history again
+    append_rollup_batch(parts[0], store, batch_id=3)
+    both = merge_rollups(rollup_events(ev), rollup_events(parts[0]))
+    assert _canon(serve_rollup(spark, store)) == _canon(both)
