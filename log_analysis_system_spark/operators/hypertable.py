@@ -99,7 +99,7 @@ def append_rollup_batch(
     ).write.mode("overwrite").parquet(f"{store_dir}/batches/batch={batch_id}")
 
 
-def _live_dirs(spark, store_dir: str) -> list[str]:
+def _live_dirs(store_dir: str) -> list[str]:
     """Current batch/base dirs: the compaction pointer names a base dir;
     batch dirs newer than the pointer's high-water mark are live."""
     import json
@@ -127,7 +127,7 @@ def serve_rollup(spark, store_dir: str) -> DataFrame:
     batch dirs) into the current continuous-aggregate view — identical to
     rolling up all raw history (the merge-algebra invariant, tested), but
     reading only O(buckets) partial rows."""
-    dirs = _live_dirs(spark, store_dir)
+    dirs = _live_dirs(store_dir)
     if not dirs:
         raise FileNotFoundError(f"no rollup partials under {store_dir}")
     return merge_rollups(*[spark.read.parquet(d) for d in dirs])
@@ -145,7 +145,7 @@ def compact_rollup(spark, store_dir: str) -> None:
     import shutil
 
     broot = os.path.join(store_dir, "batches")
-    live = _live_dirs(spark, store_dir)
+    live = _live_dirs(store_dir)
     if not live:
         raise FileNotFoundError(f"nothing to compact under {store_dir}")
     upto = max(
