@@ -378,3 +378,12 @@ def test_countmin_sketch_single_hash_aggregate(spark):
     assert "HashAggregate" in plan and "partial_count" in plan
     assert "SortAggregate" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnow_gram_hashes_materialized(spark):
+    """The gram-hash array must come from the cache barrier
+    (InMemoryTableScan), not be re-inlined into the window-min lambda —
+    the O(n^2)-md5-per-doc regression the round-3 fix removed."""
+    plan = plan_of(spark, "winnow_overlap")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
