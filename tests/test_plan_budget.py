@@ -1,0 +1,44 @@
+"""Shuffle-budget regression pin: every registry query's physical-plan
+Exchange count must not EXCEED the checked-in budget
+(plan_exchange_budget.json, regenerated deliberately when a plan change
+is intentional). The count is textual — branch duplication inflates it
+consistently (runtime ReuseExchange dedups real work) — so it is a
+stable fingerprint: a refactor that adds a shuffle anywhere in any of
+the 132 queries fails here before any benchmark notices."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+from tests.conftest import SF_DIR
+
+load_all()
+
+with open(os.path.join(os.path.dirname(__file__), "plan_exchange_budget.json")) as f:
+    BUDGET = json.load(f)
+
+
+def test_budget_covers_registry():
+    missing = set(QUERIES) - set(BUDGET)
+    assert not missing, (
+        f"queries without a pinned exchange budget (regenerate "
+        f"tests/plan_exchange_budget.json): {missing}"
+    )
+
+
+def test_no_query_exceeds_exchange_budget(spark):
+    over = {}
+    for name in sorted(QUERIES):
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = len(re.findall(r"\bExchange\b", plan))
+        if n > BUDGET.get(name, 0):
+            over[name] = (n, BUDGET.get(name))
+    assert not over, f"plans grew new shuffles (got, budget): {over}"
