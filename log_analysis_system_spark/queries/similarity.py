@@ -1306,18 +1306,20 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the exact side is the expensive one by design — the
     audit runs on a bounded sample tier (here the whole sf corpus); the
-    comparison itself is two slim anti-joins on (vec_a, vec_b)."""
-    lsh = q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    exact = q_embedding_near_dup_exact(spark, sf_dir).select(
-        "vec_a", "vec_b"
+    comparison itself is one full-outer join on (vec_a, vec_b) aggregated
+    in-plan — a single action, no driver-side counting loop."""
+    lsh = q_embedding_near_dup(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("in_lsh")
     )
-    n_exact = exact.count()
-    n_lsh = lsh.count()
-    n_missed = exact.join(lsh, ["vec_a", "vec_b"], "left_anti").count()
-    n_false = lsh.join(exact, ["vec_a", "vec_b"], "left_anti").count()
-    return spark.createDataFrame(
-        [(n_exact, n_lsh, n_missed, n_false)],
-        "n_exact long, n_lsh long, n_missed long, n_false_pos long",
+    exact = q_embedding_near_dup_exact(spark, sf_dir).select(
+        "vec_a", "vec_b", F.lit(1).alias("in_exact")
+    )
+    both = exact.join(lsh, ["vec_a", "vec_b"], "full_outer")
+    return both.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count("in_lsh").alias("n_lsh"),
+        F.count(F.when(F.col("in_lsh").isNull(), 1)).alias("n_missed"),
+        F.count(F.when(F.col("in_exact").isNull(), 1)).alias("n_false_pos"),
     )
 
 
