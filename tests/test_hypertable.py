@@ -84,3 +84,52 @@ def test_incremental_store_lifecycle(spark, tmp_path):
     append_rollup_batch(parts[0], store, batch_id=3)
     both = merge_rollups(rollup_events(ev), rollup_events(parts[0]))
     assert _canon(serve_rollup(spark, store)) == _canon(both)
+
+
+def test_streaming_materialized_rollup(spark, tmp_path):
+    """Streaming -> incremental store: foreachBatch appends each
+    micro-batch's partials under its batch_id (replay-idempotent by
+    construction), and serve_rollup equals the batch rollup of everything
+    streamed — an exactly-once streaming materialized view with no
+    marker files."""
+    import json as _json
+
+    from log_analysis_system_spark.operators.hypertable import (
+        append_rollup_batch,
+        serve_rollup,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    rows = [
+        {"ts": f"2024-01-01 0{h}:{m:02d}:00", "value": float(h * 10 + m)}
+        for h in range(3)
+        for m in (0, 15, 45)
+    ]
+    for i, chunk in enumerate([rows[:4], rows[4:]]):
+        with open(inp / f"c{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps(r) + "\n")
+
+    store = str(tmp_path / "store")
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: append_rollup_batch(
+                batch_df, store, batch_id
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = spark.createDataFrame(
+        [(r["ts"], r["value"]) for r in rows], "ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert _canon(serve_rollup(spark, store)) == _canon(rollup_events(batch))
