@@ -690,3 +690,130 @@ def q_source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("near_dup_ppm"),
     )
+
+
+# --------------------------------------------- heavy hitters (Misra-Gries)
+
+MG_K = 4        # counters per state group
+MG_GROUPS = 2   # hash-partitioned summaries
+
+
+@query(
+    "heavy_hitters_verdict",
+    oracle="""
+WITH terms AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS true_n,
+       TRUE AS within_bound,
+       TRUE AS tracked_if_heavy
+FROM terms GROUP BY 1
+""",
+)
+def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Misra-Gries heavy hitters with the error guarantee checked
+    EXACTLY, per term, as the oracle verdict: after hash-partitioning
+    terms into {MG_GROUPS} independent k={MG_K} summaries (fold order
+    pinned by (doc_id, position) — MG is arrival-order-dependent), every
+    term must satisfy the MG bound
+        est <= true AND (true - est) * (k+1) <= n_processed - n_retained
+    and any term heavier than N_g/(k+1) must be tracked — both sides in
+    exact integer arithmetic, so a single wrong counter flips a boolean
+    and fails the hash. Companion of the streaming form
+    (streaming/heavy_hitters.py), which runs the same fold per micro-batch
+    with bounded keyed state.
+
+    Scale shape: the fold is one applyInPandas over {MG_GROUPS} groups —
+    each group's state is k counters regardless of stream length; the
+    verdict join is a broadcast of the k x groups tracked set onto the
+    exact-count aggregate."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    ).select(
+        "term",
+        (F.col("doc_id") * 100000 + F.col("pos")).alias("ord"),
+        F.pmod(F.xxhash64("term"), F.lit(MG_GROUPS)).alias("grp"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord")
+        slots: dict = {}
+        n_proc = 0
+        for it in pdf["term"]:
+            n_proc += 1
+            if it in slots:
+                slots[it] += 1
+            elif len(slots) < MG_K:
+                slots[it] = 1
+            else:
+                for name in list(slots):
+                    slots[name] -= 1
+                    if slots[name] == 0:
+                        del slots[name]
+        grp = int(pdf["grp"].iloc[0])
+        names = sorted(slots)
+        return pd.DataFrame(
+            {
+                "grp": [grp] * len(names),
+                "item": names,
+                "est": [slots[n] for n in names],
+                "n_processed": [n_proc] * len(names),
+                "n_retained": [sum(slots.values())] * len(names),
+            }
+        )
+
+    summary = terms.groupBy("grp").applyInPandas(
+        fold,
+        schema="grp long, item string, est long, n_processed long, n_retained long",
+    )
+    exact = terms.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    n_g = exact.groupBy("grp").agg(F.sum("true_n").alias("n_grp"))
+    joined = (
+        exact.join(
+            F.broadcast(
+                summary.select(
+                    "grp",
+                    F.col("item").alias("term"),
+                    "est",
+                    "n_processed",
+                    "n_retained",
+                )
+            ),
+            ["grp", "term"],
+            "left",
+        )
+        .join(F.broadcast(n_g), "grp")
+        # per-group totals hold for every row of the group, tracked or not
+        .withColumn(
+            "n_processed",
+            F.first("n_processed", ignorenulls=True).over(
+                Window.partitionBy("grp")
+            ),
+        )
+        .withColumn(
+            "n_retained",
+            F.first("n_retained", ignorenulls=True).over(
+                Window.partitionBy("grp")
+            ),
+        )
+    )
+    est0 = F.coalesce("est", F.lit(0))
+    within = (est0 <= F.col("true_n")) & (
+        (F.col("true_n") - est0) * (MG_K + 1)
+        <= F.col("n_processed") - F.col("n_retained")
+    )
+    tracked_ok = (
+        ~(F.col("true_n") * (MG_K + 1) > F.col("n_grp"))
+    ) | F.col("est").isNotNull()
+    return joined.select(
+        "term",
+        "true_n",
+        within.alias("within_bound"),
+        tracked_ok.alias("tracked_if_heavy"),
+    )
