@@ -1505,3 +1505,274 @@ def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purity_ppm"),
     )
+
+
+# ----------------------------------------------- product quantization (PQ) ANN
+
+# PQ layout: M_SUB subspaces of SUB_DIM dims, K_CODES codewords each. A
+# vector's index entry is M_SUB small ints (here 8 x 4 bits = 4 B) instead of
+# N_DIMS floats (256 B) — the 64x memory compression that lets a 100 TB
+# embedding corpus keep its ANN index in executor memory. Search is ADC
+# (asymmetric distance): the query stays full-precision and per-subspace
+# distances to every codeword are precomputed once per query, so scoring a
+# corpus vector is M_SUB table lookups — no vector arithmetic in the hot loop.
+M_SUB = 8
+SUB_DIM = N_DIMS // M_SUB
+K_CODES = 16
+PQ_ITERS = 3
+PQ_CAND = 50        # ADC candidate pool that gets exact re-ranking
+PQ_RECALL_MIN = 0.5  # aggregate recall@TOP_K gate (same contract as IVF)
+
+
+def _l2(a: str, b: str) -> Column:
+    """Exact integer squared L2 distance between two quantized arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each quantized vector split into M_SUB contiguous
+    SUB_DIM-dim subvectors — a zero-shuffle narrow explode."""
+    return vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {M_SUB - 1}), "
+                f"j -> slice(e, j * {SUB_DIM} + 1, {SUB_DIM}))"
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def train_pq_codebooks(vecs: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
+    """Train all M_SUB codebooks JOINTLY with Lloyd's k-means on L2 distance:
+    (sub, code, cv) with K_CODES codewords per subspace.
+
+    One DataFrame trains every subspace at once — subvector rows carry their
+    ``sub`` key, the 128-row codebook broadcast-joins on it, and the argmin /
+    floored-mean updates group by (sub, code). Init = the subvectors of the
+    first K_CODES vec_ids (deterministic, like IVF's mod-subset). All
+    arithmetic is integer (bigint squared distances, floored means), so
+    training is bit-deterministic and partitioning-independent; empty codes
+    keep their previous codeword; lineage truncates per round via
+    localCheckpoint on the 128-row codebook (the iterative-algorithm pattern
+    shared with train_ivf_centroids)."""
+    from pyspark.sql import Window
+
+    subv = _subvectors(vecs)
+    cb = subv.where(F.col("vec_id") < K_CODES).select(
+        "sub", F.col("vec_id").cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("dist"), F.asc("code")
+    )
+    for _ in range(iters):
+        assign = subv.join(F.broadcast(cb), "sub").select(
+            "vec_id", "sub", "code", _l2("sv", "cv").alias("dist")
+        )
+        top1 = (
+            assign.withColumn("crnk", F.row_number().over(w))
+            .where(F.col("crnk") == 1)
+            .select("vec_id", "sub", "code")
+        )
+        memb = subv.join(top1, ["vec_id", "sub"]).selectExpr(
+            "sub", "code", "posexplode(sv) AS (d, val)"
+        )
+        means = memb.groupBy("sub", "code", "d").agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("m")
+        )
+        moved = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        cb = (
+            cb.select("sub", "code", F.col("cv").alias("old_cv"))
+            .join(moved, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("cv", "old_cv").alias("cv")
+            )
+            .localCheckpoint()
+        )
+    return cb
+
+
+def _pq_literals(cb_rows, q_rows):
+    """Bake the trained codebook and the per-query ADC lookup tables as SQL
+    literals. cb_rows: collected (sub, code, cv); q_rows: collected quantized
+    query (vec_id, e). Both are CONSTANT-sized (M_SUB*K_CODES codewords, the
+    bounded query set) — the same bake-as-codegen-literal move the LSH
+    hyperplanes use, NOT a corpus collect. Returns (cb_sql, lut_sql, qids_sql)
+    or None if the codebook is empty."""
+    if not cb_rows or not q_rows:
+        return None
+    book: dict[tuple[int, int], list[int]] = {
+        (r["sub"], r["code"]): list(r["cv"]) for r in cb_rows
+    }
+    cb_py = [
+        [book[(j, k)] for k in range(K_CODES)] for j in range(M_SUB)
+    ]
+    cb_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(", ".join(f"{v}L" for v in cw))
+                    for cw in cb_py[j]
+                )
+            )
+            for j in range(M_SUB)
+        )
+    )
+    qids = sorted(r["vec_id"] for r in q_rows)
+    qvec = {r["vec_id"]: list(r["e"]) for r in q_rows}
+    # lut[q][j][k] = integer squared L2 between query q's j-th subvector and
+    # codeword (j, k) — exact Python ints, the same arithmetic Spark runs.
+    lut_sql = "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(
+                        ", ".join(
+                            str(
+                                sum(
+                                    (
+                                        qvec[q][j * SUB_DIM + d]
+                                        - cb_py[j][k][d]
+                                    )
+                                    ** 2
+                                    for d in range(SUB_DIM)
+                                )
+                            )
+                            + "L"
+                            for k in range(K_CODES)
+                        )
+                    )
+                    for j in range(M_SUB)
+                )
+            )
+            for q in qids
+        )
+    )
+    qids_sql = "array({})".format(", ".join(f"{q}L" for q in qids))
+    return cb_sql, lut_sql, qids_sql
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+SELECT count(DISTINCT vec_id) AS n_queries,
+       CAST(TRUE AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking, gated on recall@k.
+
+    Pipeline: (1) train M_SUB x K_CODES codebooks (integer Lloyd's, one
+    DataFrame for all subspaces); (2) bake the trained codebook + per-query
+    ADC lookup tables into the plan as literals, so ENCODING (per-subspace
+    argmin) and SCORING (M_SUB lookups per query) are ONE narrow zero-shuffle
+    projection over the corpus; (3) per-query top-{PQ_CAND} ADC candidates
+    (the only corpus shuffle); (4) exact integer-cosine re-rank of candidates
+    against the full-precision vectors; (5) aggregate recall@{TOP_K} vs the
+    in-plan brute-force truth must reach {PQ_RECALL_MIN}.
+
+    Like ann_ivf_trained_topk, the trained index is not SQL-expressible, so
+    the hash-checked contract is the measured quality verdict; training,
+    encoding, ADC search, re-rank, and the exact ground truth all execute
+    for real on the Spark side. At scale the corpus-side cost is one scan
+    (codes are 4 B/vector if persisted) + a top-C shuffle of slim
+    (query_id, vec_id, adist) rows — no pairwise joins.
+
+    Measured recall@{TOP_K} with {PQ_ITERS} Lloyd's rounds and a
+    {PQ_CAND}-candidate pool: 0.76 at sf0.001 (500 vecs), 0.74 at sf0.01
+    (500), 0.60 at sf0.1 (2000 — the pool is 2.5% of that corpus; at fixed
+    pool fraction recall holds, the constant-C run is the honest
+    worst case). The {PQ_RECALL_MIN} gate leaves ~1.5x margin at the
+    official sf0.01 check."""
+    vecs = _quantized(spark, sf_dir)
+    cb_rows = train_pq_codebooks(vecs).collect()
+    q_rows = (
+        vecs.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
+    )
+    baked = _pq_literals(cb_rows, q_rows)
+    if baked is None:
+        return spark.createDataFrame(
+            [], "n_queries bigint, recall_ok boolean"
+        )
+    cb_sql, lut_sql, qids_sql = baked
+    codes_expr = (
+        f"transform(transform(sequence(0, {M_SUB - 1}), j -> "
+        f"transform(element_at({cb_sql}, j + 1), c -> "
+        f"aggregate(zip_with(slice(e, j * {SUB_DIM} + 1, {SUB_DIM}), c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v))), "
+        f"dl -> CAST(array_position(dl, array_min(dl)) AS INT) - 1)"
+    )
+    scores_expr = (
+        f"transform({lut_sql}, ql -> "
+        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at(element_at(ql, j + 1), "
+        f"element_at(codes, j + 1) + 1)))"
+    )
+    scored = (
+        vecs.withColumn("codes", F.expr(codes_expr))
+        .select("vec_id", F.posexplode(F.expr(scores_expr)).alias("pos", "adist"))
+        .withColumn(
+            "query_id", F.expr(f"element_at({qids_sql}, pos + 1)")
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    cands = grouped_topn(
+        scored,
+        ["query_id"],
+        [F.asc("adist"), F.asc("vec_id")],
+        PQ_CAND,
+        keep_rank=False,
+    ).select("query_id", "vec_id")
+    nbr = vecs.select(
+        F.col("vec_id"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
+    )
+    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rer = (
+        F.broadcast(cands)
+        .join(nbr, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    pq_top = grouped_topn(
+        rer,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        keep_rank=False,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    truth = q_ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    marked = truth.join(pq_top, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0)))
+            >= F.lit(PQ_RECALL_MIN) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )

