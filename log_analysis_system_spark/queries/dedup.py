@@ -562,6 +562,74 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_DELETE_TYPE = "error"  # the event_type treated as a DELETE tombstone
+
+
+def apply_changelog(snapshot: DataFrame | None, ops: DataFrame) -> DataFrame:
+    """Apply a CDC changelog to a snapshot: last op per key wins, DELETE
+    tombstones (event_type == CDC_DELETE_TYPE) remove the key.
+
+    ``snapshot`` and ``ops`` share the schema (user_id, event_id,
+    event_type, ts, value_c); the snapshot row for a key is the last
+    surviving op applied so far, so re-applying a NEWER batch on top is
+    exactly a union + latest-per-key cut — the lakehouse MERGE loop.
+    Incremental contract (pytest-verified): splitting the changelog at any
+    timestamp and applying the halves in order yields the same snapshot as
+    one full apply. One window shuffle on the key per batch; tombstoned
+    keys leave the snapshot entirely (no tombstone retention — compaction
+    happens at every apply)."""
+    from pyspark.sql import Window
+
+    both = ops if snapshot is None else snapshot.unionByName(ops)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .where(F.col("event_type") != CDC_DELETE_TYPE)
+    )
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle=f"""
+SELECT user_id, event_id AS last_event_id,
+       event_type AS last_event_type, ts AS last_ts, value_c AS last_value_c
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events
+) t
+WHERE rn = 1 AND event_type <> '{CDC_DELETE_TYPE}'
+""",
+)
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE with tombstones: materialize the current snapshot from a
+    full changelog — upserts keep the newest record per key,
+    '{CDC_DELETE_TYPE}' ops are DELETE tombstones that remove the key
+    (``latest_per_key`` is the tombstone-free compaction twin). Values are
+    integer cents so the snapshot hashes identically across engines. Same
+    single window shuffle as latest_per_key; the tombstone filter runs
+    AFTER the cut (a key whose last op is a delete must vanish even though
+    older upserts exist)."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return apply_changelog(None, ev).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value_c").alias("last_value_c"),
+    )
+
+
 SAMPLE_PCT = 10  # keep ~10% of rows, deterministically
 
 

@@ -555,3 +555,41 @@ def test_pq_empty_corpus_returns_empty_verdict(spark, tmp_path):
     out = q_ann_pq_topk(spark, path)
     assert out.columns == ["n_queries", "recall_ok"]
     assert out.count() == 0
+
+
+def test_cdc_incremental_apply_matches_full(spark):
+    """Splitting the changelog at the median timestamp and applying the two
+    halves in order must equal one full apply — the MERGE-loop contract of
+    apply_changelog. Tombstoned keys must be absent from the snapshot."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.functions.scalar import epoch_us
+    from log_analysis_system_spark.queries.dedup import (
+        CDC_DELETE_TYPE,
+        apply_changelog,
+    )
+    from log_analysis_system_spark.sources.catalog import read_events
+
+    ev = read_events(spark, SF_DIR).select(
+        "user_id", "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    cut = ev.agg(
+        F.percentile_approx(epoch_us("ts"), 0.5)
+    ).collect()[0][0]
+    first = ev.where(epoch_us("ts") < cut)
+    second = ev.where(epoch_us("ts") >= cut)
+    assert first.count() > 0 and second.count() > 0
+
+    full = {tuple(r) for r in apply_changelog(None, ev).collect()}
+    snap1 = apply_changelog(None, first)
+    inc = {tuple(r) for r in apply_changelog(snap1, second).collect()}
+    assert inc == full and full
+
+    deleted_last = {
+        r["user_id"]
+        for r in apply_changelog(None, ev)
+        .where(F.col("event_type") == CDC_DELETE_TYPE)
+        .collect()
+    }
+    assert not deleted_last
