@@ -344,3 +344,144 @@ def q_forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+# ------------------------------------------- time-series similarity search
+
+TS_QUERY_USERS = 5   # user_id < 5 are the query series
+TS_TOP_K = 5
+TS_HOURS = 24
+
+_TS_DENSE_CTE = f"""
+h AS (
+    SELECT user_id, CAST(extract(hour FROM ts) AS BIGINT) AS j,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT u.user_id, g.j
+    FROM (SELECT DISTINCT user_id FROM events) u,
+         (SELECT unnest(generate_series(0, {TS_HOURS - 1})) AS j) g
+),
+d AS (
+    SELECT grid.user_id, grid.j, coalesce(h.c, 0) AS c
+    FROM grid LEFT JOIN h ON h.user_id = grid.user_id AND h.j = grid.j
+),
+s AS (
+    SELECT user_id, sum(c) AS sx, sum(c * c) AS sxx
+    FROM d GROUP BY user_id
+)
+"""
+
+
+@query(
+    "ts_similarity_topk",
+    oracle=f"""
+WITH {_TS_DENSE_CTE},
+xy AS (
+    SELECT a.user_id AS query_id, b.user_id AS neighbor_id,
+           sum(a.c * b.c) AS sxy
+    FROM d a JOIN d b ON a.j = b.j
+    WHERE a.user_id < {TS_QUERY_USERS} AND a.user_id <> b.user_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT xy.query_id, xy.neighbor_id,
+           round(CAST({TS_HOURS} * sxy - qa.sx * qb.sx AS DOUBLE)
+                 / (sqrt(CAST({TS_HOURS} * qa.sxx - qa.sx * qa.sx AS DOUBLE))
+                    * sqrt(CAST({TS_HOURS} * qb.sxx - qb.sx * qb.sx
+                           AS DOUBLE))),
+                 6) AS corr
+    FROM xy
+    JOIN s qa ON qa.user_id = xy.query_id
+    JOIN s qb ON qb.user_id = xy.neighbor_id
+    WHERE {TS_HOURS} * qa.sxx - qa.sx * qa.sx > 0
+      AND {TS_HOURS} * qb.sxx - qb.sx * qb.sx > 0
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY corr DESC, neighbor_id) AS BIGINT) AS rnk
+    FROM r
+)
+SELECT query_id, neighbor_id, corr, rnk FROM ranked WHERE rnk <= {TS_TOP_K}
+""",
+)
+def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: each user's hour-of-day activity
+    profile (a dense {TS_HOURS}-point count series) matched against a
+    bounded query set by Pearson correlation, top-{TS_TOP_K} most-similar
+    users per query — the whole-series-matching half of the streaming
+    similarity-search literature (the ANN queries cover the embedding
+    half).
+
+    Numeric policy: correlation is computed from the INTEGER sufficient
+    statistics (n·Σxy − Σx·Σy over n·Σx² − (Σx)² ), which are exact
+    bigints in both engines; only the final divide/sqrt runs in double,
+    rounded at the output edge. Zero-variance series are excluded on both
+    sides (correlation undefined).
+
+    Scale shape: one groupBy builds each user's dense profile + sufficient
+    statistics (profiles never leave their partition as raw events); the
+    bounded query set broadcasts against the corpus exactly like
+    ann_brute_topk (a corpus×corpus variant would reuse the LSH banding);
+    top-k is one slim shuffle of (query, neighbor, corr) rows."""
+    ev = read_events(spark, sf_dir)
+    hist = ev.groupBy(
+        "user_id", F.hour("ts").cast("long").alias("j")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dense = hist.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "c"))).alias("m")
+    ).select(
+        "user_id",
+        F.expr(
+            f"transform(sequence(0, {TS_HOURS - 1}), "
+            f"j -> coalesce(element_at(m, CAST(j AS BIGINT)), 0L))"
+        ).alias("arr"),
+    )
+    stats = dense.select(
+        "user_id",
+        "arr",
+        F.expr("aggregate(arr, 0L, (acc, v) -> acc + v)").alias("sx"),
+        F.expr("aggregate(arr, 0L, (acc, v) -> acc + v * v)").alias("sxx"),
+    ).where(F.lit(TS_HOURS) * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+    queries = stats.where(F.col("user_id") < TS_QUERY_USERS).select(
+        F.col("user_id").alias("query_id"),
+        F.col("arr").alias("qarr"),
+        F.col("sx").alias("qsx"),
+        F.col("sxx").alias("qsxx"),
+    )
+    pairs = F.broadcast(queries).crossJoin(
+        stats.select(
+            F.col("user_id").alias("neighbor_id"),
+            F.col("arr").alias("narr"),
+            F.col("sx").alias("nsx"),
+            F.col("sxx").alias("nsxx"),
+        )
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    sxy = F.expr(
+        "aggregate(zip_with(qarr, narr, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    n = F.lit(TS_HOURS)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            (n * sxy - F.col("qsx") * F.col("nsx")).cast("double")
+            / (
+                F.sqrt((n * F.col("qsxx") - F.col("qsx") * F.col("qsx")).cast("double"))
+                * F.sqrt((n * F.col("nsxx") - F.col("nsx") * F.col("nsx")).cast("double"))
+            ),
+            6,
+        ).alias("corr"),
+    )
+    from ..operators.topn import grouped_topn
+
+    return grouped_topn(
+        scored,
+        ["query_id"],
+        [F.desc("corr"), F.asc("neighbor_id")],
+        TS_TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
