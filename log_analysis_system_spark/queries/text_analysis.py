@@ -817,3 +817,135 @@ def q_heavy_hitters_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         within.alias("within_bound"),
         tracked_ok.alias("tracked_if_heavy"),
     )
+
+
+# --------------------------------------------------------- BM25 ranking
+
+BM25_TERMS = ("hash", "join", "scan")  # fixed query, literal in both engines
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOP = 10
+
+
+def _bm25_score_sql(prefix: str = "") -> str:
+    """The BM25 score as ONE textual expression shared verbatim by Spark SQL
+    and DuckDB, so every double operation runs in the same written order on
+    both engines: idf_t = ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5)),
+    tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*len*n_docs/tot)), summed over
+    the query terms left-to-right. All inputs (tf/df/len/n_docs/tot) are
+    exact bigints; len*n_docs stays integer so the single double division
+    by tot is the only rounding point in the length normalization."""
+    k1, b = BM25_K1, BM25_B
+    parts = []
+    for i in range(len(BM25_TERMS)):
+        t = f"{prefix}tf{i}"
+        d = f"{prefix}df{i}"
+        parts.append(
+            f"ln(1 + (n_docs - {d} + 0.5) / ({d} + 0.5)) * "
+            f"({t} * ({k1} + 1)) / "
+            f"({t} + {k1} * (1 - {b} + {b} * (len * n_docs) / tot))"
+        )
+    return " + ".join(parts)
+
+
+_BM25_TF_DUCK = ",\n           ".join(
+    f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+_BM25_DF_DUCK = ",\n           ".join(
+    f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+    for i in range(len(BM25_TERMS))
+)
+
+
+@query(
+    "bm25_rank",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tf AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+           {_BM25_TF_DUCK}
+    FROM tok
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len) AS BIGINT) AS tot,
+           {_BM25_DF_DUCK}
+    FROM tf
+),
+scored AS (
+    SELECT tf.doc_id,
+           round({_bm25_score_sql()}, 6) AS score
+    FROM tf, g
+    WHERE tf0 + tf1 + tf2 > 0
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP}
+""",
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed literal term query — the classic
+    IR relevance function over the corpus (tf-idf's saturating,
+    length-normalized successor; `tfidf_top_terms` is the per-doc term
+    profile twin).
+
+    Per-doc term frequencies come from `F.filter` over the split token
+    array — a zero-shuffle codegen projection, no explode (the corpus rows
+    never fan out). Corpus statistics (N, total length, per-term document
+    frequencies) are ONE scalar aggregate broadcast back via crossJoin, so
+    the whole query is one agg shuffle + the global top-{BM25_TOP} cut.
+    The score expression string is shared verbatim with the DuckDB oracle,
+    making every double rounding point identical on both engines."""
+    from ..operators.topn import global_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf_cols = [
+        F.expr(f"CAST(size(filter(w, x -> x = '{t}')) AS BIGINT)").alias(
+            f"tf{i}"
+        )
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    tf = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).select(
+        "doc_id", F.size("w").cast("long").alias("len"), *tf_cols
+    )
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("tot"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(g))
+        .where(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select(
+            "doc_id",
+            F.round(F.expr(_bm25_score_sql()), 6).alias("score"),
+        )
+    )
+    ranked = global_topn(
+        scored, [F.desc("score"), F.asc("doc_id")], BM25_TOP
+    )
+    from pyspark.sql import Window
+
+    # partitionBy(lit(1)): the frame is the top-10 result, but an
+    # unpartitioned window spec would still log the single-partition
+    # warning — keep warning output clean so real regressions stand out.
+    return ranked.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        )
+        .cast("long"),
+    )
