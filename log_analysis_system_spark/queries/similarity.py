@@ -1776,3 +1776,207 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(PQ_RECALL_MIN) * F.count(F.lit(1))
         ).alias("recall_ok"),
     )
+
+
+# ------------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 10    # per-ranker candidate pool depth fed into the fusion
+RRF_TOP = 5
+
+from .dedup import SHINGLE_CTE  # noqa: E402 — shared lexical-index CTE
+
+# Text-ranker CTE: per query doc (doc_id < N_QUERIES), rank the corpus by
+# word-3-gram Jaccard similarity through the inverted shingle index — the
+# sparse/lexical ranker next to the dense/embedding one.
+_RRF_TEXT_CTE = f"""
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+tinter AS (
+    SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id < {N_QUERIES} AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+),
+tscore AS (
+    SELECT t.query_id, t.neighbor_id,
+           CAST(t.inter AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - t.inter) AS jac
+    FROM tinter t
+    JOIN sizes sa ON sa.doc_id = t.query_id
+    JOIN sizes sb ON sb.doc_id = t.neighbor_id
+),
+trank AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY jac DESC, neighbor_id) AS BIGINT) AS rb
+    FROM tscore
+)
+"""
+
+
+@query(
+    "hybrid_rrf_topk",
+    oracle=f"""
+WITH {_FLAT_CTE},
+{SHINGLE_CTE.strip()},
+{_RRF_TEXT_CTE.strip()},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+    FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < {N_QUERIES}
+                            AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+ascore AS (
+    SELECT d.query_id, d.neighbor_id,
+           round(CAST(d.dot AS DOUBLE) /
+                 (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+),
+arank AS (
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS ra
+    FROM ascore
+),
+fused AS (
+    SELECT coalesce(a.query_id, t.query_id) AS query_id,
+           coalesce(a.neighbor_id, t.neighbor_id) AS neighbor_id,
+           round(coalesce(1.0 / ({RRF_K} + a.ra), 0)
+                 + coalesce(1.0 / ({RRF_K} + t.rb), 0), 6) AS rrf
+    FROM (SELECT * FROM arank WHERE ra <= {RRF_POOL}) a
+    FULL JOIN (SELECT * FROM trank WHERE rb <= {RRF_POOL}) t
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+)
+SELECT query_id, neighbor_id, rrf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rnk
+    FROM fused
+) WHERE rnk <= {RRF_TOP}
+""",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the DENSE ranker (exact-integer cosine over
+    embeddings) with the SPARSE ranker (word-3-gram Jaccard through the
+    inverted shingle index) by reciprocal-rank fusion —
+    rrf = 1/({RRF_K}+rank_dense) + 1/({RRF_K}+rank_sparse), missing pool
+    membership contributing 0. The modern retrieval-stack pattern:
+    lexical and embedding rankers fail differently, and RRF needs no score
+    calibration because it only consumes RANKS.
+
+    Both pools are top-{RRF_POOL} per query; fusion is a full outer join of
+    two slim (query, neighbor, rank) pools (at scale: pools are
+    bounded-per-query, so the fusion join is trivially broadcastable).
+    doc_id indexes the same corpus as vec_id (the semantic_clusters
+    correspondence). Ranks, intersections, and set sizes are exact
+    integers; the two divisions and one addition run in identical order on
+    both engines, rounded at the output edge."""
+    from .dedup import shingles
+
+    vecs = _quantized(spark, sf_dir)
+    # dense pool: brute cosine, RRF_POOL deep
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    ascore = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    arank = grouped_topn(
+        ascore,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        RRF_POOL,
+        rank_col="ra",
+    ).select("query_id", "neighbor_id", F.col("ra").cast("long").alias("ra"))
+    # sparse pool: Jaccard via the inverted shingle index
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    qsh = sh.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "shingle"
+    )
+    tinter = (
+        qsh.join(sh.withColumnRenamed("doc_id", "neighbor_id"), "shingle")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    tscore = (
+        tinter.join(
+            sizes.select(
+                F.col("doc_id").alias("query_id"), F.col("n_sh").alias("na")
+            ),
+            "query_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("neighbor_id"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jac"),
+        )
+    )
+    trank = grouped_topn(
+        tscore,
+        ["query_id"],
+        [F.desc("jac"), F.asc("neighbor_id")],
+        RRF_POOL,
+        rank_col="rb",
+    ).select("query_id", "neighbor_id", F.col("rb").cast("long").alias("rb"))
+    fused = (
+        arank.join(trank, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("ra")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("rb")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return grouped_topn(
+        fused,
+        ["query_id"],
+        [F.desc("rrf"), F.asc("neighbor_id")],
+        RRF_TOP,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
