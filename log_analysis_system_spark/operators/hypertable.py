@@ -99,9 +99,14 @@ def append_rollup_batch(
     ).write.mode("overwrite").parquet(f"{store_dir}/batches/batch={batch_id}")
 
 
-def _live_dirs(store_dir: str) -> list[str]:
+def _live_dirs(store_dir: str, as_of_batch: int | None = None) -> list[str]:
     """Current batch/base dirs: the compaction pointer names a base dir;
-    batch dirs newer than the pointer's high-water mark are live."""
+    batch dirs newer than the pointer's high-water mark are live. With
+    ``as_of_batch``, only partials at or below that batch id participate —
+    the snapshot-read path. Snapshots below the compaction high-water mark
+    no longer exist (their batch dirs were folded into the base), which is
+    the standard retention contract of a compacting store: raise a clear
+    error instead of silently serving the wrong snapshot."""
     import json
     import os
 
@@ -111,23 +116,42 @@ def _live_dirs(store_dir: str) -> list[str]:
         with open(ptr) as f:
             meta = json.load(f)
         base, upto = meta["base"], meta["upto"]
+    if as_of_batch is not None and as_of_batch < upto:
+        raise ValueError(
+            f"snapshot batch={as_of_batch} predates the compaction "
+            f"high-water mark (batch={upto}); compacted history is not "
+            f"retained — raise the compaction cadence or archive batch "
+            f"dirs to keep deeper time travel"
+        )
     dirs = []
     if base:
         dirs.append(os.path.join(store_dir, base))
     broot = os.path.join(store_dir, "batches")
     if os.path.isdir(broot):
         for d in sorted(os.listdir(broot)):
-            if d.startswith("batch=") and int(d.split("=")[1]) > upto:
+            if not d.startswith("batch="):
+                continue
+            bid = int(d.split("=")[1])
+            if bid > upto and (as_of_batch is None or bid <= as_of_batch):
                 dirs.append(os.path.join(broot, d))
     return dirs
 
 
-def serve_rollup(spark, store_dir: str) -> DataFrame:
+def serve_rollup(
+    spark, store_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Serving path: merge the persisted partials (compacted base + live
     batch dirs) into the current continuous-aggregate view — identical to
     rolling up all raw history (the merge-algebra invariant, tested), but
-    reading only O(buckets) partial rows."""
-    dirs = _live_dirs(store_dir)
+    reading only O(buckets) partial rows.
+
+    ``as_of_batch`` gives a TIME-TRAVEL read: the view as of that ingest
+    batch (inclusive). Because history is append-only partials, a snapshot
+    is just "merge fewer dirs" — no undo log, no version manifests beyond
+    the compaction pointer. Snapshots older than the last compaction are
+    gone by design (ValueError); everything newer stays readable until the
+    next compaction folds it in."""
+    dirs = _live_dirs(store_dir, as_of_batch)
     if not dirs:
         raise FileNotFoundError(f"no rollup partials under {store_dir}")
     return merge_rollups(*[spark.read.parquet(d) for d in dirs])

@@ -133,3 +133,50 @@ def test_streaming_materialized_rollup(spark, tmp_path):
         [(r["ts"], r["value"]) for r in rows], "ts string, value double"
     ).withColumn("ts", F.to_timestamp("ts"))
     assert _canon(serve_rollup(spark, store)) == _canon(rollup_events(batch))
+
+
+def test_time_travel_snapshot_reads(spark, tmp_path):
+    """serve_rollup(as_of_batch=k) must equal the rollup of batches 0..k's
+    raw rows; snapshots older than the compaction high-water mark raise the
+    retention error; snapshots at/after it keep working."""
+    import pytest as _pytest
+
+    from log_analysis_system_spark.operators.hypertable import (
+        append_rollup_batch,
+        compact_rollup,
+        serve_rollup,
+    )
+
+    ev = read_events(spark, SF_DIR).select("ts", "value")
+    store = str(tmp_path / "store")
+    parts = [ev.where(F.abs(F.hash("ts", "value")) % 3 == i) for i in range(3)]
+    for i, p in enumerate(parts):
+        append_rollup_batch(p, store, batch_id=i)
+
+    # snapshot after each batch == rollup of the prefix union
+    prefix = parts[0]
+    assert _canon(serve_rollup(spark, store, as_of_batch=0)) == _canon(
+        rollup_events(prefix)
+    )
+    prefix = prefix.unionByName(parts[1])
+    assert _canon(serve_rollup(spark, store, as_of_batch=1)) == _canon(
+        rollup_events(prefix)
+    )
+    full = _canon(rollup_events(ev))
+    assert _canon(serve_rollup(spark, store, as_of_batch=2)) == full
+    # as_of beyond the newest batch = current view
+    assert _canon(serve_rollup(spark, store, as_of_batch=99)) == full
+
+    # compaction folds batches 0..2 into the base: snapshot 1 is gone
+    # (retention), snapshot >= high-water mark still serves
+    compact_rollup(spark, store)
+    with _pytest.raises(ValueError, match="compaction high-water mark"):
+        serve_rollup(spark, store, as_of_batch=1)
+    assert _canon(serve_rollup(spark, store, as_of_batch=2)) == full
+
+    # a post-compaction batch is excluded from the as_of=2 snapshot but
+    # included in the current view
+    append_rollup_batch(parts[0], store, batch_id=3)
+    assert _canon(serve_rollup(spark, store, as_of_batch=2)) == full
+    both = merge_rollups(rollup_events(ev), rollup_events(parts[0]))
+    assert _canon(serve_rollup(spark, store)) == _canon(both)
