@@ -200,3 +200,72 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
     return pagerank(edges)
+
+
+# --------------------------------------------- recursive-CTE reachability
+
+REACH_FANOUT = 2   # keep each nation's top-2 trade partners as edges
+REACH_MAX_HOPS = 4
+
+# ONE SQL text executed verbatim by BOTH engines (Spark 4 ships recursive
+# CTEs; DuckDB always had them) — the strongest cross-engine contract in
+# the repo: not just equal results, the same query. The UNION ALL
+# recursion enumerates paths, so the edge set is kept sparse (top-K
+# partners per nation) and depth-bounded — path count <= n_nations *
+# FANOUT^MAX_HOPS regardless of data volume; min(hops) collapses paths to
+# BFS distances.
+REACH_SQL = f"""
+WITH RECURSIVE
+trades AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS n
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, dst) AS rk
+        FROM trades
+    ) t WHERE rk <= {REACH_FANOUT}
+),
+reach(src, dst, hops) AS (
+    SELECT src, dst, 1 AS hops FROM edges
+    UNION ALL
+    SELECT r.src, e.dst, r.hops + 1 AS hops
+    FROM reach r JOIN edges e ON e.src = r.dst
+    WHERE r.hops < {REACH_MAX_HOPS}
+)
+SELECT src AS src_nation, dst AS dst_nation,
+       CAST(min(hops) AS BIGINT) AS hops
+FROM reach
+WHERE src <> dst
+GROUP BY src, dst
+"""
+
+
+@query("trade_reach_hops", oracle=REACH_SQL)
+def q_trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop distances over the nation trade graph via a
+    RECURSIVE CTE — the declarative twin of the imperative iterative
+    operators (pagerank's Python loop, connected_components'
+    convergence-checked rounds). Edges = each nation's top-{REACH_FANOUT}
+    partner nations by trade count (sparse by construction), recursion
+    depth-capped at {REACH_MAX_HOPS}; min(hops) over enumerated paths
+    gives BFS distance.
+
+    The oracle is not a re-implementation: `REACH_SQL` is executed
+    VERBATIM by Spark (which ships recursive CTEs since 4.0) and DuckDB,
+    over the same registered views. At scale the recursion's working set
+    is the bounded edge/path frontier, never the fact table — lineitem is
+    touched once in the seed aggregate."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(REACH_SQL)
