@@ -1663,6 +1663,86 @@ def _pq_literals(cb_rows, q_rows):
     return cb_sql, lut_sql, qids_sql
 
 
+def _pq_codes_expr(cb_sql: str) -> str:
+    """SQL expression computing a vector's M_SUB PQ codes (per-subspace
+    argmin against the literal codebook; array_position takes the FIRST
+    minimum, so ties break toward the lowest code deterministically)."""
+    return (
+        f"transform(transform(sequence(0, {M_SUB - 1}), j -> "
+        f"transform(element_at({cb_sql}, j + 1), c -> "
+        f"aggregate(zip_with(slice(e, j * {SUB_DIM} + 1, {SUB_DIM}), c, "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v))), "
+        f"dl -> CAST(array_position(dl, array_min(dl)) AS INT) - 1)"
+    )
+
+
+def _pq_adc_topk(codes_df, store, cb_rows, q_rows):
+    """Shared PQ search body: ADC-score the coded corpus for every query,
+    take the top-{PQ_CAND} candidate pool per query, exact-re-rank against
+    the full-precision vectors in ``store`` (vec_id, e, nrm), and return
+    the per-query top-{TOP_K} (query_id, neighbor_id, cosine, rnk). Used
+    by both the inline query (codes computed in-plan) and the persisted
+    index's serve path (codes read from parquet). Returns None for an
+    empty codebook/query set."""
+    baked = _pq_literals(cb_rows, q_rows)
+    if baked is None:
+        return None
+    _, lut_sql, qids_sql = baked
+    scores_expr = (
+        f"transform({lut_sql}, ql -> "
+        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at(element_at(ql, j + 1), "
+        f"element_at(codes, j + 1) + 1)))"
+    )
+    scored = (
+        codes_df.select(
+            "vec_id", F.posexplode(F.expr(scores_expr)).alias("pos", "adist")
+        )
+        .withColumn("query_id", F.expr(f"element_at({qids_sql}, pos + 1)"))
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    cands = grouped_topn(
+        scored,
+        ["query_id"],
+        [F.asc("adist"), F.asc("vec_id")],
+        PQ_CAND,
+        keep_rank=False,
+    ).select("query_id", "vec_id")
+    nbr = store.select(
+        F.col("vec_id"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
+    )
+    qids = {r["vec_id"] for r in q_rows}
+    qv = store.where(F.col("vec_id").isin(list(qids))).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    rer = (
+        F.broadcast(cands)
+        .join(nbr, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return grouped_topn(
+        rer,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
 @query(
     "ann_pq_topk",
     oracle=f"""
@@ -1706,67 +1786,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "n_queries bigint, recall_ok boolean"
         )
-    cb_sql, lut_sql, qids_sql = baked
-    codes_expr = (
-        f"transform(transform(sequence(0, {M_SUB - 1}), j -> "
-        f"transform(element_at({cb_sql}, j + 1), c -> "
-        f"aggregate(zip_with(slice(e, j * {SUB_DIM} + 1, {SUB_DIM}), c, "
-        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-        f"(acc, v) -> acc + v))), "
-        f"dl -> CAST(array_position(dl, array_min(dl)) AS INT) - 1)"
+    cb_sql = baked[0]
+    codes_df = vecs.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+    pq_top = _pq_adc_topk(codes_df, vecs, cb_rows, q_rows).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    scores_expr = (
-        f"transform({lut_sql}, ql -> "
-        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + element_at(element_at(ql, j + 1), "
-        f"element_at(codes, j + 1) + 1)))"
-    )
-    scored = (
-        vecs.withColumn("codes", F.expr(codes_expr))
-        .select("vec_id", F.posexplode(F.expr(scores_expr)).alias("pos", "adist"))
-        .withColumn(
-            "query_id", F.expr(f"element_at({qids_sql}, pos + 1)")
-        )
-        .where(F.col("query_id") != F.col("vec_id"))
-    )
-    cands = grouped_topn(
-        scored,
-        ["query_id"],
-        [F.asc("adist"), F.asc("vec_id")],
-        PQ_CAND,
-        keep_rank=False,
-    ).select("query_id", "vec_id")
-    nbr = vecs.select(
-        F.col("vec_id"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
-    )
-    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    rer = (
-        F.broadcast(cands)
-        .join(nbr, "vec_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot("qe", "ne").cast("double")
-                / (
-                    F.sqrt(F.col("qn").cast("double"))
-                    * F.sqrt(F.col("nn").cast("double"))
-                ),
-                6,
-            ).alias("cosine"),
-        )
-    )
-    pq_top = grouped_topn(
-        rer,
-        ["query_id"],
-        [F.desc("cosine"), F.asc("neighbor_id")],
-        TOP_K,
-        keep_rank=False,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     truth = q_ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
     marked = truth.join(pq_top, ["query_id", "neighbor_id"], "left")
     return marked.agg(
@@ -1776,6 +1800,58 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(PQ_RECALL_MIN) * F.count(F.lit(1))
         ).alias("recall_ok"),
     )
+
+
+# ----------------------------------------- persisted PQ index (build/serve)
+
+def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Index-build half of the PQ lifecycle: train the codebooks, encode the
+    corpus with the baked-literal projection (zero shuffle), and persist
+    codebooks + the coded corpus. The stored row is (vec_id, codes, e, nrm)
+    — codes drive ADC scoring; e/nrm serve the exact re-rank without
+    touching the original corpus files (the IVF-assignments pattern; a
+    codes-only index would re-read the corpus for re-ranking instead).
+    Rebuild = overwrite both (the index is derived data)."""
+    vecs = _quantized(spark, sf_dir)
+    cb = train_pq_codebooks(vecs)
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    cb_rows = cb.collect()
+    if not cb_rows:
+        vecs.select(
+            "vec_id",
+            F.expr("CAST(array() AS array<int>)").alias("codes"),
+            "e",
+            "nrm",
+        ).write.mode("overwrite").parquet(f"{index_dir}/codes")
+        return
+    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
+    (
+        vecs.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+        .select("vec_id", "codes", "e", "nrm")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def search_pq_index(
+    spark: SparkSession, index_dir: str, queries_df: DataFrame
+) -> DataFrame:
+    """Serve half: answer ANN queries from the PERSISTED PQ index only —
+    no training, no corpus rescan, no re-encoding. The per-query ADC
+    lookup tables come from the stored codebooks + the (bounded) collected
+    query vectors; scoring reads the 4 B/vector codes column and
+    re-ranking reads the stored full-precision columns.
+    queries_df: (vec_id, e) quantized query vectors."""
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    q_rows = queries_df.select("vec_id", "e").collect()
+    store = spark.read.parquet(f"{index_dir}/codes")
+    out = _pq_adc_topk(store.select("vec_id", "codes"), store, cb_rows, q_rows)
+    if out is None:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine double, rnk bigint",
+        )
+    return out
 
 
 # ------------------------------------------- hybrid retrieval (RRF fusion)

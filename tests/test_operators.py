@@ -593,3 +593,40 @@ def test_cdc_incremental_apply_matches_full(spark):
         .collect()
     }
     assert not deleted_last
+
+
+def test_pq_index_build_and_serve(spark, tmp_path):
+    """Build/serve split: searching the PERSISTED PQ index must return the
+    same top-k as the inline search (same codebooks, codes, candidates,
+    re-rank), with no training or corpus encode at serve time."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        _pq_adc_topk,
+        _pq_codes_expr,
+        _pq_literals,
+        _quantized,
+        build_pq_index,
+        search_pq_index,
+        train_pq_codebooks,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF_DIR, idx)
+
+    vecs = _quantized(spark, SF_DIR)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e")
+    served = {
+        tuple(r) for r in search_pq_index(spark, idx, queries).collect()
+    }
+
+    cb_rows = train_pq_codebooks(vecs).collect()
+    q_rows = queries.collect()
+    cb_sql = _pq_literals(cb_rows, q_rows)[0]
+    codes_df = vecs.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+    inline = {
+        tuple(r)
+        for r in _pq_adc_topk(codes_df, vecs, cb_rows, q_rows).collect()
+    }
+    assert served == inline and served
