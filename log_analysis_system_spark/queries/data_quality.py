@@ -154,3 +154,116 @@ def with_audit(df: DataFrame, name: str, metrics: dict[str, F.Column]):
 
     obs = Observation(name)
     return df.observe(obs, *[c.alias(n) for n, c in metrics.items()]), obs
+
+
+# -------------------------------------------------------- drift detection
+
+DRIFT_CUT = "2024-01-16"   # window A: days 1-15; window B: days 16-30
+DRIFT_BUCKET_W = 50        # fixed-width value buckets
+DRIFT_N_BUCKETS = 10
+
+# PSI contribution of one bucket, as one textual expression evaluated
+# identically by Spark and DuckDB: counts are +1-smoothed exact bigints,
+# pa/pb collapse to ONE double division each, and the log-ratio is computed
+# from the exact integer cross-products so ln sees the same double on both
+# engines.
+_PSI_EXPR = (
+    "round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)"
+    " * ln(CAST(ca * nb AS DOUBLE) / (cb * na)), 6)"
+)
+
+
+@query(
+    "drift_psi",
+    oracle=f"""
+WITH labeled AS (
+    SELECT 'value_bucket' AS feature,
+           CAST(CAST(least(floor(value / {DRIFT_BUCKET_W}),
+                           {DRIFT_N_BUCKETS - 1}) AS BIGINT) AS VARCHAR)
+               AS label,
+           CASE WHEN ts < TIMESTAMP '{DRIFT_CUT} 00:00:00'
+                THEN 1 ELSE 0 END AS in_a
+    FROM events
+    UNION ALL
+    SELECT 'event_type' AS feature, event_type AS label,
+           CASE WHEN ts < TIMESTAMP '{DRIFT_CUT} 00:00:00'
+                THEN 1 ELSE 0 END AS in_a
+    FROM events
+),
+counts AS (
+    SELECT feature, label,
+           CAST(sum(in_a) AS BIGINT) AS raw_a,
+           CAST(sum(1 - in_a) AS BIGINT) AS raw_b
+    FROM labeled GROUP BY 1, 2
+),
+smoothed AS (
+    SELECT feature, label, raw_a, raw_b,
+           raw_a + 1 AS ca, raw_b + 1 AS cb
+    FROM counts
+),
+tot AS (
+    SELECT feature, CAST(sum(ca) AS BIGINT) AS na,
+           CAST(sum(cb) AS BIGINT) AS nb
+    FROM smoothed GROUP BY 1
+)
+SELECT s.feature, s.label, s.raw_a AS n_a, s.raw_b AS n_b,
+       {_PSI_EXPR} AS psi_contrib
+FROM smoothed s JOIN tot USING (feature)
+""",
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection between two ingest windows via the
+    population stability index — per (feature, bucket) contributions for a
+    numeric feature (fixed-width value buckets) and a categorical one
+    (event_type). Rows stay PER-BUCKET: psi_contrib is each bucket's term
+    of PSI = sum (pa - pb) * ln(pa / pb); the reader sums them (psi > 0.2
+    = actionable drift by the usual rule). Emitting contributions, not the
+    sum, keeps the output free of cross-row double summation (order-
+    dependent) AND is the more useful diagnostic — it names WHICH buckets
+    moved.
+
+    Counts are +1-smoothed so empty-on-one-side buckets stay finite,
+    proportions are single double divisions of exact bigints, and the
+    log-ratio collapses to one division of integer cross-products — the
+    drift pass is one conditional-aggregate scan + a per-feature scalar
+    broadcast, no shuffle wider than the bucket table."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    in_a = (F.col("ts") < F.lit(f"{DRIFT_CUT} 00:00:00").cast("timestamp_ntz")).cast("long")
+    num = ev.select(
+        F.lit("value_bucket").alias("feature"),
+        F.least(
+            F.floor(F.col("value") / DRIFT_BUCKET_W),
+            F.lit(DRIFT_N_BUCKETS - 1),
+        )
+        .cast("long")
+        .cast("string")
+        .alias("label"),
+        in_a.alias("in_a"),
+    )
+    cat = ev.select(
+        F.lit("event_type").alias("feature"),
+        F.col("event_type").alias("label"),
+        in_a.alias("in_a"),
+    )
+    counts = (
+        num.unionByName(cat)
+        .groupBy("feature", "label")
+        .agg(
+            F.sum("in_a").alias("raw_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("raw_b"),
+        )
+        .withColumn("ca", F.col("raw_a") + 1)
+        .withColumn("cb", F.col("raw_b") + 1)
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return counts.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "label",
+        F.col("raw_a").alias("n_a"),
+        F.col("raw_b").alias("n_b"),
+        F.expr(_PSI_EXPR).alias("psi_contrib"),
+    )
