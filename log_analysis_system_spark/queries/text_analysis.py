@@ -949,3 +949,59 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long"),
     )
+
+
+# ---------------------------------------------------------- feature hashing
+
+FH_BUCKETS = 16   # hashed feature dimension
+
+
+@query(
+    "hashed_features",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % {FH_BUCKETS}
+               AS bucket,
+           CAST(('0x' || substr(md5(tok), 8, 1)) AS BIGINT) % 2 * 2 - 1
+               AS sgn
+    FROM tok
+)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w
+FROM h GROUP BY 1, 2
+HAVING sum(sgn) <> 0
+""",
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer): every token maps to
+    one of {FH_BUCKETS} buckets by md5, with an md5-derived ±1 sign so
+    collisions cancel in expectation — the fixed-dimension, vocabulary-free
+    text featurization a distributed ML pipeline uses when a fitted
+    vocabulary (CountVectorizer) would itself be a shuffle + a huge
+    broadcast. Output is the sparse relational form (doc_id, bucket, w),
+    zero rows for cancelled buckets.
+
+    md5-derived buckets/signs are the repo's portable-hash policy (exact
+    same values in DuckDB), making the vectorizer itself oracle-checkable —
+    unlike murmur-based hashingTF whose hash differs across engines. One
+    explode + one (doc_id, bucket) hash-aggregate; no vocabulary state."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    md5 = F.md5(F.col("tok").cast("binary"))
+    h = tok.select(
+        "doc_id",
+        (F.conv(F.substring(md5, 1, 7), 16, 10).cast("long") % FH_BUCKETS)
+        .alias("bucket"),
+        (F.conv(F.substring(md5, 8, 1), 16, 10).cast("long") % 2 * 2 - 1)
+        .alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("w"))
+        .where(F.col("w") != 0)
+    )
