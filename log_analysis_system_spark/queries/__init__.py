@@ -46,16 +46,22 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
-    # ANN / similarity family
+    # ANN / similarity family — ann_lsh_topk rotated out round 3 (sign-LSH
+    # banding stays officially covered by dedup_minhash_lsh +
+    # embedding_near_dup's banded candidates; driver_sim + pytest keep it)
+    # in favor of the PQ path, which no other row exercises
     "ann_brute_topk",
-    "ann_lsh_topk",
+    "ann_pq_topk",
     "ann_ivf_trained_topk",
     "embedding_near_dup",
-    # text analysis family
+    # text analysis family — tfidf/doc_rarity rotated out round 3 (explode +
+    # idf aggregation stays covered by text_metrics + the dedup rows;
+    # driver_sim + pytest keep them) in favor of BM25 ranking and PSI drift,
+    # op classes no other row exercises
     "text_metrics",
     "doc_fingerprint",
-    "tfidf_top_terms",
-    "doc_rarity_score",
+    "bm25_rank",
+    "drift_psi",
     # multimodal plumbing
     "multimodal_frames",
     # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotate out

@@ -27,11 +27,13 @@ FAMILY_REPRESENTATIVES = {
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_components",
-    # ANN family
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_trained_topk",
+    # ANN family (ann_lsh_topk rotated out round 3 — LSH banding stays
+    # officially covered by dedup_minhash_lsh + embedding_near_dup)
+    "ann_brute_topk", "ann_pq_topk", "ann_ivf_trained_topk",
     "embedding_near_dup",
-    # text analysis
-    "text_metrics", "doc_fingerprint", "tfidf_top_terms", "doc_rarity_score",
+    # text analysis + data quality drift (tfidf/doc_rarity rotated out
+    # round 3 for the BM25 / PSI op classes)
+    "text_metrics", "doc_fingerprint", "bm25_rank", "drift_psi",
     # multimodal / corpus / temporal / sampling / graph / data quality
     # (resample_hourly_dense rotated out round 3; sim + pytest cover it)
     "multimodal_frames", "corpus_pipeline", "gap_sessions_events",
