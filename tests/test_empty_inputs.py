@@ -35,6 +35,15 @@ EMPTY_SAFE_QUERIES = [
     "source_curation_report",
     "countmin_terms",
     "embedding_near_dup",
+    # round-3 additions
+    "cdc_apply_changelog",
+    "ts_similarity_topk",
+    "bm25_rank",
+    "hybrid_rrf_topk",
+    "drift_psi",
+    "hashed_features",
+    "ann_pq_topk",
+    "trade_reach_hops",
 ]
 
 
@@ -42,7 +51,7 @@ EMPTY_SAFE_QUERIES = [
 def empty_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     for t in ("events", "documents", "lineitem", "orders", "customer",
-              "embeddings"):
+              "embeddings", "supplier", "nation", "region", "part"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0).write.parquet(
             f"{d}/{t}.parquet"
         )
