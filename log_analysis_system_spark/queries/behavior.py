@@ -717,3 +717,95 @@ def q_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------ multi-touch attribution
+
+MTA_HORIZON_US = 7 * 24 * 3600 * 1_000_000  # credit touches within 7 days
+# (ts, event_id) packed into one sortable bigint so "earliest following
+# purchase" is a plain conditional MIN on both engines (no struct-min
+# dialect differences). epoch_us ~ 1.7e15, *1000 stays below 2^63.
+_PK = "epoch_us(ts) * 1000 + event_id % 1000"
+
+
+@query(
+    "multi_touch_attribution",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, event_id, event_type, ts,
+           {_PK} AS pk,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN {_PK} END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_pk
+    FROM events
+),
+touches AS (
+    SELECT user_id, event_type, next_pk
+    FROM marked
+    WHERE event_type IN ('view', 'click')
+      AND next_pk IS NOT NULL
+      AND next_pk - pk <= {MTA_HORIZON_US} * 1000
+),
+sized AS (
+    SELECT user_id, next_pk, event_type,
+           count(*) OVER (PARTITION BY user_id, next_pk) AS n_touches
+    FROM touches
+)
+SELECT event_type AS channel,
+       CAST(count(DISTINCT (user_id, next_pk)) AS BIGINT)
+           AS purchases_touched,
+       CAST(count(*) AS BIGINT) AS touches,
+       CAST(sum(1000000 // n_touches) AS BIGINT) AS credit_ppm
+FROM sized
+GROUP BY event_type
+""",
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click within 7 days
+    before a user's next purchase shares that purchase's credit equally
+    (floor(1e6 / n_touches) ppm per touch, summed per channel) — the batch
+    warehouse complement of the streaming LAST-touch interval join
+    (`stream_attribution`). Emits per-channel purchases reached, touch
+    counts, and total attributed credit.
+
+    Credit is integer ppm so the per-channel sums are exact under any
+    partitioning (a float 1/n sum is summation-order-dependent). The
+    "earliest following purchase" resolves through ONE conditional-min
+    window over the (ts, event_id)-packed sort key — one user-keyed
+    exchange serves the purchase lookup, the per-purchase touch count, and
+    the horizon filter; nothing joins the fact table to itself."""
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir)
+    pk = (epoch_us("ts") * 1000 + F.col("event_id") % 1000).alias("pk")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us("ts"), F.col("event_id")
+    ).rowsBetween(1, Window.unboundedFollowing)
+    marked = ev.select(
+        "user_id", "event_id", "event_type", "ts", pk
+    ).withColumn(
+        "next_pk",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pk"))
+        ).over(w),
+    )
+    touches = marked.where(
+        F.col("event_type").isin("view", "click")
+        & F.col("next_pk").isNotNull()
+        & (F.col("next_pk") - F.col("pk") <= MTA_HORIZON_US * 1000)
+    ).select("user_id", "event_type", "next_pk")
+    sized = touches.withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "next_pk")
+        ),
+    )
+    return sized.groupBy(F.col("event_type").alias("channel")).agg(
+        F.countDistinct("user_id", "next_pk").alias("purchases_touched"),
+        F.count(F.lit(1)).alias("touches"),
+        F.sum(F.floor(F.lit(1000000) / F.col("n_touches"))).alias(
+            "credit_ppm"
+        ),
+    )
