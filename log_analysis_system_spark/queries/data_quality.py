@@ -173,6 +173,60 @@ _PSI_EXPR = (
 )
 
 
+def drift_labels(ev: DataFrame) -> DataFrame:
+    """(feature, label) drift-feature rows for an events frame: fixed-width
+    value buckets + the event_type categories — shared by the batch PSI
+    query and the streaming drift monitor so both watch the SAME features."""
+    num = ev.select(
+        F.lit("value_bucket").alias("feature"),
+        F.least(
+            F.floor(F.col("value") / DRIFT_BUCKET_W),
+            F.lit(DRIFT_N_BUCKETS - 1),
+        )
+        .cast("long")
+        .cast("string")
+        .alias("label"),
+    )
+    cat = ev.select(
+        F.lit("event_type").alias("feature"),
+        F.col("event_type").alias("label"),
+    )
+    return num.unionByName(cat)
+
+
+def psi_report(counts_a: DataFrame, counts_b: DataFrame) -> DataFrame:
+    """Per-bucket PSI contributions from two (feature, label, n) count
+    tables (reference window A vs observed window B) — the serve-side half
+    shared by the batch query and the streaming monitor. Missing buckets
+    on either side count 0 before the +1 smoothing."""
+    joined = (
+        counts_a.select("feature", "label", F.col("n").alias("raw_a"))
+        .join(
+            counts_b.select("feature", "label", F.col("n").alias("raw_b")),
+            ["feature", "label"],
+            "full_outer",
+        )
+        .select(
+            "feature",
+            "label",
+            F.coalesce("raw_a", F.lit(0)).alias("raw_a"),
+            F.coalesce("raw_b", F.lit(0)).alias("raw_b"),
+        )
+        .withColumn("ca", F.col("raw_a") + 1)
+        .withColumn("cb", F.col("raw_b") + 1)
+    )
+    tot = joined.groupBy("feature").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return joined.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "label",
+        F.col("raw_a").alias("n_a"),
+        F.col("raw_b").alias("n_b"),
+        F.expr(_PSI_EXPR).alias("psi_contrib"),
+    )
+
+
 @query(
     "drift_psi",
     oracle=f"""

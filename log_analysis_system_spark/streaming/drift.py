@@ -1,0 +1,73 @@
+"""Streaming distribution-drift monitor: per-micro-batch bucket counts
+appended as idempotent partials, PSI served on demand against a pinned
+reference window.
+
+The batch `drift_psi` query answers "did the second half of the month
+drift from the first"; a production ingest wants the same answer
+CONTINUOUSLY — is what's arriving NOW still shaped like the corpus the
+model was trained on? This module watches the SAME features through the
+shared `drift_labels` helper, so batch and streaming monitors can never
+disagree about what they measure (the equivalence test pins it).
+
+Design = the incremental rollup store's contract applied to counts:
+counts are mergeable partials, each micro-batch writes its own
+``batches/batch=<id>`` dir (a replayed batch overwrites itself with
+byte-identical content — exactly-once without marker files), and serving
+merges partials + joins the reference. State per batch is O(buckets),
+never O(rows); nothing about the stream's length accumulates anywhere
+except the bounded bucket table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries.data_quality import drift_labels, psi_report
+
+
+def bucket_counts(ev: DataFrame) -> DataFrame:
+    """(feature, label, n) counts of the drift features for a batch."""
+    return drift_labels(ev).groupBy("feature", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def append_drift_batch(batch_df: DataFrame, store_dir: str, batch_id: int) -> None:
+    """foreachBatch body: persist ONE micro-batch's bucket counts.
+    Deterministic content + per-batch dir = idempotent under replay."""
+    bucket_counts(batch_df).write.mode("overwrite").parquet(
+        f"{store_dir}/batches/batch={batch_id}"
+    )
+
+
+def serve_drift(spark, store_dir: str, reference: DataFrame) -> DataFrame:
+    """Merge the streamed partials into the observed distribution and emit
+    per-bucket PSI contributions vs the reference counts (feature, label,
+    n). Reads O(batches x buckets) partial rows — never the stream."""
+    broot = os.path.join(store_dir, "batches")
+    dirs = [
+        os.path.join(broot, d)
+        for d in sorted(os.listdir(broot))
+        if d.startswith("batch=")
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no drift partials under {store_dir}")
+    parts = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        parts = parts.unionByName(spark.read.parquet(d))
+    observed = parts.groupBy("feature", "label").agg(F.sum("n").alias("n"))
+    return psi_report(reference, observed)
+
+
+def drift_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Attach the monitor to a streaming events DataFrame."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: append_drift_batch(b, store_dir, i)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,65 @@
+"""Streaming drift monitor: the served PSI report over a streamed window-B
+must EQUAL the batch drift_psi query on the same data — batch and streaming
+monitors watch identical features through the shared drift_labels helper."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+from log_analysis_system_spark.queries.data_quality import DRIFT_CUT
+from log_analysis_system_spark.sources.catalog import read_events
+from log_analysis_system_spark.streaming.drift import (
+    append_drift_batch,
+    bucket_counts,
+    drift_monitor,
+    serve_drift,
+)
+from tests.conftest import SF_DIR
+
+load_all()
+
+
+def test_streamed_psi_equals_batch_query(spark, tmp_path):
+    ev = read_events(spark, SF_DIR)
+    cut = F.lit(f"{DRIFT_CUT} 00:00:00").cast("timestamp_ntz")
+    ref = bucket_counts(ev.where(F.col("ts") < cut))
+
+    # window B arrives as two parquet chunks -> two micro-batches
+    inp = str(tmp_path / "input")
+    win_b = ev.where(F.col("ts") >= cut)
+    win_b.where(F.col("event_id") % 2 == 0).write.parquet(f"{inp}/c1.parquet")
+    win_b.where(F.col("event_id") % 2 == 1).write.parquet(f"{inp}/c2.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*.parquet")
+    )
+    store = str(tmp_path / "store")
+    q = drift_monitor(stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    batches = os.listdir(os.path.join(store, "batches"))
+    assert len(batches) >= 2, batches
+
+    served = {tuple(r) for r in serve_drift(spark, store, ref).collect()}
+    batch = {tuple(r) for r in QUERIES["drift_psi"](spark, SF_DIR).collect()}
+    assert served == batch and served
+
+
+def test_replayed_batch_changes_nothing(spark, tmp_path):
+    ev = read_events(spark, SF_DIR)
+    cut = F.lit(f"{DRIFT_CUT} 00:00:00").cast("timestamp_ntz")
+    ref = bucket_counts(ev.where(F.col("ts") < cut))
+    win_b = ev.where(F.col("ts") >= cut)
+
+    store = str(tmp_path / "store")
+    append_drift_batch(win_b, store, 0)
+    before = {tuple(r) for r in serve_drift(spark, store, ref).collect()}
+    append_drift_batch(win_b, store, 0)  # crash-replay of the same batch
+    after = {tuple(r) for r in serve_drift(spark, store, ref).collect()}
+    assert before == after and before
