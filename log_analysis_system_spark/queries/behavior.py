@@ -809,3 +809,86 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_ppm"
         ),
     )
+
+
+# ------------------------------------------- sequence pattern matching
+
+# (pattern name, regex over per-user event-initial strings). Initials are
+# unique across the five event types (Signup View Click Purchase Error).
+# The regex subset used (literal chars, char classes, * +) behaves
+# identically under java.util.regex (Spark) and RE2 (DuckDB).
+SEQ_PATTERNS = (
+    ("conversion", "V[^E]*C[^E]*P"),   # view->click->purchase, no error between
+    ("frustration", "EE"),             # back-to-back errors
+    ("instant_buy", "VP"),             # purchase immediately after a view
+)
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(upper(substr(event_type, 1, 1)), ''
+                      ORDER BY epoch_us(ts), event_id) AS seq
+    FROM events GROUP BY 1
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS pattern,
+       CAST(sum(CASE WHEN regexp_matches(seq, '{rx}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS users_matched,
+       CAST(count(*) AS BIGINT) AS users_total
+FROM seqs"""
+        for name, rx in SEQ_PATTERNS
+    ),
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's event
+    history collapses to an ordered initial string ('VVCEP...'), and
+    behavioral patterns are REGEXES over it — variable-length paths with
+    exclusions ('no error between click and purchase'), which the
+    fixed-length path/funnel queries cannot express. Spark has no
+    MATCH_RECOGNIZE; string-fold + rlike is the idiomatic equivalent and
+    keeps the whole match in codegen.
+
+    Scale shape: one groupBy builds each user's sequence (the string is
+    bounded by per-user activity — cap with a slice for adversarial
+    actors); all patterns evaluate in ONE aggregate pass over the
+    sequences; output is |patterns| rows. Ordering inside the fold carries
+    the (ts, event_id) total order via array_sort on a packed struct, so
+    both engines build identical strings."""
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir)
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                epoch_us("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                F.upper(F.substring("event_type", 1, 1)).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["c"]
+                ),
+            ).alias("seq")
+        )
+    )
+    per_pattern = [
+        seqs.agg(
+            F.lit(name).alias("pattern"),
+            F.sum(F.col("seq").rlike(rx).cast("long")).alias("users_matched"),
+            F.count(F.lit(1)).alias("users_total"),
+        )
+        for name, rx in SEQ_PATTERNS
+    ]
+    out = per_pattern[0]
+    for p in per_pattern[1:]:
+        out = out.unionByName(p)
+    return out
