@@ -485,3 +485,63 @@ def q_ts_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS_TOP_K,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+# ------------------------------------------------- EWMA smoothing (FIR)
+
+EWMA_TAPS = 8  # 8-tap half-life-1 FIR: weights 128,64,...,1 (most-recent-first)
+
+_EWMA_NUM = " + ".join(
+    f"coalesce(lag(v, {j}) OVER win, 0) * {1 << (EWMA_TAPS - 1 - j)}"
+    if j
+    else f"v * {1 << (EWMA_TAPS - 1)}"
+    for j in range(EWMA_TAPS)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(v, {j}) OVER win IS NOT NULL "
+    f"THEN {1 << (EWMA_TAPS - 1 - j)} ELSE 0 END)"
+    if j
+    else f"{1 << (EWMA_TAPS - 1)}"
+    for j in range(EWMA_TAPS)
+)
+
+# ONE SQL text executed verbatim by BOTH engines (same contract as
+# trade_reach_hops): exponential smoothing as a fixed 8-tap FIR with
+# power-of-two weights, so numerator and denominator are EXACT bigint
+# sums — the usual recursive EWMA accumulates floats in arrival order and
+# can never be cross-engine (or partitioning-) deterministic. The one
+# double division is the output edge.
+EWMA_SQL = f"""
+WITH w AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT user_id, event_id, v,
+       round(CAST({_EWMA_NUM} AS DOUBLE)
+             / ({_EWMA_DEN}), 6) AS ewma_c
+FROM w
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("ewma_events", oracle=EWMA_SQL)
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's value stream —
+    the classic time-series smoother, formulated as a bounded FIR filter
+    (last {EWMA_TAPS} observations, weights halving per step) instead of
+    the textbook infinite recurrence. The FIR form is what scales: the
+    recurrence is inherently sequential per key (no partial aggregation,
+    no parallelism within a key), while the FIR needs only one
+    user-partitioned sort window and lag() — the same single exchange
+    every sessionize/SCD2 operator rides. Power-of-two weights keep
+    numerator/denominator exact bigints; warm-up rows renormalize over
+    the taps that exist.
+
+    Like trade_reach_hops, the SQL text runs VERBATIM on Spark and DuckDB
+    over the same views — the oracle is the same query, not a
+    re-implementation."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(EWMA_SQL)
