@@ -1114,3 +1114,99 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+_DIFF_SNAP = """
+    SELECT user_id, event_type, value_c FROM (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn
+        FROM events {where}
+    ) t WHERE rn = 1 AND event_type <> '{tomb}'
+"""
+
+
+@query(
+    "snapshot_diff",
+    oracle=f"""
+WITH snap_a AS ({_DIFF_SNAP.format(where=f"WHERE ts < TIMESTAMP '2024-01-16 00:00:00'", tomb=CDC_DELETE_TYPE)}),
+snap_b AS ({_DIFF_SNAP.format(where="", tomb=CDC_DELETE_TYPE)}),
+j AS (
+    SELECT a.user_id AS ka, b.user_id AS kb,
+           a.event_type AS ta, b.event_type AS tb,
+           a.value_c AS va, b.value_c AS vb
+    FROM snap_a a FULL JOIN snap_b b ON a.user_id = b.user_id
+)
+SELECT 'added' AS metric,
+       CAST(sum(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+FROM j
+UNION ALL
+SELECT 'removed',
+       CAST(sum(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j
+UNION ALL
+SELECT 'changed_event_type',
+       CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          AND ta <> tb THEN 1 ELSE 0 END) AS BIGINT) FROM j
+UNION ALL
+SELECT 'changed_value',
+       CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          AND va <> vb THEN 1 ELSE 0 END) AS BIGINT) FROM j
+UNION ALL
+SELECT 'unchanged',
+       CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                          AND ta = tb AND va = vb THEN 1 ELSE 0 END)
+            AS BIGINT) FROM j
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (the data-diff/regression-check tool): compare
+    the CDC snapshot as of mid-month against the end-of-month snapshot and
+    report added / removed / changed-per-column / unchanged key counts —
+    what a pipeline asserts before promoting a rebuilt table, and the
+    validation twin of `cdc_apply_changelog` (whose correctness it can
+    check against an independently-built snapshot).
+
+    One full outer join on the key; both snapshots ride the same
+    latest-per-key window shuffle, so the join reuses the (user_id)
+    partitioning. Output is |metrics| integer rows — bit-equal across
+    engines by construction."""
+    from ..functions.scalar import epoch_us  # noqa: F401 (ts policy doc)
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    snap_a = apply_changelog(None, ev.where(F.col("ts") < cut)).select(
+        F.col("user_id").alias("ka"), F.col("event_type").alias("ta"),
+        F.col("value_c").alias("va"),
+    )
+    snap_b = apply_changelog(None, ev).select(
+        F.col("user_id").alias("kb"), F.col("event_type").alias("tb"),
+        F.col("value_c").alias("vb"),
+    )
+    j = snap_a.join(snap_b, snap_a.ka == snap_b.kb, "full_outer")
+    both = F.col("ka").isNotNull() & F.col("kb").isNotNull()
+    conds = {
+        "added": F.col("ka").isNull(),
+        "removed": F.col("kb").isNull(),
+        "changed_event_type": both & (F.col("ta") != F.col("tb")),
+        "changed_value": both & (F.col("va") != F.col("vb")),
+        "unchanged": both
+        & (F.col("ta") == F.col("tb"))
+        & (F.col("va") == F.col("vb")),
+    }
+    # all metrics in ONE conditional-aggregate pass over the join, then
+    # unpivoted with stack — the unioned-aggregates form re-plans the join
+    # per metric (runtime ReuseExchange saves the work, but one pass is the
+    # honest plan)
+    wide = j.agg(
+        *[F.sum(c.cast("long")).alias(name) for name, c in conds.items()]
+    )
+    stack = ", ".join(f"'{name}', {name}" for name in conds)
+    return wide.select(
+        F.expr(f"stack({len(conds)}, {stack}) AS (metric, n)")
+    )
