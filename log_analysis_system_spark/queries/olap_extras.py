@@ -720,3 +720,76 @@ def q_freq_items_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_sketch = F.col("event_type").isin(*sorted(freq)) if freq else F.lit(False)
     return exact.select("event_type", "cnt", in_sketch.alias("in_sketch"))
+
+
+# --------------------------------------------- chi-squared contingency
+
+# chi2 cell term as one shared textual expression: observed and marginal
+# counts are exact bigints; expected = (row_tot * col_tot) / n is ONE double
+# division of exact integer products, and the (o - e)^2 / e term reuses it.
+_CHI2_EXPR = (
+    "round(pow(CAST(o AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / n, 2)"
+    " / (CAST(row_tot * col_tot AS DOUBLE) / n), 6)"
+)
+
+
+@query(
+    "chi2_contingency",
+    oracle=f"""
+WITH cells AS (
+    SELECT event_type,
+           CASE WHEN extract(hour FROM ts) < 6 THEN 'night'
+                WHEN extract(hour FROM ts) < 12 THEN 'morning'
+                WHEN extract(hour FROM ts) < 18 THEN 'afternoon'
+                ELSE 'evening' END AS hour_band,
+           CAST(count(*) AS BIGINT) AS o
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT c.*, rt.row_tot, ct.col_tot, g.n
+    FROM cells c
+    JOIN (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot
+          FROM cells GROUP BY 1) rt USING (event_type)
+    JOIN (SELECT hour_band, CAST(sum(o) AS BIGINT) AS col_tot
+          FROM cells GROUP BY 1) ct USING (hour_band)
+    CROSS JOIN (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells) g
+)
+SELECT event_type, hour_band, o,
+       {_CHI2_EXPR} AS chi2_term
+FROM margins
+""",
+)
+def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit of the event_type x hour-band
+    contingency table — "does activity mix depend on time of day?", the
+    statistical sibling of the PSI drift report. Per-CELL chi2 terms
+    ((o - e)^2 / e with e from the exact integer marginals) are emitted,
+    not the order-dependent float total; the reader sums them against the
+    chi-square critical value for (r-1)(c-1) dof.
+
+    Scale shape: one conditional-agg scan builds the |types| x 4 cell
+    table; marginals are joins between BOUNDED aggregates of that table
+    (never the fact table); the fact scan happens exactly once."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    band = (
+        F.when(F.hour("ts") < 6, "night")
+        .when(F.hour("ts") < 12, "morning")
+        .when(F.hour("ts") < 18, "afternoon")
+        .otherwise("evening")
+    )
+    cells = ev.groupBy(
+        "event_type", band.alias("hour_band")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("hour_band").agg(F.sum("o").alias("col_tot"))
+    g = cells.agg(F.sum("o").alias("n"))
+    margins = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hour_band")
+        .crossJoin(F.broadcast(g))
+    )
+    return margins.select(
+        "event_type", "hour_band", "o", F.expr(_CHI2_EXPR).alias("chi2_term")
+    )
