@@ -321,3 +321,77 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw_b").alias("n_b"),
         F.expr(_PSI_EXPR).alias("psi_contrib"),
     )
+
+
+# ----------------------------------------------------- Benford digit audit
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, precomputed so neither engine
+# evaluates a log at query time — expected proportions are literals.
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152,
+               45757)
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(
+        f"WHEN {d + 1} THEN {ppm}" for d, ppm in enumerate(BENFORD_PPM)
+    )
+    + " END"
+)
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                       1, 1) AS BIGINT) AS first_digit
+    FROM events
+    WHERE round(value * 100) >= 1
+),
+counts AS (
+    SELECT first_digit, CAST(count(*) AS BIGINT) AS o
+    FROM digits GROUP BY 1
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM counts)
+SELECT first_digit, o,
+       CAST(o * 1000000 // n AS BIGINT) AS observed_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+       CAST(o * 1000000 // n - {_BENFORD_CASE} AS BIGINT) AS deviation_ppm
+FROM counts, tot
+ORDER BY first_digit
+""",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of the value column — the
+    classic anomaly/fraud screen: naturally-occurring multiplicative
+    amounts follow log10(1 + 1/d), while fabricated or clamped data
+    doesn't (this synthetic uniform-ish column deviates, which is exactly
+    what the report shows). Observed and expected proportions are integer
+    ppm (expected digits are precomputed literals — no log at query time),
+    so every row is bit-equal across engines.
+
+    One scan + a 9-row aggregate; the total joins back as a broadcast
+    scalar."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    digits = ev.where(cents >= 1).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias(
+            "first_digit"
+        )
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("o"))
+    tot = counts.agg(F.sum("o").alias("n"))
+    obs_ppm = F.expr("o * 1000000 div n")
+    exp_ppm = F.expr(_BENFORD_CASE)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            "o",
+            obs_ppm.alias("observed_ppm"),
+            exp_ppm.cast("long").alias("expected_ppm"),
+            (obs_ppm - exp_ppm).alias("deviation_ppm"),
+        )
+        .orderBy("first_digit")
+    )
