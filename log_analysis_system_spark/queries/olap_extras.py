@@ -793,3 +793,64 @@ def q_chi2_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margins.select(
         "event_type", "hour_band", "o", F.expr(_CHI2_EXPR).alias("chi2_term")
     )
+
+
+# --------------------------------------------- time-decayed popularity
+
+DECAY_ANCHOR = "2024-01-31"  # "now" for the decay clock (data ends Jan 30)
+DECAY_TOP = 20
+
+
+@query(
+    "decayed_popularity",
+    oracle=f"""
+WITH w AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS category_id,
+           CAST(1000000 // (1 + date_diff('day', CAST(ts AS DATE),
+                                          DATE '{DECAY_ANCHOR}'))
+                AS BIGINT) AS w_ppm
+    FROM events
+    WHERE event_type = 'click'
+),
+scored AS (
+    SELECT category_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(w_ppm) AS BIGINT) AS decayed_ppm
+    FROM w GROUP BY 1
+)
+SELECT category_id, n_clicks, decayed_ppm
+FROM scored
+ORDER BY decayed_ppm DESC, category_id
+LIMIT {DECAY_TOP}
+""",
+)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity ranking: each click contributes
+    1/(1 + age_days) — yesterday's click outweighs last month's — and
+    categories rank by the decayed sum, the freshness-aware twin of
+    `top10_category`'s all-time counts (trending vs popular). Weights are
+    integer ppm (1000000 div (1+age)), so the decayed sums are exact under
+    any partitioning; a float decay sum would be summation-order-
+    dependent and unrankable deterministically.
+
+    One scan -> per-category aggregate -> TakeOrderedAndProject top-k; the
+    decay clock is a literal anchor date, so the whole weight expression
+    folds into the scan projection."""
+    from ..operators.topn import global_topn
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = ev.where(F.col("event_type") == "click").select(
+        F.get_json_object("props", "$.k").cast("long").alias("category_id"),
+        F.expr(
+            f"CAST(1000000 div (1 + datediff(DATE '{DECAY_ANCHOR}', "
+            f"CAST(ts AS DATE))) AS BIGINT)"
+        ).alias("w_ppm"),
+    )
+    scored = w.groupBy("category_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum("w_ppm").alias("decayed_ppm"),
+    )
+    return global_topn(
+        scored, [F.desc("decayed_ppm"), F.asc("category_id")], DECAY_TOP
+    )
