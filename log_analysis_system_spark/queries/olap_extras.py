@@ -854,3 +854,78 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topn(
         scored, [F.desc("decayed_ppm"), F.asc("category_id")], DECAY_TOP
     )
+
+
+# ------------------------------------------ Wilson-bound CTR ranking
+
+WILSON_Z2 = "3.8416"  # z^2 for 95% (z = 1.96) — exact decimal literal
+WILSON_TOP = 20
+
+# Wilson lower bound as ONE shared textual expression over exact integer
+# (clicks, views): p folds to one double division; every subsequent double
+# op appears in identical written order on both engines.
+_WILSON_EXPR = (
+    f"round(((CAST(clicks AS DOUBLE) / views) + {WILSON_Z2} / (2 * views)"
+    f" - 1.96 * sqrt((CAST(clicks AS DOUBLE) / views)"
+    f" * (1 - CAST(clicks AS DOUBLE) / views) / views"
+    f" + {WILSON_Z2} / (4 * CAST(views AS DOUBLE) * views)))"
+    f" / (1 + {WILSON_Z2} / views), 6)"
+)
+
+
+@query(
+    "ctr_wilson_rank",
+    oracle=f"""
+WITH rates AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS category_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+                    END) AS BIGINT) AS views
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1
+)
+SELECT category_id, clicks, views,
+       {_WILSON_EXPR} AS ctr_lb
+FROM rates
+WHERE views > 0
+ORDER BY ctr_lb DESC, category_id
+LIMIT {WILSON_TOP}
+""",
+)
+def q_ctr_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-through-rate ranking by the Wilson-score LOWER bound — the
+    standard fix for ranking rates with unequal sample sizes (a 3/3
+    category must not outrank a 950/1000 one; the raw-CTR sort does
+    exactly that). The bound expression is shared verbatim with the
+    oracle: clicks/views are exact integers from one conditional
+    aggregate, and every double operation runs in the same written order
+    on both engines.
+
+    One scan -> per-category conditional agg -> TakeOrderedAndProject; the
+    statistics need no per-event state beyond the two counters, so the
+    ranking is a pure two-phase aggregate at any scale."""
+    from ..operators.topn import global_topn
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    rates = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("long").alias("category_id")
+        )
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "clicks"
+            ),
+            F.count(F.lit(1)).alias("views"),
+        )
+        .where(F.col("views") > 0)
+    )
+    scored = rates.select(
+        "category_id", "clicks", "views", F.expr(_WILSON_EXPR).alias("ctr_lb")
+    )
+    return global_topn(
+        scored, [F.desc("ctr_lb"), F.asc("category_id")], WILSON_TOP
+    )
