@@ -929,3 +929,73 @@ def q_ctr_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topn(
         scored, [F.desc("ctr_lb"), F.asc("category_id")], WILSON_TOP
     )
+
+
+# ------------------------------------------------ revenue concentration
+
+@query(
+    "revenue_gini",
+    oracle="""
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT rev_c,
+           CAST(row_number() OVER (ORDER BY rev_c, o_custkey) AS BIGINT)
+               AS rnk
+    FROM cust
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rev_c) AS BIGINT) AS tot,
+           CAST(sum(rnk * rev_c) AS BIGINT) AS weighted
+    FROM ranked
+)
+SELECT n AS n_customers, tot AS total_revenue_c,
+       round(CAST(2 * weighted AS DOUBLE) / (CAST(n AS DOUBLE) * tot)
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM s
+""",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) coefficient over per-customer revenue —
+    the inequality metric behind "what share of revenue do the top
+    customers hold" dashboards. Gini = 2*sum(rank_i * x_i)/(n*sum(x))
+    - (n+1)/n with x ascending; ranks come from the range-partitioned
+    `global_rank` (no single-partition sort), and rank*revenue products
+    sum as exact bigints, so the only doubles are the two output-edge
+    divisions, written in identical order in both engines.
+
+    Scale note: sum(rank * x) reaches ~n^2 * avg(x) — at billions of
+    customers the product needs a decimal accumulator; bigint holds
+    comfortably through the test scales (documented overflow boundary,
+    not a silent one: Spark ANSI mode raises on overflow)."""
+    from ..operators.sampling import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    ranked = global_rank(
+        cust, [F.asc("rev_c"), F.asc("o_custkey")], rank_col="rnk0"
+    ).withColumn("rnk", F.col("rnk0") + 1)
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("tot"),
+        F.sum(F.col("rnk") * F.col("rev_c")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_revenue_c"),
+        F.round(
+            (2 * F.col("weighted")).cast("double")
+            / (F.col("n").cast("double") * F.col("tot"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
