@@ -999,3 +999,96 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ------------------------------------------------ market-basket rules
+
+BASKET_MIN_SUPPORT = 3   # pair must co-occur in >= 3 orders
+BASKET_TOP = 20
+
+
+@query(
+    "copurchase_rules",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+part_n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1),
+orders_n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+pairs AS (
+    SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+    FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+    HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_ab,
+       CAST(n_ab * 1000000 // na.n AS BIGINT) AS confidence_ppm,
+       CAST(n_ab * o.n_orders * 1000000 // (na.n * nb.n) AS BIGINT)
+           AS lift_ppm
+FROM pairs
+JOIN part_n na ON na.pk = part_a
+JOIN part_n nb ON nb.pk = part_b
+CROSS JOIN orders_n o
+ORDER BY lift_ppm DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+""",
+)
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: for part
+    pairs sharing >= {BASKET_MIN_SUPPORT} orders, emit support, confidence
+    (P(b|a)) and lift (observed / independence-expected co-occurrence),
+    ranked by lift — the order-basket twin of the document-side
+    `term_lift`. Confidence/lift are integer ppm floor divisions of exact
+    counts, so the ranking is bit-stable.
+
+    Scale shape: the pair self-join keys on l_orderkey, so the quadratic
+    term is bounded by the largest BASKET (~4 items here, bounded by
+    business reality at any scale), never the catalog or the fact table;
+    part marginals and the order total are bounded aggregates joined back
+    by part key. Top-k compiles to the per-partition heap."""
+    from ..operators.topn import global_topn
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    part_n = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    n_orders = items.agg(
+        F.countDistinct("ok").alias("n_orders")
+    )
+    b = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    pairs = (
+        items.join(b, "ok")
+        .where(F.col("pk") < F.col("pk_b"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("pk").alias("part_a"),
+                                      F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("pk").alias("part_b"),
+                                      F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("CAST(n_ab * 1000000 div na AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_ab * n_orders * 1000000 div (na * nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return global_topn(
+        scored, [F.desc("lift_ppm"), F.asc("part_a"), F.asc("part_b")],
+        BASKET_TOP,
+    )
