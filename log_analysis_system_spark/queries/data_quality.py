@@ -395,3 +395,99 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ------------------------------------------------ KS two-sample drift
+
+KS_GRID_W = 1  # 1-unit value buckets -> <= ~500 grid rows (value <= ~500)
+
+
+@query(
+    "ks_drift",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(floor(value / {KS_GRID_W}) AS BIGINT) AS bucket,
+           CASE WHEN ts < TIMESTAMP '{DRIFT_CUT} 00:00:00'
+                THEN 1 ELSE 0 END AS in_a
+    FROM events
+),
+cells AS (
+    SELECT bucket,
+           CAST(sum(in_a) AS BIGINT) AS ca,
+           CAST(sum(1 - in_a) AS BIGINT) AS cb
+    FROM b GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+    FROM cells
+),
+cdf AS (
+    SELECT bucket,
+           CAST(sum(ca) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+           CAST(sum(cb) OVER (ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+    FROM cells
+)
+SELECT bucket AS at_bucket,
+       CAST(abs(cum_a * nb - cum_b * na) AS BIGINT) AS gap_scaled,
+       na AS n_a, nb AS n_b,
+       CAST(abs(cum_a * nb - cum_b * na) * 1000000 // (na * nb) AS BIGINT)
+           AS ks_ppm
+FROM cdf, tot
+ORDER BY abs(cum_a * nb - cum_b * na) DESC, bucket
+LIMIT 1
+""",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample drift statistic between the two
+    ingest windows: the maximum CDF gap of the value distribution, with
+    the bucket where it peaks — the nonparametric complement of the
+    binned PSI report (PSI weights every bucket, KS finds the single
+    worst crossing). The gap is computed SCALED: |cum_a*n_b - cum_b*n_a|
+    is an exact bigint, so the argmax is bit-stable and the ppm statistic
+    is one floor division at the output edge.
+
+    Scale shape: the fact scan collapses to one row per grid bucket
+    (bounded by the value domain, ~500 rows) before the CDF window runs —
+    the prefix sums never see raw events."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    in_a = (
+        F.col("ts") < F.lit(f"{DRIFT_CUT} 00:00:00").cast("timestamp_ntz")
+    ).cast("long")
+    cells = ev.select(
+        F.floor(F.col("value") / KS_GRID_W).cast("long").alias("bucket"),
+        in_a.alias("in_a"),
+    ).groupBy("bucket").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("cb"),
+    )
+    tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = cells.select(
+        "bucket",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+    scored = cdf.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").alias("at_bucket"),
+        gap.alias("gap_scaled"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(
+            "CAST(abs(cum_a * nb - cum_b * na) * 1000000 div (na * nb) "
+            "AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+    from ..operators.topn import global_topn
+
+    return global_topn(
+        scored, [F.desc("gap_scaled"), F.asc("at_bucket")], 1
+    )

@@ -545,3 +545,85 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(EWMA_SQL)
+
+
+# --------------------------------------------- CUSUM change-point detection
+
+@query(
+    "cusum_change_point",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+    FROM daily
+),
+pre AS (
+    SELECT d, x,
+           CAST(sum(x) OVER (ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k
+    FROM daily
+),
+scored AS (
+    SELECT pre.d, pre.x, tot.n,
+           CAST(pre.cum * tot.n - pre.k * tot.s AS BIGINT) AS s_scaled
+    FROM pre, tot
+)
+SELECT d AS change_day, x AS day_count, n AS n_days,
+       CAST(abs(s_scaled) AS BIGINT) AS cusum_scaled
+FROM scored
+ORDER BY abs(s_scaled) DESC, d
+LIMIT 1
+""",
+)
+def q_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-count series: the
+    day where the cumulative deviation from the overall mean peaks — the
+    standard "when did the level shift" monitor. The textbook statistic
+    S_k = sum(x_i - mean) accumulates floats; scaling by n gives
+    S_k * n = n*prefix_k - k*total, EXACT bigints, so the argmax is
+    bit-stable (float CUSUM can flip the argmax between engines on ties).
+
+    Scale shape: the raw scan collapses to one row per DAY before any
+    window — the prefix sum runs over a calendar-bounded series (30 rows
+    here, thousands at worst), so the unpartitioned-looking scan is over
+    an aggregate, never the fact table."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wk = Window.partitionBy(F.lit(1)).orderBy("d")
+    pre = daily.withColumn("cum", F.sum("x").over(w)).withColumn(
+        "k", F.row_number().over(wk).cast("long")
+    )
+    scored = pre.crossJoin(F.broadcast(tot)).select(
+        "d", "x", "n",
+        (F.col("cum") * F.col("n") - F.col("k") * F.col("s")).alias(
+            "s_scaled"
+        ),
+    )
+    from ..operators.topn import global_topn
+
+    return global_topn(
+        scored.select(
+            F.col("d").alias("change_day"),
+            F.col("x").alias("day_count"),
+            F.col("n").alias("n_days"),
+            F.abs(F.col("s_scaled")).alias("cusum_scaled"),
+        ),
+        [F.desc("cusum_scaled"), F.asc("change_day")],
+        1,
+    )
