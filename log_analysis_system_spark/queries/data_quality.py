@@ -491,3 +491,63 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topn(
         scored, [F.desc("gap_scaled"), F.asc("at_bucket")], 1
     )
+
+
+# ------------------------------------------------- k-anonymity audit
+
+K_ANON = 5  # re-identification risk threshold: classes smaller than this
+K_ANON_BAL_W = 1000  # account-balance generalization width (coarsening)
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / {K_ANON_BAL_W}) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(sum(class_size) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END)
+            AS BIGINT) AS classes_below_k
+FROM classes
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    tuple (nation, market segment, coarsened account-balance band): how
+    many equivalence classes exist, how small the smallest is, and how
+    many rows sit in classes below k={K_ANON} — the re-identification-risk
+    report a privacy review runs before a dataset ships (the structural
+    complement of `pii_redact`'s value masking: redaction hides
+    identifiers, k-anonymity measures whether combinations of
+    NON-identifiers still single people out).
+
+    One hash aggregate builds the class table; the audit is a second
+    bounded aggregate over it. If rows_at_risk > 0 the fix is coarsening
+    the generalization (wider bands) or suppressing the risky classes —
+    both re-runs of this same query shape."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_W).cast("long").alias(
+            "bal_band"
+        ),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    below = F.col("class_size") < K_ANON
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("min_class_size"),
+        F.sum(F.when(below, F.col("class_size")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.sum("class_size").alias("rows_total"),
+        F.sum(below.cast("long")).alias("classes_below_k"),
+    )
