@@ -1005,3 +1005,95 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("w"))
         .where(F.col("w") != 0)
     )
+
+
+# ------------------------------------------------------- collocations
+
+COLLOC_MIN_N = 5
+COLLOC_TOP = 20
+
+
+@query(
+    "bigram_collocations",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+uni AS (
+    SELECT t.tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(w) AS tok FROM toks) t GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni),
+bi AS (
+    SELECT w[i] AS w1, w[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+    FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+    GROUP BY 1, 2
+    HAVING count(*) >= {COLLOC_MIN_N}
+)
+SELECT w1, w2, n_ab,
+       CAST(n_ab * t.big_n * 1000000 // (u1.n * u2.n) AS BIGINT) AS lift_ppm
+FROM bi
+JOIN uni u1 ON u1.tok = bi.w1
+JOIN uni u2 ON u2.tok = bi.w2
+CROSS JOIN tot t
+ORDER BY lift_ppm DESC, w1, w2
+LIMIT {COLLOC_TOP}
+""",
+)
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection: ADJACENT word pairs ranked by association
+    lift (observed bigram rate / independence expectation) — phrases that
+    occur together more than chance ("new york"-style units). Distinct
+    from `term_cooccurrence`/`term_lift`, which count DOCUMENT-level
+    co-membership; collocations are an ordering property of the token
+    stream. Ranking uses integer-ppm lift (PMI's log is monotone in it,
+    so the top-k is identical) — no floats anywhere.
+
+    Scale shape: bigrams come from a zero-shuffle slice/zip projection of
+    each document's token array; unigram and bigram counts are two hash
+    aggregates over slim token rows; marginals join back by word. At
+    extreme corpus sizes the n_ab*N product wants a decimal accumulator —
+    loud ANSI overflow, not silent."""
+    from ..operators.topn import global_topn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= COLLOC_MIN_N)
+    )
+    scored = (
+        bi.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"),
+                                   F.col("n").alias("n1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"),
+                                   F.col("n").alias("n2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_ab",
+            F.expr(
+                "CAST(n_ab * big_n * 1000000 div (n1 * n2) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return global_topn(
+        scored, [F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")], COLLOC_TOP
+    )
