@@ -892,3 +892,103 @@ def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_pattern[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------------------------------------------- cohort LTV curves
+
+@query(
+    "cohort_ltv",
+    oracle="""
+WITH spend AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+firsts AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY 1
+),
+aged AS (
+    SELECT f.cohort_week,
+           CAST((s.week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+           s.rev_c
+    FROM spend s JOIN firsts f ON f.user_id = s.user_id
+),
+grid AS (
+    SELECT cohort_week, week_offset,
+           CAST(sum(rev_c) AS BIGINT) AS rev_c
+    FROM aged GROUP BY 1, 2
+),
+sized AS (
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+    FROM firsts GROUP BY 1
+)
+SELECT g.cohort_week, g.week_offset, s.cohort_users,
+       CAST(sum(g.rev_c) OVER (PARTITION BY g.cohort_week
+                               ORDER BY g.week_offset
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_revenue_c,
+       CAST(sum(g.rev_c) OVER (PARTITION BY g.cohort_week
+                               ORDER BY g.week_offset
+                               ROWS UNBOUNDED PRECEDING)
+            * 100 // s.cohort_users AS BIGINT) AS ltv_c_per_100_users
+FROM grid g JOIN sized s USING (cohort_week)
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchase revenue accumulated by cohort
+    age — the monetary twin of `cohort_retention`'s user counts, and the
+    curve a growth team reads payback periods from. Revenue is integer
+    cents; LTV is normalized per 100 cohort users with a floor division
+    so every value is an exact bigint.
+
+    Scale shape: spend collapses to (user, week) before anything joins;
+    cohort assignment is one per-user aggregate joined back on user_id;
+    the cumulative sum windows over the bounded (cohort x age) GRID,
+    never raw events."""
+    ev = read_events(spark, sf_dir)
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c")
+        )
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    aged = spend.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("long").alias(
+            "week_offset"
+        ),
+        "rev_c",
+    )
+    grid = aged.groupBy("cohort_week", "week_offset").agg(
+        F.sum("rev_c").alias("rev_c")
+    )
+    sized = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("rev_c").over(w)
+    return (
+        grid.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            cum.alias("cum_revenue_c"),
+            F.expr(
+                "CAST(sum(rev_c) OVER (PARTITION BY cohort_week "
+                "ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "CURRENT ROW) * 100 div cohort_users AS BIGINT)"
+            ).alias("ltv_c_per_100_users"),
+        )
+    )
