@@ -551,3 +551,63 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("class_size").alias("rows_total"),
         F.sum(below.cast("long")).alias("classes_below_k"),
     )
+
+
+# --------------------------------------- functional-dependency discovery
+
+# Candidate FDs to test: (table, lhs, rhs). Mixed true/false candidates so
+# the report demonstrates both outcomes.
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),       # key -> attr: must hold
+    ("customer", "c_custkey", "c_mktsegment"),   # key -> attr: must hold
+    ("customer", "c_nationkey", "c_mktsegment"), # non-key: expected to fail
+    ("lineitem", "l_orderkey", "l_suppkey"),     # multi-line orders: fails
+)
+
+
+def _fd_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{table}.{lhs}->{rhs}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups,
+       CAST(CASE WHEN sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM (
+    SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+    FROM {table} GROUP BY {lhs}
+) g"""
+
+
+@query(
+    "fd_discovery",
+    oracle="\nUNION ALL\n".join(
+        _fd_sql(t, a, b) for t, a, b in FD_CANDIDATES
+    ),
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (profiling): for each candidate
+    LHS -> RHS, count the LHS groups whose RHS takes more than one value —
+    zero violating groups means the dependency HOLDS on this data. FDs
+    drive normalization decisions, key detection, and join-safety checks
+    ("is this column safe to carry through a group-by"); the candidate
+    list mixes true keys and deliberately-failing candidates so both
+    verdicts are exercised.
+
+    Each candidate is one (lhs -> distinct-rhs) aggregate over a pruned
+    two-column scan, then a bounded rollup — candidates run as
+    independent parallel jobs, and no candidate ever shuffles more than
+    its two columns."""
+    out = None
+    for table, lhs, rhs in FD_CANDIDATES:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        viol = F.sum((F.col("n_rhs") > 1).cast("long"))
+        one = g.agg(
+            F.lit(f"{table}.{lhs}->{rhs}").alias("candidate"),
+            F.count(F.lit(1)).alias("n_lhs_groups"),
+            viol.alias("violating_groups"),
+            F.when(viol == 0, 1).otherwise(0).cast("long").alias("holds"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

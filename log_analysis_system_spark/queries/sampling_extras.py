@@ -175,3 +175,84 @@ def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+# --------------------------------------------- Neyman optimal allocation
+
+NEYMAN_TOTAL = 1000  # sample budget to allocate across strata
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type AS stratum,
+           CAST(count(*) AS BIGINT) AS n_h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sumsq_c
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT stratum, n_h,
+           CAST(floor(sqrt(CAST(n_h * sumsq_c - sum_c * sum_c AS DOUBLE)))
+                AS BIGINT) AS w_int
+    FROM s
+),
+tot AS (SELECT CAST(sum(w_int) AS BIGINT) AS wsum FROM w)
+SELECT stratum, n_h,
+       CAST({NEYMAN_TOTAL} * w_int // wsum AS BIGINT) AS alloc_n,
+       round(CAST(w_int AS DOUBLE) / wsum, 6) AS alloc_share
+FROM w, tot
+""",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a fixed sample budget across strata:
+    each stratum receives budget proportional to N_h * S_h (size times
+    standard deviation) — the survey-sampling allocation that minimizes
+    estimator variance, vs the PROPORTIONAL allocation
+    `stratified_sample` implements (equal rates). High-variance strata
+    get oversampled; near-constant strata need almost no samples.
+
+    N_h*S_h comes from the exact integer sufficient statistics
+    (sqrt(n*sumsq - sum^2) over cents = n*std, floored to a bigint WEIGHT
+    immediately), so the cross-strata total is an exact integer sum — a
+    float weight total would be summation-order-dependent. Allocations
+    are integer floor divisions; the one double division (the reported
+    share) sits at the output edge. One conditional-agg scan; the
+    allocation table is |strata| rows."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = ev.groupBy(F.col("event_type").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents).alias("sum_c"),
+        F.sum(cents * cents).alias("sumsq_c"),
+    )
+    w = s.select(
+        "stratum",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_h") * F.col("sumsq_c")
+                    - F.col("sum_c") * F.col("sum_c")
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("w_int"),
+    )
+    tot = w.agg(F.sum("w_int").alias("wsum"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        F.expr(f"CAST({NEYMAN_TOTAL} * w_int div wsum AS BIGINT)").alias(
+            "alloc_n"
+        ),
+        F.round(F.col("w_int").cast("double") / F.col("wsum"), 6).alias(
+            "alloc_share"
+        ),
+    )
