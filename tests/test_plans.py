@@ -387,3 +387,49 @@ def test_winnow_gram_hashes_materialized(spark):
     plan = plan_of(spark, "winnow_overlap")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_no_explode_single_agg(spark):
+    """BM25's per-doc term frequencies must stay an array-filter projection
+    — no Generate (explode) node fanning corpus rows out — and corpus stats
+    must come back as a broadcast, never a shuffle join."""
+    plan = plan_of(spark, "bm25_rank")
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decayed_popularity_heap_and_fold(spark):
+    """Top-k must be the per-partition heap and the decay weight must fold
+    into the scan-side projection (no join against a date table)."""
+    plan = plan_of(spark, "decayed_popularity")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_sequence_patterns_single_sequence_build(spark):
+    """All patterns must evaluate over ONE sequence build — the per-user
+    fold appears once (one scan; branch reuse may duplicate the agg
+    textually but never adds scans per pattern)."""
+    plan = plan_of(spark, "sequence_pattern_match")
+    from log_analysis_system_spark.queries.behavior import SEQ_PATTERNS
+
+    # one scan per union branch at most, NOT patterns x extra scans
+    assert plan.count("FileScan") <= len(SEQ_PATTERNS)
+    assert "CartesianProduct" not in plan
+
+
+def test_hashed_features_one_exchange(spark):
+    """The vectorizer is explode + ONE hash aggregate: a second exchange
+    would mean the bucket/sign projection stopped being map-side."""
+    plan = plan_of(spark, "hashed_features")
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+
+
+def test_ts_similarity_no_pairwise_shuffle(spark):
+    """The corpus side must meet the broadcast query set in a nested-loop
+    or hash broadcast — never a shuffle-partitioned pairwise join."""
+    plan = plan_of(spark, "ts_similarity_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
