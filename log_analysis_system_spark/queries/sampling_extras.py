@@ -256,3 +256,100 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_share"
         ),
     )
+
+
+# --------------------------------------------- cross-split leakage audit
+
+def _split_leak_oracle() -> str:
+    """Compose the minhash near-dup pair oracle with the split-bucket rule
+    (the lsh_recall_audit derived-table pattern): a near-dup pair whose
+    members land in different splits is leakage."""
+    from . import ORACLES
+
+    pairs = ORACLES["dedup_minhash_lsh"]
+    return f"""
+WITH p AS (SELECT doc_a, doc_b FROM ({pairs}) t),
+s AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                          15)) AS BIGINT) % 100 < {VAL_PCT}
+                THEN 'val'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                          15)) AS BIGINT) % 100
+                     < {VAL_PCT + TEST_PCT}
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+),
+marked AS (
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi
+    FROM p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT)
+           AS is_leak
+FROM marked GROUP BY 1, 2
+"""
+
+
+@query("split_leak_audit", oracle=_split_leak_oracle())
+def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit: MinHash near-duplicate pairs that STRADDLE the
+    train/val/test boundary — a training document nearly identical to an
+    eval document inflates benchmarks exactly like verbatim contamination,
+    and `decontaminate_ngram`'s eval-n-gram screen cannot see it because
+    the leak is between SPLITS of one corpus, not against an external eval
+    set. Reports pair counts per split combination with a leak flag
+    (within-split duplicate pairs are waste, cross-split pairs are
+    leakage; the fix is moving/removing one member of each leaked pair).
+
+    Scale shape: rides the existing banded-LSH candidate machinery (no
+    new pairwise work); split labels are a pure projection joined onto the
+    slim pair rows by doc id."""
+    from .dedup import q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 100
+    )
+    s = docs.select(
+        "doc_id",
+        F.when(bucket < VAL_PCT, "val")
+        .when(bucket < VAL_PCT + TEST_PCT, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    marked = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("doc_a"),
+                     F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("doc_b"),
+                     F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return marked.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max(
+            (F.col("split_lo") != F.col("split_hi")).cast("long")
+        ).alias("is_leak"),
+    )
