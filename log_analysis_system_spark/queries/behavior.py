@@ -992,3 +992,83 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_c_per_100_users"),
         )
     )
+
+
+# ------------------------------------------- repeat-purchase cadence
+
+@query(
+    "repeat_purchase_cadence",
+    oracle="""
+WITH p AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS prev_ts
+    FROM events WHERE event_type = 'purchase'
+),
+gaps AS (
+    SELECT CAST(date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE))
+                AS BIGINT) AS gap_days
+    FROM p WHERE prev_ts IS NOT NULL
+),
+h AS (
+    SELECT gap_days, CAST(count(*) AS BIGINT) AS n
+    FROM gaps GROUP BY 1
+),
+c AS (
+    SELECT gap_days, n,
+           CAST(sum(n) OVER (ORDER BY gap_days
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(n) OVER () AS BIGINT) AS tot
+    FROM h
+)
+SELECT CAST(min(CASE WHEN cum * 2 >= tot THEN gap_days END) AS BIGINT)
+           AS median_gap_days,
+       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN gap_days END) AS BIGINT)
+           AS p90_gap_days,
+       CAST(max(tot) AS BIGINT) AS n_gaps
+FROM c
+""",
+)
+def q_repeat_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between each
+    user's consecutive purchases, reduced to exact nearest-rank median and
+    p90 — the replenishment-cycle metric behind "when to re-engage"
+    campaigns (RFM scores recency once; cadence measures the rhythm).
+
+    Exactness without a global sort: gaps collapse to a DAY-GAP HISTOGRAM
+    (domain bounded by the calendar, ~30 rows), and percentiles are the
+    smallest gap whose cumulative count crosses the rank threshold —
+    integer comparisons only, the counts-of-counts percentile pattern.
+    One user-keyed lag window + one bounded histogram."""
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gaps = p.where(F.col("prev_ts").isNotNull()).select(
+        F.datediff(F.col("ts").cast("date"), F.col("prev_ts").cast("date"))
+        .cast("long")
+        .alias("gap_days")
+    )
+    h = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy(F.lit(1)).orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(F.lit(1))
+    c = h.select(
+        "gap_days",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    return c.agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("gap_days"))
+        ).alias("median_gap_days"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("gap_days"))
+        ).alias("p90_gap_days"),
+        F.max("tot").alias("n_gaps"),
+    )

@@ -1092,3 +1092,80 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, [F.desc("lift_ppm"), F.asc("part_a"), F.asc("part_b")],
         BASKET_TOP,
     )
+
+
+# ------------------------------------------------ week-over-week movers
+
+MOVERS_TOP = 10
+
+
+@query(
+    "rank_movers",
+    oracle=f"""
+WITH weekly AS (
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS category_id,
+           CAST(count(*) AS BIGINT) AS n_clicks
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT week, category_id, n_clicks,
+           CAST(row_number() OVER (PARTITION BY week
+                                   ORDER BY n_clicks DESC, category_id)
+                AS BIGINT) AS rnk
+    FROM weekly
+),
+moved AS (
+    SELECT week, category_id, n_clicks, rnk,
+           lag(rnk) OVER (PARTITION BY category_id ORDER BY week) AS prev_rnk
+    FROM ranked
+)
+SELECT week, category_id, n_clicks, rnk, prev_rnk,
+       CAST(prev_rnk - rnk AS BIGINT) AS rank_gain
+FROM moved
+WHERE prev_rnk IS NOT NULL
+ORDER BY prev_rnk - rnk DESC, week, category_id
+LIMIT {MOVERS_TOP}
+""",
+)
+def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week rank movers: each category's position in the weekly
+    click leaderboard vs its position last week, ranked by rank GAIN —
+    the "trending up" report (`weekly_change` tracks value deltas; rank
+    deltas surface movements the absolute numbers hide when overall
+    volume shifts). Two windows on different keys — rank within week,
+    lag within category — each over the bounded (week x category) grid,
+    never raw events; the top movers cut is the per-partition heap."""
+    from ..operators.topn import global_topn
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    weekly = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.get_json_object("props", "$.k").cast("long").alias(
+                "category_id"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    wr = Window.partitionBy("week").orderBy(
+        F.desc("n_clicks"), F.asc("category_id")
+    )
+    ranked = weekly.withColumn(
+        "rnk", F.row_number().over(wr).cast("long")
+    )
+    wl = Window.partitionBy("category_id").orderBy("week")
+    moved = ranked.withColumn("prev_rnk", F.lag("rnk").over(wl)).where(
+        F.col("prev_rnk").isNotNull()
+    )
+    return global_topn(
+        moved.select(
+            "week", "category_id", "n_clicks", "rnk", "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+        ),
+        [F.desc("rank_gain"), F.asc("week"), F.asc("category_id")],
+        MOVERS_TOP,
+    )
