@@ -611,3 +611,77 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --------------------------------------------- order/line reconciliation
+
+RECON_TOL_C = 100  # tolerance in cents for header-vs-detail agreement
+
+
+@query(
+    "order_reconciliation",
+    oracle=f"""
+WITH detail AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS line_total_c
+    FROM lineitem GROUP BY 1
+),
+recon AS (
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_c,
+           coalesce(d.line_total_c, 0) AS line_total_c,
+           CASE WHEN d.l_orderkey IS NULL THEN 1 ELSE 0 END AS headless
+    FROM orders o LEFT JOIN detail d ON d.l_orderkey = o.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(headless) AS BIGINT) AS n_missing_detail,
+       CAST(sum(CASE WHEN headless = 0
+                     AND abs(header_c - line_total_c) > {RECON_TOL_C}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+       CAST(max(CASE WHEN headless = 0
+                     THEN abs(header_c - line_total_c) END) AS BIGINT)
+           AS max_abs_diff_c,
+       CAST(sum(header_c) AS BIGINT) AS header_total_c,
+       CAST(sum(line_total_c) AS BIGINT) AS detail_total_c
+FROM recon
+""",
+)
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: every order's header total against
+    the sum of its line extended prices — the financial-close audit that
+    catches dropped lines, double loads, and currency/rounding bugs
+    before a revenue number ships. Reports missing-detail orders,
+    out-of-tolerance mismatches, the worst absolute gap, and both grand
+    totals (all exact cents, so the report is bit-stable and the two
+    grand totals reconcile downstream systems directly).
+
+    Scale shape: detail collapses to one row per order before the join;
+    header-detail is the orderkey equi-join the engine already co-locates;
+    the audit is one conditional aggregate over slim reconciled rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "line_total_c"
+        )
+    )
+    recon = orders.join(
+        detail, orders.o_orderkey == detail.l_orderkey, "left"
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_c"),
+        F.coalesce("line_total_c", F.lit(0)).alias("line_total_c"),
+        F.col("l_orderkey").isNull().cast("long").alias("headless"),
+    )
+    diff = F.abs(F.col("header_c") - F.col("line_total_c"))
+    ok_detail = F.col("headless") == 0
+    return recon.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("headless").alias("n_missing_detail"),
+        F.sum((ok_detail & (diff > RECON_TOL_C)).cast("long")).alias(
+            "n_mismatched"
+        ),
+        F.max(F.when(ok_detail, diff)).alias("max_abs_diff_c"),
+        F.sum("header_c").alias("header_total_c"),
+        F.sum("line_total_c").alias("detail_total_c"),
+    )

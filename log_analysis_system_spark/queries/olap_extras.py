@@ -1169,3 +1169,52 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("rank_gain"), F.asc("week"), F.asc("category_id")],
         MOVERS_TOP,
     )
+
+
+# ------------------------------------------------ quantile normalization
+
+@query(
+    "quantile_transform",
+    oracle="""
+WITH ranked AS (
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) AS value_c,
+           CAST(row_number() OVER (ORDER BY round(value * 100), event_id)
+                AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+    FROM events
+)
+SELECT event_id, value_c,
+       CAST(rnk * 1000000 // n AS BIGINT) AS quantile_ppm
+FROM ranked
+""",
+)
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile transform (rank normalization): every value mapped to its
+    empirical quantile — the distribution-free feature scaling that makes
+    heavy-tailed columns comparable (a model sees uniform [0,1] whatever
+    the raw distribution was). Quantiles are integer ppm floor divisions
+    of the exact global rank, and the rank comes from the
+    range-partitioned `global_rank` with an (value, event_id) total order
+    — no single-partition sort, no ties ambiguity, bit-stable output for
+    every row.
+
+    The oracle's row_number() OVER (ORDER BY ...) is the single-task
+    formulation; `global_rank` is its cluster-safe equivalent (identical
+    output, verified by the hash)."""
+    from ..operators.sampling import global_rank
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    ranked = global_rank(
+        ev, [F.asc("value_c"), F.asc("event_id")], rank_col="rnk0"
+    ).withColumn("rnk", F.col("rnk0") + 1)
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "event_id",
+        "value_c",
+        F.expr("CAST(rnk * 1000000 div n AS BIGINT)").alias("quantile_ppm"),
+    )
