@@ -591,14 +591,23 @@ def q_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the prefix sum runs over a calendar-bounded series (30 rows
     here, thousands at worst), so the unpartitioned-looking scan is over
     an aggregate, never the fact table."""
-    from pyspark.sql import Window
-
     from ..sources.catalog import read_events
 
     ev = read_events(spark, sf_dir)
     daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
         F.count(F.lit(1)).alias("x")
     )
+    return cusum_top(daily)
+
+
+def cusum_top(daily: DataFrame) -> DataFrame:
+    """The CUSUM scoring body over a (d, x) daily-count frame — shared by
+    the batch query and the streaming level-shift monitor so both compute
+    the identical statistic from their respective count sources."""
+    from pyspark.sql import Window
+
+    from ..operators.topn import global_topn
+
     tot = daily.agg(
         F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
     )
@@ -615,8 +624,6 @@ def q_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_scaled"
         ),
     )
-    from ..operators.topn import global_topn
-
     return global_topn(
         scored.select(
             F.col("d").alias("change_day"),

@@ -71,3 +71,54 @@ def drift_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ------------------------------------------- streaming level-shift monitor
+
+def daily_counts(ev: DataFrame) -> DataFrame:
+    """(d, x) daily event counts for a batch — mergeable partials for the
+    CUSUM monitor (counts on the same day sum across batches)."""
+    return ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+
+
+def append_daily_batch(batch_df: DataFrame, store_dir: str, batch_id: int) -> None:
+    """foreachBatch body for the level-shift monitor: persist one
+    micro-batch's daily counts (overwrite-idempotent under replay)."""
+    daily_counts(batch_df).write.mode("overwrite").parquet(
+        f"{store_dir}/daily/batch={batch_id}"
+    )
+
+
+def serve_change_point(spark, store_dir: str) -> DataFrame:
+    """Merge the streamed daily-count partials and run the SAME exact-
+    integer CUSUM scoring the batch query uses (`temporal.cusum_top`) —
+    the continuously-updatable "when did the level shift" monitor. State
+    is O(days), never O(events)."""
+    from ..queries.temporal import cusum_top
+
+    broot = os.path.join(store_dir, "daily")
+    dirs = [
+        os.path.join(broot, d)
+        for d in sorted(os.listdir(broot))
+        if d.startswith("batch=")
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no daily partials under {store_dir}")
+    parts = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        parts = parts.unionByName(spark.read.parquet(d))
+    daily = parts.groupBy("d").agg(F.sum("x").alias("x"))
+    return cusum_top(daily)
+
+
+def level_shift_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Attach the CUSUM level-shift monitor to a streaming events frame."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: append_daily_batch(b, store_dir, i)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -63,3 +63,34 @@ def test_replayed_batch_changes_nothing(spark, tmp_path):
     append_drift_batch(win_b, store, 0)  # crash-replay of the same batch
     after = {tuple(r) for r in serve_drift(spark, store, ref).collect()}
     assert before == after and before
+
+
+def test_streamed_change_point_equals_batch_query(spark, tmp_path):
+    """The served CUSUM change point over streamed daily counts must equal
+    the batch cusum_change_point query — batch and streaming monitors
+    share the exact-integer scoring body."""
+    ev = read_events(spark, SF_DIR)
+    inp = str(tmp_path / "input")
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(f"{inp}/c1.parquet")
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(f"{inp}/c2.parquet")
+
+    from log_analysis_system_spark.streaming.drift import (
+        level_shift_monitor,
+        serve_change_point,
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*.parquet")
+    )
+    store = str(tmp_path / "store")
+    q = level_shift_monitor(stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    served = {tuple(r) for r in serve_change_point(spark, store).collect()}
+    batch = {
+        tuple(r) for r in QUERIES["cusum_change_point"](spark, SF_DIR).collect()
+    }
+    assert served == batch and served
