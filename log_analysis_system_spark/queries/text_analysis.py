@@ -1097,3 +1097,75 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topn(
         scored, [F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")], COLLOC_TOP
     )
+
+
+# --------------------------------------------- classifier evaluation
+
+@query(
+    "langid_confusion",
+    oracle=f"""
+WITH pred AS (
+    SELECT lang AS actual,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          w -> w IN {_STOP_IN_SQL}))
+                          AS BIGINT)
+                     / CAST(len(string_split(text, ' ')) AS BIGINT) >= 0.03
+                THEN 'en' ELSE 'other' END AS predicted
+    FROM documents
+),
+cells AS (
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+),
+m AS (
+    SELECT c.*,
+           CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS row_n,
+           CAST(sum(n) OVER (PARTITION BY predicted) AS BIGINT) AS col_n
+    FROM cells c
+)
+SELECT actual, predicted, n,
+       CAST(n * 1000000 // col_n AS BIGINT) AS precision_ppm,
+       CAST(n * 1000000 // row_n AS BIGINT) AS recall_ppm
+FROM m
+""",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation for the language-ID heuristic: the confusion
+    matrix of actual vs predicted language, with per-cell precision
+    (n / predicted-class total) and recall (n / actual-class total) in
+    integer ppm — the model-quality report any in-pipeline classifier
+    (quality gates, lang-ID, PII detectors) needs before its output
+    drives filtering decisions. Diagonal cells carry the per-class
+    precision/recall; off-diagonal cells name the confusions.
+
+    One scan computes predictions in codegen (the same expression
+    `lang_id` emits), one aggregate builds the bounded |labels|^2 cell
+    table, and the marginals are windows OVER that bounded table — the
+    evaluation never rescans the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    ratio = stop_hits / F.size(words).cast("long")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        F.when(ratio >= 0.03, "en").otherwise("other").alias("predicted"),
+    )
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    m = cells.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("actual"))
+    ).withColumn("col_n", F.sum("n").over(Window.partitionBy("predicted")))
+    return m.select(
+        "actual",
+        "predicted",
+        "n",
+        F.expr("CAST(n * 1000000 div col_n AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST(n * 1000000 div row_n AS BIGINT)").alias("recall_ppm"),
+    )
