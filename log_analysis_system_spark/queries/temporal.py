@@ -634,3 +634,60 @@ def cusum_top(daily: DataFrame) -> DataFrame:
         [F.desc("cusum_scaled"), F.asc("change_day")],
         1,
     )
+
+
+# ------------------------------------------------- day-of-week seasonality
+
+@query(
+    "dow_seasonality",
+    oracle="""
+WITH d AS (
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_days) AS BIGINT)
+               AS tot_days
+    FROM d
+)
+SELECT dow, n, n_days,
+       CAST((n * tot_days) * 1000000 // (n_days * tot_n) AS BIGINT)
+           AS seasonal_index_ppm
+FROM d, tot
+""",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: each weekday's PER-DAY event rate
+    indexed against the overall per-day rate (1e6 = average; Mondays at
+    1.2e6 run 20% hot) — the multiplier table a seasonal forecast or an
+    anomaly threshold applies before comparing days. Normalizing by the
+    number of CALENDAR DAYS each weekday contributes removes the bias a
+    30-day month has (some weekdays occur 5 times, others 4).
+
+    The index is a ratio of integer cross-products with one ppm floor
+    division — bit-stable. One scan, one 7-row aggregate."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    # ISO day number (Monday=1..Sunday=7) on BOTH engines: DuckDB isodow
+    # vs Spark weekday()+1 — the builtin dayofweek() conventions differ
+    # (Spark Sunday=1, DuckDB Sunday=0).
+    d = ev.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+    )
+    tot = d.agg(
+        F.sum("n").alias("tot_n"), F.sum("n_days").alias("tot_days")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n",
+        "n_days",
+        F.expr(
+            "CAST((n * tot_days) * 1000000 div (n_days * tot_n) AS BIGINT)"
+        ).alias("seasonal_index_ppm"),
+    )
