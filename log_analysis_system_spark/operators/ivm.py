@@ -58,7 +58,13 @@ def append_view_delta(delta: DataFrame, store_dir: str, batch_id: int) -> None:
 
 def serve_view(spark, store_dir: str) -> DataFrame:
     """Current view = merged partials; groups retracted to zero
-    multiplicity disappear (a fully-deleted nation leaves the view)."""
+    multiplicity disappear (a fully-deleted nation leaves the view).
+
+    A group may only vanish when BOTH the count and the sum retract to
+    zero — n_items == 0 with revenue_c != 0 means the delta stream is
+    malformed (deletes that don't mirror prior inserts), and silently
+    discarding nonzero revenue would hide the corruption, so such rows
+    are kept visible for the caller/monitor to flag."""
     broot = os.path.join(store_dir, "batches")
     dirs = [
         os.path.join(broot, d)
@@ -76,5 +82,5 @@ def serve_view(spark, store_dir: str) -> DataFrame:
             F.sum("revenue_c").alias("revenue_c"),
             F.sum("n_items").alias("n_items"),
         )
-        .where(F.col("n_items") != 0)
+        .where((F.col("n_items") != 0) | (F.col("revenue_c") != 0))
     )

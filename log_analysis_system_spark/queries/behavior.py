@@ -722,31 +722,40 @@ def q_term_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ multi-touch attribution
 
 MTA_HORIZON_US = 7 * 24 * 3600 * 1_000_000  # credit touches within 7 days
-# (ts, event_id) packed into one sortable bigint so "earliest following
-# purchase" is a plain conditional MIN on both engines (no struct-min
-# dialect differences). epoch_us ~ 1.7e15, *1000 stays below 2^63.
-_PK = "epoch_us(ts) * 1000 + event_id % 1000"
+# Purchase identity = row_number over the per-user (ts, event_id) order —
+# order-faithful for ANY event_id range (a packed `ts*1000 + id%1000` key
+# inverts same-timestamp ties whose ids differ by >=1000). The horizon
+# test uses a separate conditional MIN over ts: the min-row_number
+# following purchase is the earliest in (ts, id) order, so its ts equals
+# the min ts among following purchases. Both mins ride the same window.
 
 
 @query(
     "multi_touch_attribution",
     oracle=f"""
-WITH marked AS (
-    SELECT user_id, event_id, event_type, ts,
-           {_PK} AS pk,
-           min(CASE WHEN event_type = 'purchase'
-                    THEN {_PK} END)
-               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-               AS next_pk
+WITH numbered AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
     FROM events
+),
+marked AS (
+    SELECT user_id, event_type, ts_us,
+           min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER w_fol AS next_pk,
+           min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+               OVER w_fol AS next_ts_us
+    FROM numbered
+    WINDOW w_fol AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ),
 touches AS (
     SELECT user_id, event_type, next_pk
     FROM marked
     WHERE event_type IN ('view', 'click')
       AND next_pk IS NOT NULL
-      AND next_pk - pk <= {MTA_HORIZON_US} * 1000
+      AND next_ts_us - ts_us <= {MTA_HORIZON_US}
 ),
 sized AS (
     SELECT user_id, next_pk, event_type,
@@ -772,29 +781,39 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Credit is integer ppm so the per-channel sums are exact under any
     partitioning (a float 1/n sum is summation-order-dependent). The
-    "earliest following purchase" resolves through ONE conditional-min
-    window over the (ts, event_id)-packed sort key — one user-keyed
-    exchange serves the purchase lookup, the per-purchase touch count, and
-    the horizon filter; nothing joins the fact table to itself."""
+    "earliest following purchase" resolves through conditional-min
+    windows over the per-user row_number in (ts, event_id) order — fully
+    order-faithful (no packed-bigint tie inversion) — and one user-keyed
+    exchange serves the numbering, the purchase lookup, the per-purchase
+    touch count, and the horizon filter; nothing joins the fact table to
+    itself."""
     from ..functions.scalar import epoch_us
 
     ev = read_events(spark, sf_dir)
-    pk = (epoch_us("ts") * 1000 + F.col("event_id") % 1000).alias("pk")
-    w = Window.partitionBy("user_id").orderBy(
+    w_ord = Window.partitionBy("user_id").orderBy(
         epoch_us("ts"), F.col("event_id")
-    ).rowsBetween(1, Window.unboundedFollowing)
-    marked = ev.select(
-        "user_id", "event_id", "event_type", "ts", pk
+    )
+    numbered = ev.select(
+        "user_id",
+        "event_type",
+        epoch_us("ts").alias("ts_us"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    w_fol = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    marked = numbered.withColumn(
+        "next_pk", F.min(F.when(is_p, F.col("rn"))).over(w_fol)
     ).withColumn(
-        "next_pk",
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("pk"))
-        ).over(w),
+        "next_ts_us", F.min(F.when(is_p, F.col("ts_us"))).over(w_fol)
     )
     touches = marked.where(
         F.col("event_type").isin("view", "click")
         & F.col("next_pk").isNotNull()
-        & (F.col("next_pk") - F.col("pk") <= MTA_HORIZON_US * 1000)
+        & (F.col("next_ts_us") - F.col("ts_us") <= MTA_HORIZON_US)
     ).select("user_id", "event_type", "next_pk")
     sized = touches.withColumn(
         "n_touches",

@@ -565,7 +565,9 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_DELETE_TYPE = "error"  # the event_type treated as a DELETE tombstone
 
 
-def apply_changelog(snapshot: DataFrame | None, ops: DataFrame) -> DataFrame:
+def apply_changelog(
+    snapshot: DataFrame | None, ops: DataFrame, watermark=None
+) -> DataFrame:
     """Apply a CDC changelog to a snapshot: last op per key wins, DELETE
     tombstones (event_type == CDC_DELETE_TYPE) remove the key.
 
@@ -577,9 +579,27 @@ def apply_changelog(snapshot: DataFrame | None, ops: DataFrame) -> DataFrame:
     timestamp and applying the halves in order yields the same snapshot as
     one full apply. One window shuffle on the key per batch; tombstoned
     keys leave the snapshot entirely (no tombstone retention — compaction
-    happens at every apply)."""
+    happens at every apply).
+
+    RESURRECT HAZARD: because tombstones are compacted at every apply, the
+    incremental == full contract holds only for TIME-ORDERED batch splits.
+    A late batch carrying an upsert OLDER than an already-applied delete
+    finds no tombstone to lose against and resurrects the deleted key.
+    Pass ``watermark`` (the max ts already applied, e.g. from the previous
+    batch's ops) to enforce ordering: the apply raises ValueError if any
+    incoming op is older than the watermark instead of silently diverging
+    from the full recompute."""
     from pyspark.sql import Window
 
+    if watermark is not None:
+        n_late = ops.where(F.col("ts") < F.lit(watermark)).count()
+        if n_late:
+            raise ValueError(
+                f"apply_changelog: {n_late} op(s) older than watermark "
+                f"{watermark!r} — out-of-order batches can resurrect "
+                f"deleted keys (tombstones are compacted at every apply); "
+                f"replay the changelog in ts order instead"
+            )
     both = ops if snapshot is None else snapshot.unionByName(ops)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (

@@ -1712,11 +1712,13 @@ def _pq_adc_topk(codes_df, store, cb_rows, q_rows):
     nbr = store.select(
         F.col("vec_id"), F.col("e").alias("ne"), F.col("nrm").alias("nn")
     )
-    qids = {r["vec_id"] for r in q_rows}
-    qv = store.where(F.col("vec_id").isin(list(qids))).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
+    # Re-rank against the CALLER-SUPPLIED query vectors, not a store
+    # lookup — search_pq_index must answer queries whose vec_id is not in
+    # the persisted index (a store filter would silently drop them).
+    qv = codes_df.sparkSession.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["e"]]) for r in q_rows],
+        "query_id bigint, qe array<bigint>",
+    ).withColumn("qn", _norm("qe"))
     rer = (
         F.broadcast(cands)
         .join(nbr, "vec_id")

@@ -65,3 +65,22 @@ def test_full_retraction_empties_the_view(spark, tmp_path):
     append_view_delta(revenue_view_delta(li, s, n), store, 0)
     append_view_delta(revenue_view_delta(li, s, n, sign=-1), store, 1)
     assert serve_view(spark, store).count() == 0
+
+
+def test_malformed_delta_surfaces_instead_of_vanishing(spark, tmp_path):
+    """A delta stream that cancels counts but NOT sums (deletes that don't
+    mirror prior inserts) must stay visible in the view — zero-multiplicity
+    compaction only applies when both accumulators retract to zero."""
+    store = str(tmp_path / "view")
+    ins = spark.createDataFrame(
+        [("GERMANY", 500, 3)], "n_name string, revenue_c long, n_items long"
+    )
+    bad_del = spark.createDataFrame(
+        [("GERMANY", -200, -3)], "n_name string, revenue_c long, n_items long"
+    )
+    append_view_delta(ins, store, 0)
+    append_view_delta(bad_del, store, 1)
+    rows = serve_view(spark, store).collect()
+    assert [(r["n_name"], r["revenue_c"], r["n_items"]) for r in rows] == [
+        ("GERMANY", 300, 0)
+    ]

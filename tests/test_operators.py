@@ -594,6 +594,24 @@ def test_cdc_incremental_apply_matches_full(spark):
     }
     assert not deleted_last
 
+    # Watermark guard: replaying the FIRST half on top of the full apply is
+    # an out-of-order batch — with the watermark it must raise instead of
+    # silently resurrecting tombstoned keys.
+    import datetime
+    import pytest
+
+    wm = second.agg(F.max("ts")).collect()[0][0]
+    assert isinstance(wm, datetime.datetime)
+    with pytest.raises(ValueError, match="resurrect"):
+        apply_changelog(snap1, first, watermark=wm)
+    # In-order batch passes the guard unchanged.
+    wm_ok = first.agg(F.max("ts")).collect()[0][0]
+    guarded = {
+        tuple(r)
+        for r in apply_changelog(snap1, second, watermark=wm_ok).collect()
+    }
+    assert guarded == full
+
 
 def test_pq_index_build_and_serve(spark, tmp_path):
     """Build/serve split: searching the PERSISTED PQ index must return the
@@ -630,3 +648,16 @@ def test_pq_index_build_and_serve(spark, tmp_path):
         for r in _pq_adc_topk(codes_df, vecs, cb_rows, q_rows).collect()
     }
     assert served == inline and served
+
+    # Out-of-index query: a vec_id absent from the persisted store must
+    # still be answered (re-rank uses the caller's vectors, not a store
+    # lookup). Same embedding as vec_id 0, foreign id -> same neighbors.
+    foreign = queries.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"), "e"
+    )
+    got = search_pq_index(spark, idx, foreign).collect()
+    assert got and all(r["query_id"] == 10**9 for r in got)
+    # The identical stored vector is no longer self-excluded: it must win
+    # rank 1 with cosine 1.0.
+    top = min(got, key=lambda r: r["rnk"])
+    assert top["neighbor_id"] == 0 and top["cosine"] == 1.0
