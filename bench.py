@@ -6,13 +6,23 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Timing = full query execution to a count()-style action (collect for small
 results), after a warm-up of the session (JVM + parquet footer caches are
 shared, matching how a long-lived engine would serve queries).
+
+Host-speed calibration: this container's single-thread throughput varies
+run to run (documented 1.06x-1.55x total swings for identical code —
+BASELINE.md round-3 notes), so the JSON also records `loadavg` (the
+1/5/15-min /proc/loadavg at start) and `calib_sec` (a fixed pure-Python
+integer loop timed before Spark starts). Comparing BENCH_r{N} files:
+divide totals by their calib_sec ratio first — a uniform inflation that
+tracks calib_sec is the host, not a code regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,7 +31,11 @@ from log_analysis_system_spark.queries import QUERIES, load_all
 from log_analysis_system_spark.session import get_spark
 
 # Headline set: the reference-parity jobs (BASELINE.md table) + heaviest
-# extension operators.
+# extension operators. Round 4 folded in the previously non-headline heavy
+# queries (winnow_overlap, semantic_clusters, lsh_recall_audit,
+# ann_pq_topk) plus the PQ build/serve split, so regressions of the
+# winnow_overlap-CollapseProject class (200 s -> 10.5 s in round 3) are
+# visible round-over-round instead of only in BASELINE.md prose.
 BENCH_QUERIES = [
     "session_agg",
     "session_stats",
@@ -54,13 +68,83 @@ BENCH_QUERIES = [
     "text_normalize",
     "grouping_sets_revenue",
     "supplier_diversity",
+    # round-4 heavy additions
+    "winnow_overlap",
+    "semantic_clusters",
+    "lsh_recall_audit",
+    "ann_pq_topk",
 ]
+
+CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)
+
+
+def calibrate() -> float:
+    """Time a fixed pure-Python integer loop — a host single-thread speed
+    probe taken before the JVM starts. Identical work every run, so the
+    ratio of two runs' calib_sec IS the host-speed ratio."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(CALIB_ITERS):
+        x += i * i
+    assert x > 0
+    return round(time.perf_counter() - t0, 3)
+
+
+def read_loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(v) for v in f.read().split()[:3]]
+    except OSError:  # non-Linux fallback
+        return []
+
+
+def bench_pq_build_serve(spark, sf_dir: str, timings: dict) -> None:
+    """Time the PQ index build half and serve half separately (the
+    persisted-index path a production deployment runs — build offline,
+    serve per query batch), not just the inline ann_pq_topk form."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        _quantized,
+        build_pq_index,
+        search_pq_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="bench_pq_")
+    try:
+        t0 = time.perf_counter()
+        build_pq_index(spark, sf_dir, idx)
+        timings["pq_index_build"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# pq_index_build: {timings['pq_index_build']:.3f}s",
+            file=sys.stderr,
+        )
+
+        queries = (
+            _quantized(spark, sf_dir)
+            .where(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", "e")
+        )
+        t0 = time.perf_counter()
+        n = search_pq_index(spark, idx, queries).count()
+        timings["pq_index_search"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# pq_index_search: {timings['pq_index_search']:.3f}s rows={n}",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def main() -> None:
     load_all()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    loadavg = read_loadavg()
+    calib_sec = calibrate()
+    print(f"# loadavg={loadavg} calib_sec={calib_sec}", file=sys.stderr)
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -77,6 +161,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    bench_pq_build_serve(spark, sf_dir, timings)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -86,6 +172,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg": loadavg,
+                "calib_sec": calib_sec,
             }
         )
     )

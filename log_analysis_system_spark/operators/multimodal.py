@@ -2,10 +2,13 @@
 
 Images/audio/video travel as opaque ``binary`` columns with typed metadata
 structs. The Spark-side machinery (schema, partition sizing, Arrow batch
-shape, mapInPandas signatures) is real and tested; the codec step itself is
-stubbed because decode libraries (PIL/librosa/av) are not in this container —
-each stub either raises ``NotImplementedError`` (real codec path) or computes
-a deterministic fake feature (test path) so the pipeline shape is verifiable.
+shape, mapInPandas signatures) is real and tested. The image codec is a
+REAL dependency-free decoder for the two pure header+raster formats —
+binary PPM (P6) and uncompressed 24-bpp BMP — parsed with numpy alone
+(`decode_image`); compressed formats (JPEG/PNG) and audio/video demux
+still need external libs (PIL/librosa/av, not in this container) and plug
+into the same ``decode_image`` dispatch / mapInPandas batch functions.
+``fake_feature_batch`` remains as the codec-free pipeline-shape probe.
 
 Scale design: decode runs via ``mapInPandas`` so each Arrow batch holds a
 bounded number of blobs (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -54,13 +57,175 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def encode_ppm(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a binary PPM (P6) image —
+    header ``P6\\n<w> <h>\\n255\\n`` + row-major RGB raster. PPM is pure
+    header+raster, so encode/decode need only numpy (no imaging libs)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bpp BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows padded to 4 bytes,
+    BGR channel order — the classic Windows DIB layout)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires an imaging library not present in this
-    container. The Spark plumbing around it is fully wired; plug PIL/OpenCV
-    here in a real deployment."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "use fake_feature_batch for pipeline testing"
+    """Real, dependency-free image decode: binary PPM (P6) and uncompressed
+    24-bpp BMP, parsed with numpy alone (both formats are pure
+    header+raster). Returns an (H, W, 3) uint8 RGB array; raises
+    ValueError on any other format — plug PIL/OpenCV into this dispatch
+    for JPEG/PNG in a real deployment."""
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    raise ValueError(
+        f"unsupported image format (magic {b[:2]!r}); "
+        f"this build decodes PPM(P6) and BMP(24bpp)"
+    )
+
+
+def _decode_ppm(b: bytes) -> "object":
+    """P6 parser: magic, then 3 ASCII integers (width, height, maxval)
+    separated by whitespace with ``#`` comments allowed, one whitespace
+    byte, then the RGB raster."""
+    import numpy as np
+
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        vals.append(int(b[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    pos += 1  # single whitespace after maxval
+    raster = b[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(
+            f"PPM raster truncated: need {w * h * 3} bytes, got {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _decode_bmp(b: bytes) -> "object":
+    """BITMAPINFOHEADER 24-bpp uncompressed parser (bottom-up or top-down
+    via negative height, row stride padded to 4 bytes, BGR -> RGB)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54:
+        raise ValueError("BMP truncated before headers")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bpp BMP supported "
+            f"(hdr={hdr_size}, planes={planes}, bpp={bpp}, comp={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raster = b[data_off : data_off + row_size * h]
+    if len(raster) != row_size * h:
+        raise ValueError("BMP raster truncated")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, row_size)
+    rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return rgb if top_down else rgb[::-1]
+
+
+def decode_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """REAL decode + feature extraction per Arrow batch: parse each payload
+    with decode_image and emit integer pixel statistics (exact under any
+    partitioning) plus an md5 fingerprint of the decoded raster. This is
+    the production shape — swap decode_image's dispatch for a JPEG/PNG
+    codec and the rest of the pipeline is unchanged."""
+    import hashlib
+
+    import pandas as pd
+
+    cols: dict[str, list] = {
+        "media_id": [],
+        "width": [],
+        "height": [],
+        "sum_r": [],
+        "sum_g": [],
+        "sum_b": [],
+        "raster_md5": [],
+    }
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        arr = decode_image(bytes(payload))
+        cols["media_id"].append(mid)
+        cols["height"].append(arr.shape[0])
+        cols["width"].append(arr.shape[1])
+        s = arr.sum(axis=(0, 1), dtype="int64")
+        cols["sum_r"].append(int(s[0]))
+        cols["sum_g"].append(int(s[1]))
+        cols["sum_b"].append(int(s[2]))
+        cols["raster_md5"].append(hashlib.md5(arr.tobytes()).hexdigest())
+    return pd.DataFrame(cols)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("raster_md5", StringType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode pipeline over binary payloads (PPM/BMP)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield decode_feature_batch(pdf)
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, DECODED_SCHEMA
     )
 
 
