@@ -1230,3 +1230,120 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(f"stack({len(conds)}, {stack}) AS (metric, n)")
     )
+
+
+# ------------------------------------- exact repeated-substring spans
+
+SPAN_K = 8            # anchor k-gram width (tokens); spans >= K are findable
+SPAN_MIN_TOKENS = 12  # report shared spans of at least this many tokens
+SPAN_DF_CAP = 32      # drop anchor grams present in more than this many docs
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0)))
+                     AS i
+          FROM words)
+),
+keep AS (SELECT h FROM g GROUP BY h
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM g a JOIN keep USING (h) JOIN g b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, pos_a, pos_b,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                      ORDER BY pos_a) AS island
+    FROM p
+)
+SELECT doc_a, doc_b,
+       CAST(min(pos_a) AS BIGINT) AS start_a,
+       CAST(min(pos_b) AS BIGINT) AS start_b,
+       CAST(max(pos_a) - min(pos_a) + {SPAN_K} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_a, doc_b, pos_a - pos_b, island
+HAVING max(pos_a) - min(pos_a) + {SPAN_K} >= {SPAN_MIN_TOKENS}
+""",
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cross-document repeated-substring mining — the distributed
+    form of suffix-array training-data dedup (the public ExactSubstr
+    method: find every substring of >= L tokens shared verbatim between
+    documents). Catches the cross-doc boilerplate spans whole-doc MinHash
+    misses (span is a small fraction of either doc) and fixed-window chunk
+    hashing misses (alignment-sensitive): any shared span of >= SPAN_K
+    tokens contains a shared anchor k-gram at EVERY offset, so matching
+    anchors between a doc pair form consecutive runs on one diagonal
+    (pos_a - pos_b constant), and each maximal run IS a maximal shared
+    span with exact token length run_len + K - 1.
+
+    Plan: anchor extraction is a zero-shuffle explode+slice projection;
+    one hash-agg on the 32-byte gram key finds shared anchors; the
+    candidate join is an equi-join on gram hash (never all-pairs) with a
+    doc-frequency cap (> SPAN_DF_CAP docs => dropped, the stop-gram bound
+    every LSH family here uses — spans ALL of whose anchors are hotter
+    than the cap are not reported, the documented approximation at scale);
+    run-merging is one window + hash-agg keyed by (doc_a, doc_b), bounded
+    by true span overlap, not corpus size. Reports (doc pair, 1-based
+    token starts, exact span token length) for spans >= SPAN_MIN_TOKENS."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import Window
+
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= SPAN_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, size(toks) - {SPAN_K} + 1)")
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.array_join(F.expr(f"slice(toks, pos, {SPAN_K})"), " ")
+        ).alias("h"),
+    )
+    keep = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_DF_CAP))
+        .select("h")
+    )
+    kept = grams.join(keep, "h")
+    ga = kept.select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    gb = kept.select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        ga.join(gb, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pos_a")
+    isl = pairs.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = isl.groupBy("doc_a", "doc_b", diag.alias("diag"), "island").agg(
+        F.min("pos_a").cast("long").alias("start_a"),
+        F.min("pos_b").cast("long").alias("start_b"),
+        (F.max("pos_a") - F.min("pos_a") + SPAN_K).cast("long").alias(
+            "span_tokens"
+        ),
+    )
+    return spans.where(F.col("span_tokens") >= SPAN_MIN_TOKENS).select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_tokens"
+    )
