@@ -1296,28 +1296,34 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by true span overlap, not corpus size. Reports (doc pair, 1-based
     token starts, exact span token length) for spans >= SPAN_MIN_TOKENS."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shared_substring_spans(
+        docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS, df_cap=SPAN_DF_CAP
+    )
+
+
+def shared_substring_spans(
+    docs: DataFrame, k: int, min_tokens: int, df_cap: int
+) -> DataFrame:
+    """Operator body of exact_substring_spans (see that query's docstring
+    for the algorithm and scale analysis). docs: (doc_id, text)."""
     from pyspark.sql import Window
 
     base = docs.select("doc_id", F.split("text", " ").alias("toks")).where(
-        F.size("toks") >= SPAN_K
+        F.size("toks") >= k
     )
     grams = base.select(
         "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, size(toks) - {SPAN_K} + 1)")
-        ).alias("pos"),
+        F.explode(F.expr(f"sequence(1, size(toks) - {k} + 1)")).alias("pos"),
         "toks",
     ).select(
         "doc_id",
         "pos",
-        F.md5(
-            F.array_join(F.expr(f"slice(toks, pos, {SPAN_K})"), " ")
-        ).alias("h"),
+        F.md5(F.array_join(F.expr(f"slice(toks, pos, {k})"), " ")).alias("h"),
     )
     keep = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
-        .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= SPAN_DF_CAP))
+        .where((F.col("ndocs") >= 2) & (F.col("ndocs") <= df_cap))
         .select("h")
     )
     kept = grams.join(keep, "h")
@@ -1340,10 +1346,10 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = isl.groupBy("doc_a", "doc_b", diag.alias("diag"), "island").agg(
         F.min("pos_a").cast("long").alias("start_a"),
         F.min("pos_b").cast("long").alias("start_b"),
-        (F.max("pos_a") - F.min("pos_a") + SPAN_K).cast("long").alias(
+        (F.max("pos_a") - F.min("pos_a") + k).cast("long").alias(
             "span_tokens"
         ),
     )
-    return spans.where(F.col("span_tokens") >= SPAN_MIN_TOKENS).select(
+    return spans.where(F.col("span_tokens") >= min_tokens).select(
         "doc_a", "doc_b", "start_a", "start_b", "span_tokens"
     )

@@ -730,3 +730,76 @@ def test_pq_index_build_and_serve(spark, tmp_path):
     # rank 1 with cosine 1.0.
     top = min(got, key=lambda r: r["rnk"])
     assert top["neighbor_id"] == 0 and top["cosine"] == 1.0
+
+
+def test_shared_substring_spans_exact_semantics(spark):
+    """Hand-crafted corpus pins the ExactSubstr contract: a shared span of
+    exactly S >= k tokens is reported once with span_tokens == S and the
+    correct 1-based starts; spans below min_tokens (even if >= k) are NOT
+    reported; two disjoint shared spans between one pair yield two rows;
+    anchors hotter than df_cap are dropped."""
+    from log_analysis_system_spark.queries.dedup import (
+        shared_substring_spans,
+    )
+
+    span15 = " ".join(f"s{i}" for i in range(15))     # the 15-token span
+    span9 = " ".join(f"t{i}" for i in range(9))       # >= k, < min_tokens
+    span12 = " ".join(f"u{i}" for i in range(12))     # second shared span
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {span15} b1 b2 {span12}"),
+            (2, f"c1 {span15} d1 d2 d3 d4 {span12} e1"),
+            (3, f"f1 f2 {span9} g1 g2 g3 g4 g5"),
+            (4, f"h1 {span9} i1 i2 i3 i4 i5 i6"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in shared_substring_spans(
+            docs, k=8, min_tokens=12, df_cap=32
+        ).collect()
+    }
+    # doc1 tokens: a1 a2 a3 | span15 at 4..18 | b1 b2 at 19-20 | span12 at 21..32
+    # doc2 tokens: c1 | span15 at 2..16 | d1..d4 17-20 | span12 at 21..32 | e1
+    assert rows == {(1, 2, 4, 2, 15), (1, 2, 21, 21, 12)}
+
+    # df_cap: the same 12-token span in 40 docs, cap 32 -> no anchors kept
+    hot = spark.createDataFrame(
+        [(i, f"x{i} {span12} y{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    assert (
+        shared_substring_spans(hot, k=8, min_tokens=12, df_cap=32).count()
+        == 0
+    )
+    # and with a generous cap the same corpus reports every pair
+    assert (
+        shared_substring_spans(hot, k=8, min_tokens=12, df_cap=64).count()
+        == 40 * 39 // 2
+    )
+
+
+def test_shared_substring_spans_repeated_symbol_runs(spark):
+    """Periodic/repeated text: anchors repeat WITHIN each doc, producing
+    multiple diagonals — each maximal diagonal run must still report its
+    exact length, and duplicate (pos_a, pos_b) combinations must not
+    collapse or double-count."""
+    from log_analysis_system_spark.queries.dedup import (
+        shared_substring_spans,
+    )
+
+    rep = " ".join(["w"] * 20)  # 20 identical tokens
+    docs = spark.createDataFrame(
+        [(1, rep), (2, rep)], "doc_id long, text string"
+    )
+    out = shared_substring_spans(docs, k=8, min_tokens=12, df_cap=32)
+    rows = {
+        (r["start_a"], r["start_b"], r["span_tokens"])
+        for r in out.collect()
+    }
+    # every diagonal d in [-12, 12] is one maximal run; |d| <= 8 spans the
+    # 20-|d| >= 12 threshold
+    assert rows == {
+        (1, 1 + d, 20 - d) for d in range(0, 9)
+    } | {(1 + d, 1, 20 - d) for d in range(1, 9)}
