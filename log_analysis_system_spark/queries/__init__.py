@@ -140,4 +140,5 @@ def load_all() -> None:
         training_prep,
         behavior,
         data_quality,
+        bpe,
     )

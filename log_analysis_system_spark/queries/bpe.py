@@ -1,0 +1,318 @@
+"""Distributed BPE (byte-pair encoding) vocabulary training + tokenization
+— training-data pipeline extension (no reference counterpart; the public
+subword-nmt/GPT-2 algorithm re-expressed Spark-first).
+
+Algorithm (canonical BPE): words split to characters + a `</w>` end
+marker; each round counts adjacent symbol pairs over the corpus weighted
+by word frequency (overlapping occurrences counted, as subword-nmt's
+get_stats does), merges the most frequent pair everywhere (greedy
+leftmost non-overlapping within each word), and repeats.
+
+Scale design: BPE trains on the WORD-FREQUENCY table, not the corpus —
+the corpus is touched exactly once (one explode + hash-agg shuffle to
+build (word, freq)); every round then works on the vocab table, which is
+orders of magnitude smaller than 100 TB of text. Per round: pair counts
+are one hash-agg over the vocab, the argmax pair is a 1-row driver
+collect (same bounded-collect pattern as Lloyd's/IVF training), and merge
+application is a ZERO-SHUFFLE `aggregate()` fold projection over the
+symbol arrays, `localCheckpoint`ed to keep the plan linear in rounds
+(the winnow_overlap CollapseProject lesson). Tokenization re-uses the
+trained vocab as a broadcast word -> symbols map: one broadcast join, no
+corpus re-segmentation.
+
+Determinism: pair counts are exact integer sums; ties break
+lexicographically on (sym_a, sym_b); the greedy-leftmost merge is
+order-deterministic. The DuckDB oracle unrolls the identical recurrence
+as materialized CTEs (materialized because each round references the
+previous one multiple times — default inlining would re-derive round r-1
+exponentially). Greedy-leftmost is expressed there as a parity rule:
+candidate merge positions are consecutive ONLY when sym_a == sym_b (a
+run of one repeated symbol), and within each maximal run greedy keeps the
+1st, 3rd, 5th... candidate — the islands+row_number window form, provably
+equal to the left fold (pytest-pinned against a pure-Python reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+N_MERGES = 12
+END_MARK = "</w>"
+
+
+# --------------------------------------------------------------- Spark side
+
+def word_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq, syms) — chars + end marker. The ONLY corpus-wide
+    shuffle in BPE training."""
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "concat(transform(sequence(1, length(word)), "
+                f"i -> substring(word, i, 1)), array('{END_MARK}'))"
+            ).alias("syms"),
+        )
+    )
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _merge_fold_expr(a: str, b: str) -> str:
+    """Greedy leftmost non-overlapping merge of adjacent (a, b) -> ab as a
+    single codegen'd aggregate() fold — zero shuffle, zero Python."""
+    ab = _esc(a + b)
+    ea, eb = _esc(a), _esc(b)
+    return (
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+        f"case when size(acc) > 0 and element_at(acc, -1) = '{ea}' "
+        f"and x = '{eb}' "
+        f"then concat(slice(acc, 1, size(acc) - 1), array('{ab}')) "
+        "else concat(acc, array(x)) end)"
+    )
+
+
+def train_bpe(
+    vocab: DataFrame, n_merges: int = N_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """Run n_merges BPE rounds; returns (merge list, final vocab).
+
+    Merge list rows: (rank, sym_a, sym_b, merged, pair_count). The final
+    vocab keeps (word, freq, syms) with fully merged symbol arrays."""
+    v = vocab.localCheckpoint()
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pairs = v.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) as a, "
+                    "element_at(syms, i + 1) as b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"BPE round {r}: no adjacent pairs left to merge "
+                f"(vocab fully collapsed before n_merges={n_merges})"
+            )
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((r, a, b, a + b, cnt))
+        # localCheckpoint: keeps the per-round plan flat instead of
+        # nesting r fold expressions (CollapseProject would re-expand)
+        v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b))).localCheckpoint()
+    return merges, v
+
+
+# --------------------------------------------------------------- oracle SQL
+
+def _train_ctes(n_merges: int) -> str:
+    """Unrolled materialized-CTE training recurrence (DuckDB)."""
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> substr(word, i, 1)), '{END_MARK}')
+             AS syms
+  FROM w0
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f"""
+best{r} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms[i] AS a, syms[i+1] AS b
+        FROM (SELECT freq, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM v{p}))
+  GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+flat{r} AS MATERIALIZED (
+  SELECT word, freq, unnest(generate_series(1, len(syms))) AS pos, syms
+  FROM v{p}
+),
+kept{r} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS rn
+    FROM (SELECT word, pos,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                     AS isl
+          FROM (SELECT f.word, f.pos
+                FROM flat{r} f, best{r} bb
+                WHERE f.pos < len(f.syms)
+                  AND f.syms[f.pos] = bb.a AND f.syms[f.pos+1] = bb.b)))
+  WHERE rn % 2 = 1
+),
+v{r} AS MATERIALIZED (
+  SELECT f.word, any_value(f.freq) AS freq,
+         list(CASE WHEN k.pos IS NOT NULL THEN bb.ab
+                   ELSE f.syms[f.pos] END ORDER BY f.pos) AS syms
+  FROM flat{r} f
+  CROSS JOIN best{r} bb
+  LEFT JOIN kept{r} k ON k.word = f.word AND k.pos = f.pos
+  LEFT JOIN kept{r} d ON d.word = f.word AND d.pos = f.pos - 1
+  WHERE d.word IS NULL
+  GROUP BY f.word
+)""")
+    return "WITH " + ",".join(parts)
+
+
+_TRAIN_TAIL = "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS BIGINT) AS rank, a AS sym_a, b AS sym_b, "
+    f"ab AS merged, cnt AS pair_count FROM best{r}"
+    for r in range(1, N_MERGES + 1)
+)
+
+_TOKENIZE_TAIL = f"""
+, docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+FROM docw d JOIN v{N_MERGES} v USING (word)
+WHERE word <> '' GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- queries
+
+@query("bpe_vocab_train", oracle=_train_ctes(N_MERGES) + "\n" + _TRAIN_TAIL)
+def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {N_MERGES} BPE merges over the documents corpus; emits the
+    learned merge table (rank, sym_a, sym_b, merged, pair_count) — the
+    exact artifact a tokenizer ships. See the module docstring for the
+    distributed design; the result is assembled from the {N_MERGES}
+    1-row driver collects (the merges ARE driver state, like Lloyd's
+    centroids), so the returned DataFrame is a literal of bounded size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = train_bpe(word_vocab(docs), N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank long, sym_a string, sym_b string, merged string, "
+        "pair_count long",
+    )
+
+
+@query(
+    "bpe_tokenize", oracle=_train_ctes(N_MERGES) + _TOKENIZE_TAIL
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the trained BPE vocab: per doc, the
+    word count and the EXACT trained-merge token count (the honest token
+    budget for pack_sequences / training_manifest, vs the regex proxy of
+    `token_count`). Tokenization is one broadcast join of the corpus
+    words against the (word -> merged symbol count) map — the corpus is
+    never re-segmented, and word order within docs is irrelevant to the
+    count, so no window is needed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, final = train_bpe(word_vocab(docs), N_MERGES)
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    m = final.select("word", F.size("syms").cast("long").alias("n_syms"))
+    return doc_words.join(F.broadcast(m), "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+    )
+
+
+BPE_MANIFEST_BUDGET = 2000  # trained-BPE tokens per shard
+
+_MANIFEST_TAIL = f"""
+, docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+dtok AS (
+  SELECT doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+  FROM docw d JOIN v{N_MERGES} v USING (word)
+  WHERE word <> '' GROUP BY doc_id
+),
+packed AS (
+  SELECT t.source, t.doc_id, k.n_bpe_tokens,
+         sum(k.n_bpe_tokens) OVER (PARTITION BY t.source ORDER BY t.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents t JOIN dtok k USING (doc_id)
+)
+SELECT source,
+       CAST((cum - n_bpe_tokens) // {BPE_MANIFEST_BUDGET} AS BIGINT)
+           AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS shard_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+@query(
+    "training_manifest_bpe",
+    oracle=_train_ctes(N_MERGES) + _MANIFEST_TAIL,
+)
+def q_training_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training manifest with HONEST token budgeting: shard boundaries cut
+    on TRAINED-BPE token counts (train_bpe merges), not the whitespace
+    proxy `training_manifest` uses — the number a real loader's tokenizer
+    would produce. Whole docs pack per source in doc_id order into
+    {BPE_MANIFEST_BUDGET}-token shards (a doc belongs to the shard where
+    its first token lands — drop-nothing packing).
+
+    Scale: per-doc token counts are one broadcast join + hash-agg (the
+    corpus is never re-segmented); the running sum uses
+    ``grouped_prefix_sum`` so no source becomes a single straggler task;
+    only shard-level rows return."""
+    from ..operators.sampling import grouped_prefix_sum
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, final = train_bpe(word_vocab(docs), N_MERGES)
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    m = final.select("word", F.size("syms").cast("long").alias("n_syms"))
+    dtok = (
+        doc_words.join(F.broadcast(m), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("n_bpe_tokens"))
+    )
+    dt = docs.select("doc_id", "source").join(dtok, "doc_id")
+    packed = grouped_prefix_sum(
+        dt,
+        ["source"],
+        [F.asc("doc_id")],
+        F.col("n_bpe_tokens"),
+        out_col="__cum",
+    )
+    start = (F.col("__cum") - F.col("n_bpe_tokens")).cast("long")
+    return (
+        packed.withColumn(
+            "shard_id", F.floor(start / BPE_MANIFEST_BUDGET).cast("long")
+        )
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("shard_tokens"),
+        )
+    )

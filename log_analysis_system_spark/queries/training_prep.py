@@ -600,7 +600,11 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum uses ``grouped_prefix_sum`` so no source becomes a single task;
     the manifest aggregate is map-side combinable on (source, shard_id).
     Only shard-level rows come back — O(corpus_tokens / BUDGET), never
-    chunk-level."""
+    chunk-level.
+
+    Token counts here are the whitespace proxy (chunk geometry is defined
+    in word space); `training_manifest_bpe` (queries/bpe.py) is the
+    honest-budget variant that cuts shards on TRAINED BPE token counts."""
     C, S = CHUNK_TOKENS, CHUNK_STRIDE
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = docs.select(

@@ -1,0 +1,88 @@
+"""BPE training must match a pure-Python canonical reference (subword-nmt
+semantics): overlapping pair counts, lexicographic tie-break, greedy
+leftmost non-overlapping merge application — including repeated-symbol
+runs where the fold/parity equivalence is the subtle part."""
+
+from __future__ import annotations
+
+from log_analysis_system_spark.queries.bpe import (
+    END_MARK,
+    train_bpe,
+    word_vocab,
+)
+
+
+def ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Canonical reference: the subword-nmt loop, verbatim semantics."""
+    vocab = {
+        w: tuple(list(w) + [END_MARK]) for w in word_freqs
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        # max count, ties -> lexicographically smallest pair
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:  # greedy leftmost fold
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _spark_vocab(spark, word_freqs):
+    # build a documents-like frame whose word frequencies equal word_freqs
+    text = " ".join(
+        " ".join([w] * f) for w, f in sorted(word_freqs.items())
+    )
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return word_vocab(docs)
+
+
+def _check(spark, word_freqs, n_merges):
+    exp_merges, exp_vocab = ref_bpe(word_freqs, n_merges)
+    got_merges, got_final = train_bpe(_spark_vocab(spark, word_freqs), n_merges)
+    assert got_merges == exp_merges
+    got_vocab = {
+        r["word"]: tuple(r["syms"]) for r in got_final.collect()
+    }
+    assert got_vocab == exp_vocab
+
+
+def test_bpe_matches_reference_basic(spark):
+    _check(
+        spark,
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3, "lowest": 4},
+        8,
+    )
+
+
+def test_bpe_repeated_symbol_runs(spark):
+    """'aaaaa' runs: greedy leftmost merges positions (1,2) and (3,4) —
+    the parity case where naive string replace diverges."""
+    _check(spark, {"aaaaa": 3, "aaa": 2, "aa": 7, "baaab": 1}, 6)
+
+
+def test_bpe_tie_break_lexicographic(spark):
+    # 'ab' and 'ba' pairs tie at freq 2 -> 'ab' must win (lexicographic)
+    _check(spark, {"ab": 2, "ba": 2}, 2)
+
+
+def test_bpe_raises_when_collapsed(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="fully collapsed"):
+        train_bpe(_spark_vocab(spark, {"a": 1}), 3)
