@@ -33,19 +33,21 @@ PRIORITY: tuple[str, ...] = (
     "top10_session_per_category",
     "area_top3",
     "funnel",
-    # TPC-H battery representatives (incl. every previously hash-red row)
+    # TPC-H battery representatives — important_parts / promo_revenue_share
+    # / priority_by_line_status rotated out round 4 (redundant with the
+    # remaining Q1/Q3/Q5 shapes; driver_sim + pytest keep them) in favor of
+    # the round-4 flagships below
     "pricing_summary",
     "shipping_priority",
-    "promo_revenue_share",
-    "important_parts",
     "local_supplier_volume",
-    "priority_by_line_status",
-    # dedup family
+    # dedup family — incl. round-4 exact repeated-substring spans
+    # (suffix-array-style ExactSubstr, an op class no other row exercises)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "exact_substring_spans",
     # ANN / similarity family — ann_lsh_topk rotated out round 3 (sign-LSH
     # banding stays officially covered by dedup_minhash_lsh +
     # embedding_near_dup's banded candidates; driver_sim + pytest keep it)
@@ -62,8 +64,9 @@ PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "bm25_rank",
     "drift_psi",
-    # multimodal plumbing
+    # multimodal — frames plumbing + round-4 REAL codec decode
     "multimodal_frames",
+    "multimodal_decode",
     # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotate out
     # (pytest + driver_sim cover them) to make room for the behavior family
     "stream_blacklist",
@@ -92,6 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "sample_weighted_docs",
     "balanced_shards",
     "pagerank_trade_graph",
+    # round-4 flagship: distributed BPE training (iterative trained-state
+    # op over the text family — no other row exercises it)
+    "bpe_vocab_train",
 )
 
 

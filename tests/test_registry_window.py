@@ -39,6 +39,9 @@ FAMILY_REPRESENTATIVES = {
     "multimodal_frames", "corpus_pipeline", "gap_sessions_events",
     "dq_checks", "sample_weighted_docs", "balanced_shards",
     "pagerank_trade_graph",
+    # round-4 flagships (TPC-H important_parts / promo_revenue_share /
+    # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
+    "multimodal_decode", "exact_substring_spans", "bpe_vocab_train",
     # OLAP extras
     "asof_join_orders", "rollup_lineitem", "value_percentiles",
     "pivot_event_matrix", "analytic_functions", "range_join_events",
