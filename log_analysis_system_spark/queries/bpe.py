@@ -125,13 +125,16 @@ def train_bpe(
 
 # --------------------------------------------------------------- oracle SQL
 
-def _train_ctes(n_merges: int) -> str:
-    """Unrolled materialized-CTE training recurrence (DuckDB)."""
+def _train_ctes(n_merges: int, doc_filter: str = "TRUE") -> str:
+    """Unrolled materialized-CTE training recurrence (DuckDB).
+    ``doc_filter``: SQL predicate over documents rows selecting the
+    training split."""
     parts = [
         f"""
 w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        WHERE {doc_filter})
   WHERE word <> '' GROUP BY word
 ),
 v0 AS MATERIALIZED (
@@ -315,4 +318,68 @@ def q_training_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bpe_tokens").alias("shard_tokens"),
         )
+    )
+
+
+_OOV_TAIL = f"""
+, valw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id % 2 = 1
+),
+scored AS (
+    SELECT w.source, w.word, v.syms,
+           CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS is_oov,
+           CASE WHEN v.word IS NULL THEN length(w.word) + 1
+                ELSE len(v.syms) END AS n_toks
+    FROM valw w LEFT JOIN v{N_MERGES} v USING (word)
+    WHERE w.word <> ''
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(is_oov) AS BIGINT) AS n_oov_words,
+       CAST(sum(n_toks) AS BIGINT) AS bpe_tokens
+FROM scored GROUP BY source
+"""
+
+
+@query(
+    "bpe_oov_audit",
+    oracle=_train_ctes(N_MERGES, doc_filter="doc_id % 2 = 0") + _OOV_TAIL,
+)
+def q_bpe_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer GENERALIZATION audit: train BPE on the even-doc_id split
+    only, then tokenize the held-out odd split — per source, the word
+    count, the out-of-vocabulary word count (words never seen in
+    training, which fall back to character symbols: length + end marker),
+    and the resulting token budget. This is the coverage check a real
+    tokenizer ships with: a source whose OOV rate or char-fallback
+    overhead spikes is drifting away from the training distribution.
+
+    Scale: identical shape to bpe_tokenize — one word-freq agg over the
+    train split, bounded per-round training, then one broadcast
+    left-join of the val split's words; the fallback is a projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    _, final = train_bpe(word_vocab(train), N_MERGES)
+    m = final.select(
+        "word",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.lit(1).alias("known"),
+    )
+    valw = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    scored = valw.join(F.broadcast(m), "word", "left").select(
+        "source",
+        F.when(F.col("known").isNull(), 1).otherwise(0).alias("is_oov"),
+        F.coalesce(
+            F.col("n_syms"), F.length("word").cast("long") + 1
+        ).alias("n_toks"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("is_oov").cast("long").alias("n_oov_words"),
+        F.sum("n_toks").alias("bpe_tokens"),
     )

@@ -1353,3 +1353,130 @@ def shared_substring_spans(
     return spans.where(F.col("span_tokens") >= min_tokens).select(
         "doc_a", "doc_b", "start_a", "start_b", "span_tokens"
     )
+
+
+@query(
+    "substring_span_scrub",
+    oracle=f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0)))
+                     AS i
+          FROM words)
+),
+keep AS (SELECT h FROM g GROUP BY h
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM g a JOIN keep USING (h) JOIN g b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, pos_a, pos_b,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                      ORDER BY pos_a) AS island
+    FROM p
+),
+spans AS (
+    SELECT doc_b AS doc_id, min(pos_b) AS s,
+           min(pos_b) + max(pos_a) - min(pos_a) + {SPAN_K} - 1 AS e
+    FROM isl
+    GROUP BY doc_a, doc_b, pos_a - pos_b, island
+    HAVING max(pos_a) - min(pos_a) + {SPAN_K} >= {SPAN_MIN_TOKENS}
+),
+flagged AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM spans
+),
+merged AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e
+    FROM (SELECT doc_id, s, e,
+                 sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged)
+    GROUP BY doc_id, grp
+),
+cov AS (
+    SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered
+    FROM merged GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.covered, 0) AS BIGINT) AS scrubbed_tokens,
+       CAST(len(w.w) - coalesce(c.covered, 0) AS BIGINT) AS retained_tokens
+FROM words w LEFT JOIN cov c USING (doc_id)
+""",
+)
+def q_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION on top of exact_substring_spans: scrub every
+    repeated span from the LATER copy (keep-first policy — only the
+    higher doc_id's side of each shared span is removed, so one canonical
+    copy of the boilerplate always survives), reporting per doc the token
+    count, the tokens scrubbed, and the tokens retained. Overlapping span
+    intervals within a doc are UNION-merged first (running-max island
+    windows — same trick as the diagonal runs), so a token inside two
+    overlapping spans is counted once.
+
+    Scale: adds one doc_b-keyed window + hash-agg on top of the span
+    miner's plan — interval counts per doc are bounded by span structure,
+    not corpus size; the corpus text itself is never shuffled (only
+    (doc_id, start, end) triples move)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = shared_substring_spans(
+        docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS, df_cap=SPAN_DF_CAP
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("prev_max", F.max("e").over(w_prev))
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return n_tok.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias(
+            "scrubbed_tokens"
+        ),
+        (F.col("n_tokens") - F.coalesce(F.col("covered"), F.lit(0)))
+        .cast("long")
+        .alias("retained_tokens"),
+    )

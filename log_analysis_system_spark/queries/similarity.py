@@ -1813,7 +1813,12 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     — codes drive ADC scoring; e/nrm serve the exact re-rank without
     touching the original corpus files (the IVF-assignments pattern; a
     codes-only index would re-read the corpus for re-ranking instead).
-    Rebuild = overwrite both (the index is derived data)."""
+    Rebuild = overwrite both (the index is derived data).
+
+    Layout: the base corpus lands under ``codes/batch=base`` so that
+    `append_pq_index` deltas (``codes/batch=<id>``) sit next to it as
+    sibling partitions — one partition-discovering read serves base +
+    all appended deltas."""
     vecs = _quantized(spark, sf_dir)
     cb = train_pq_codebooks(vecs)
     cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
@@ -1824,14 +1829,42 @@ def build_pq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
             F.expr("CAST(array() AS array<int>)").alias("codes"),
             "e",
             "nrm",
-        ).write.mode("overwrite").parquet(f"{index_dir}/codes")
+        ).write.mode("overwrite").parquet(f"{index_dir}/codes/batch=base")
         return
     cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
     (
         vecs.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
         .select("vec_id", "codes", "e", "nrm")
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/codes")
+        .parquet(f"{index_dir}/codes/batch=base")
+    )
+
+
+def append_pq_index(
+    spark: SparkSession, index_dir: str, delta: DataFrame, batch_id: int
+) -> None:
+    """Incremental index maintenance: encode a DELTA corpus with the
+    STORED codebooks (no retraining, base never rescanned) and append it
+    as a new parquet partition under ``codes/batch=<id>`` —
+    overwrite-idempotent under replay, like the rollup/view stores.
+    ``delta``: (vec_id, e, nrm) quantized vectors (see _quantized).
+
+    The quantization residual of skipping retraining is the standard
+    production trade (rebuild when drift accumulates); search results for
+    appended vectors are exact in the re-rank stage regardless, since ADC
+    only shapes the candidate pool. The batch lands as a sibling
+    partition of the base (``codes/batch=base``), so the serve path's
+    partition-discovering read sees base + all deltas with no
+    compaction step."""
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    if not cb_rows:
+        raise ValueError(f"no codebooks at {index_dir} — build first")
+    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
+    (
+        delta.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+        .select("vec_id", "codes", "e", "nrm")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/codes/batch={batch_id}")
     )
 
 

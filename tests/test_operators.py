@@ -803,3 +803,39 @@ def test_shared_substring_spans_repeated_symbol_runs(spark):
     assert rows == {
         (1, 1 + d, 20 - d) for d in range(0, 9)
     } | {(1 + d, 1, 20 - d) for d in range(1, 9)}
+
+
+def test_pq_index_append_serves_deltas(spark, tmp_path):
+    """Incremental PQ maintenance: a delta encoded with the STORED
+    codebooks (no retraining) must be served next to the base corpus by
+    the same partition-discovering read, replay-idempotently."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import (
+        _quantized,
+        append_pq_index,
+        build_pq_index,
+        search_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF_DIR, idx)
+    base_n = spark.read.parquet(f"{idx}/codes").count()
+
+    vecs = _quantized(spark, SF_DIR)
+    delta = vecs.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "e", "nrm"
+    )
+    append_pq_index(spark, idx, delta, batch_id=0)
+    append_pq_index(spark, idx, delta, batch_id=0)  # replay: no dupes
+    store = spark.read.parquet(f"{idx}/codes")
+    assert store.count() == base_n + 5
+    assert store.where(F.col("vec_id") >= 10**6).count() == 5
+
+    # a query identical to an appended twin must retrieve it at rank 1
+    # with cosine 1.0 (the original id is self-excluded, the twin is not)
+    queries = vecs.where(F.col("vec_id") == 3).select("vec_id", "e")
+    got = search_pq_index(spark, idx, queries).collect()
+    assert got
+    top = min(got, key=lambda r: r["rnk"])
+    assert top["neighbor_id"] == 10**6 + 3 and top["cosine"] == 1.0
