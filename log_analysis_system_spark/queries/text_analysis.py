@@ -1169,3 +1169,113 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CAST(n * 1000000 div row_n AS BIGINT)").alias("recall_ppm"),
     )
+
+
+# ------------------------------------------- bigram-LM perplexity scoring
+
+LM_SCALE = 1_000_000  # micro-nats: floor(ln(p) * 1e6) per bigram
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks)
+),
+c1 AS (
+    SELECT w1 AS word, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1
+),
+c12 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(floor(ln((c12.c + 1) / CAST(c1.c + vocab.v AS DOUBLE))
+                      * {LM_SCALE}) AS BIGINT) AS ll_micro
+    FROM bg b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.word = b.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(ll_micro) AS BIGINT) AS ll_micro_nats,
+       round(-sum(ll_micro) / (count(*) * {LM_SCALE}.0), 6) AS xent_nats
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True n-gram LM quality scoring: train an add-one-smoothed bigram LM
+    on the corpus itself and score every document's cross-entropy under it
+    — the classic perplexity-based quality filter (high xent = the doc's
+    transitions are unusual for this corpus), a stronger signal than the
+    unigram inverse-frequency proxy (`doc_rarity_score`).
+
+    Determinism recipe: each bigram's log-probability is floored to
+    integer MICRO-NATS first (ln on identical integer-derived doubles
+    agrees across engines; floor pins the last bit), so the per-doc sum
+    is an exact bigint under any partitioning; the single double division
+    + round(6) happens once at the output edge.
+
+    Scale: bigram extraction is the zero-shuffle transform+explode
+    projection (no per-doc window); the LM tables (c1, c12, V) are
+    corpus-bounded aggregates that broadcast back onto the bigram stream;
+    the only corpus-sized shuffles are the count hash-aggs and the final
+    per-doc rollup. In-sample scoring is intentional (corpus self-model);
+    train/score splits compose exactly like `bpe_oov_audit`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) as w1, "
+                "element_at(w, i + 1) as w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c1 = bg.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), bg.w1 == F.col("word"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * LM_SCALE
+            ).cast("long").alias("ll_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("ll_micro").alias("ll_micro_nats"),
+        F.round(
+            -F.sum("ll_micro")
+            / (F.count(F.lit(1)) * F.lit(float(LM_SCALE))),
+            6,
+        ).alias("xent_nats"),
+    )
