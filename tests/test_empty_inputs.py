@@ -44,6 +44,13 @@ EMPTY_SAFE_QUERIES = [
     "hashed_features",
     "ann_pq_topk",
     "trade_reach_hops",
+    # round-4 additions (BPE queries are deliberately absent: training on
+    # an empty corpus raises a documented ValueError instead of silently
+    # emitting an empty merge table)
+    "exact_substring_spans",
+    "substring_span_scrub",
+    "multimodal_decode",
+    "bigram_lm_perplexity",
 ]
 
 
