@@ -1279,3 +1279,95 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xent_nats"),
     )
+
+
+# ----------------------------------- persisted text index (build/serve)
+
+def build_text_index(docs: DataFrame, index_dir: str) -> None:
+    """Index-build half of the BM25 lifecycle: persist the inverted
+    postings (term, doc_id, tf), the per-doc lengths, and the 1-row
+    corpus stats (n_docs, total length). Postings are PARTITIONED by the
+    leading md5 hex nibble of the term (16 buckets), so a serve-time
+    query touches only its terms' partitions — partition pruning does the
+    index seek; no full postings scan ever happens at serve.
+
+    Scale: one explode + (term, doc) hash-agg over the corpus — the same
+    single-shuffle shape as tfidf; the write is bucketed by construction
+    (partitionBy column derives from the shuffle key)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    postings = tok.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).withColumn("bucket", F.substring(F.md5("word"), 1, 1))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    doclen = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("len"),
+    )
+    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
+    doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("tot")
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats")
+
+
+def search_text_index(
+    spark: SparkSession, index_dir: str, terms: tuple[str, ...] = BM25_TERMS,
+    top_k: int = BM25_TOP,
+) -> DataFrame:
+    """Serve half: BM25-rank the corpus for ``terms`` from the PERSISTED
+    index alone — no corpus rescan, no re-tokenization. Reads only the
+    query terms' postings partitions (pruned on the md5-nibble bucket),
+    derives exact df from them, and scores candidates (docs holding >= 1
+    query term) with the SAME textual BM25 expression as the inline
+    `bm25_rank`, so serve == inline bit-for-bit (pytest-pinned)."""
+    import hashlib
+
+    from ..operators.topn import global_topn
+
+    buckets = sorted({hashlib.md5(t.encode()).hexdigest()[0] for t in terms})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets) & F.col("word").isin(list(terms)))
+    )
+    tf = postings.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("word") == t, F.col("tf")).otherwise(0)
+            ).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    dfs = postings.groupBy().agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("word") == t, F.col("doc_id"))
+            ).cast("long").alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    doclen = spark.read.parquet(f"{index_dir}/doclen")
+    scored = (
+        tf.join(doclen, "doc_id")
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "doc_id", f"round({_bm25_score_sql()}, 6) AS score"
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = global_topn(scored, [F.desc("score"), F.asc("doc_id")], top_k)
+    return ranked.withColumn(
+        "rnk",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        )
+        .cast("long"),
+    )

@@ -839,3 +839,43 @@ def test_pq_index_append_serves_deltas(spark, tmp_path):
     assert got
     top = min(got, key=lambda r: r["rnk"])
     assert top["neighbor_id"] == 10**6 + 3 and top["cosine"] == 1.0
+
+
+def test_text_index_build_and_serve(spark, tmp_path):
+    """Persisted BM25 index: serving the fixed query from the index alone
+    (pruned postings partitions + stored doclen/stats) must equal the
+    inline bm25_rank ranking bit-for-bit, and the pruned read must touch
+    only the query terms' bucket partitions."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.text_analysis import (
+        BM25_TERMS,
+        build_text_index,
+        search_text_index,
+    )
+
+    load_all()
+    idx = str(tmp_path / "ti")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_text_index(docs, idx)
+
+    served = [
+        tuple(r) for r in search_text_index(spark, idx, BM25_TERMS).collect()
+    ]
+    inline = [
+        tuple(r) for r in QUERIES["bm25_rank"](spark, SF_DIR).collect()
+    ]
+    assert served == inline and served
+
+    # partition pruning: the scan must read only the buckets of the query
+    # terms, not all 16
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    want = sorted({hashlib.md5(t.encode()).hexdigest()[0] for t in BM25_TERMS})
+    pruned = (
+        spark.read.parquet(f"{idx}/postings")
+        .where(F.col("bucket").isin(want) & F.col("word").isin(list(BM25_TERMS)))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
