@@ -1091,3 +1091,94 @@ def q_repeat_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_gap_days"),
         F.max("tot").alias("n_gaps"),
     )
+
+
+# --------------------------------------------- bot-regularity detection
+
+BOT_MIN_GAPS = 5  # users with fewer inter-event gaps are not scored
+
+
+@query(
+    "bot_regularity_score",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_us
+    FROM events
+),
+gaps AS (
+    SELECT user_id, (ts_us - prev_us) // 1000000 AS gap_s
+    FROM ordered WHERE prev_us IS NOT NULL
+),
+stats AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS gap_sum_s,
+           CAST(sum(gap_s * gap_s) AS BIGINT) AS gap_sumsq_s
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_gaps, gap_sum_s,
+       round(sqrt(CAST(greatest(n_gaps * gap_sumsq_s
+                                - gap_sum_s * gap_sum_s, 0) AS DOUBLE))
+             / gap_sum_s, 6) AS gap_cv
+FROM stats
+WHERE n_gaps >= {BOT_MIN_GAPS} AND gap_sum_s > 0
+""",
+)
+def q_bot_regularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by timing regularity: per user, the
+    coefficient of variation of inter-event gaps — metronomic clients
+    (scrapers, replay scripts) sit near 0 while humans are bursty
+    (cv >= 1). The score ranks users for review; no arbitrary cutoff is
+    baked in.
+
+    Determinism recipe: gaps floor to whole seconds, the per-user
+    sufficient statistics (n, sum, sum of squares) are exact bigints
+    under any partitioning (magnitudes checked: gap <= ~2.6e6 s, per-user
+    n <= ~1e3 keeps n*sumsq < 2^63), and the single sqrt + division +
+    round(6) happens once per user at the output edge — sqrt on identical
+    doubles agrees across engines.
+
+    Scale: ONE user-keyed window exchange serves the lag; the stats agg
+    reuses the same partitioning (map-side combinable)."""
+    from pyspark.sql import Window
+
+    from ..functions.scalar import epoch_us
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    ordered = ev.select(
+        "user_id",
+        epoch_us("ts").alias("ts_us"),
+        F.lag(epoch_us("ts")).over(w).alias("prev_us"),
+    )
+    gaps = ordered.where(F.col("prev_us").isNotNull()).select(
+        "user_id",
+        F.floor((F.col("ts_us") - F.col("prev_us")) / 1000000).alias("gap_s"),
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("gap_sum_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("gap_sumsq_s"),
+    )
+    return stats.where(
+        (F.col("n_gaps") >= BOT_MIN_GAPS) & (F.col("gap_sum_s") > 0)
+    ).select(
+        "user_id",
+        "n_gaps",
+        "gap_sum_s",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("n_gaps") * F.col("gap_sumsq_s")
+                    - F.col("gap_sum_s") * F.col("gap_sum_s"),
+                    F.lit(0),
+                ).cast("double")
+            )
+            / F.col("gap_sum_s"),
+            6,
+        ).alias("gap_cv"),
+    )

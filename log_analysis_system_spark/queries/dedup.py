@@ -1480,3 +1480,86 @@ def q_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("retained_tokens"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+s AS (
+    SELECT DISTINCT source,
+           CASE WHEN len(w) >= 3 THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                ELSE array_to_string(w, ' ') END AS shingle
+    FROM (SELECT source, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+          FROM words)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM s GROUP BY 1),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS inter_n
+    FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter_n,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(i.inter_n / CAST(sa.n_sh + sb.n_sh - i.inter_n AS DOUBLE), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: pairwise Jaccard overlap of each
+    source's distinct 3-word shingle set — the curation dashboard that
+    tells you which corpus sources are copying from each other (or from a
+    shared upstream) BEFORE doc-level dedup decides what to drop. Doc-level
+    rows (dedup_*) answer "which documents collide"; this answers "which
+    SOURCES systematically collide", which drives mixture weights and
+    crawl-exclusion decisions.
+
+    Scale: the per-source shingle set is one distinct-projection; the
+    pairwise join is an equi-join on the shingle (never all-pairs across
+    docs), and each shingle contributes at most |sources|^2 pair rows —
+    bounded by the source count (tens), not the corpus. One hash-agg per
+    pair cell; |sources|^2 output rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = (
+        shingles(docs.select(F.col("source").alias("doc_id"), "text"))
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.select(F.col("source").alias("source_a"), "shingle")
+    b = s.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter_n",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("inter_n")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter_n")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
