@@ -86,3 +86,52 @@ def test_bpe_raises_when_collapsed(spark):
 
     with pytest.raises(ValueError, match="fully collapsed"):
         train_bpe(_spark_vocab(spark, {"a": 1}), 3)
+
+
+def test_bpe_property_random_vocabs(spark):
+    """Property check over adversarial small vocabs: 'a'/'b'-alphabet
+    words maximize repeated-symbol runs — the case where the fold/parity
+    equivalence could break. Deterministic seed, 12 random vocabs."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(12):
+        words = {
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(2, 7))
+        }
+        word_freqs = {w: rng.randint(1, 5) for w in words}
+        n_merges = rng.randint(1, 4)
+        try:
+            _check(spark, word_freqs, n_merges)
+        except ValueError as e:
+            # legitimate only when the vocab collapses before n_merges
+            assert "fully collapsed" in str(e)
+            continue
+        _check_duckdb(word_freqs, n_merges)
+
+
+def _check_duckdb(word_freqs, n_merges):
+    """The DuckDB islands-parity oracle must ALSO match the canonical
+    reference on the same crafted vocab (driver_sim only exercises it on
+    the real corpus)."""
+    import duckdb
+
+    from log_analysis_system_spark.queries.bpe import _train_ctes
+
+    text = " ".join(
+        " ".join([w] * f) for w, f in sorted(word_freqs.items())
+    )
+    con = duckdb.connect()
+    esc = text.replace("'", "''")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{esc}' AS text"
+    )
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS sym_a, b AS sym_b, "
+        f"ab AS merged, cnt AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    got = sorted(con.execute(_train_ctes(n_merges) + "\n" + tail).fetchall())
+    exp_merges, _ = ref_bpe(word_freqs, n_merges)
+    assert got == sorted(exp_merges)
