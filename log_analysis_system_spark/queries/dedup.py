@@ -1563,3 +1563,94 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------ containment detection
+
+CONTAIN_THRESHOLD_PPM = 800_000  # inter/|smaller| >= 0.8 => containment
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH {{SHINGLE_CTE}},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter_n
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter_n,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(p.inter_n * 1000000 // least(sa.n_sh, sb.n_sh) AS BIGINT)
+           AS containment_ppm,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_a ELSE p.doc_b END
+           AS contained_doc
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter_n * 1000000 // least(sa.n_sh, sb.n_sh)
+      >= {CONTAIN_THRESHOLD_PPM}
+""".format(SHINGLE_CTE=SHINGLE_CTE),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: inter / |smaller shingle set| —
+    catches a short document embedded verbatim inside a much longer one
+    (quotes, mirrored excerpts, doc+boilerplate wrappers), which symmetric
+    Jaccard structurally MISSES: a 50-shingle doc inside a 1000-shingle
+    doc scores jaccard ~0.05 but containment 1.0. The standard companion
+    to the Jaccard row in web-corpus dedup (Broder's containment
+    coefficient).
+
+    Emits the pair, exact set sizes, the containment in integer ppm
+    (floor division of bigints — no doubles anywhere), and which doc is
+    the contained (smaller-set) one — the drop candidate under a
+    keep-superset policy. Same inverted-index equi-join shape as
+    dedup_ngram_jaccard; at 100 TB the identical df_cap stop-gram bound
+    applies (see ngram_jaccard_pairs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
+    )
+    joined = pairs.join(
+        F.broadcast(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+            )
+        ),
+        "doc_b",
+    )
+    cont = F.floor(
+        F.col("inter_n") * 1000000 / F.least(F.col("n_a"), F.col("n_b"))
+    ).cast("long")
+    return joined.withColumn("containment_ppm", cont).where(
+        F.col("containment_ppm") >= CONTAIN_THRESHOLD_PPM
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter_n",
+        "n_a",
+        "n_b",
+        "containment_ppm",
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+    )
