@@ -361,17 +361,30 @@ def q_bpe_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     train = docs.where(F.col("doc_id") % 2 == 0)
     _, final = train_bpe(word_vocab(train), N_MERGES)
-    m = final.select(
+    val = docs.where(F.col("doc_id") % 2 == 1)
+    return oov_score(val, vocab_to_map(final))
+
+
+def vocab_to_map(final_vocab: DataFrame) -> DataFrame:
+    """(word, n_syms, known=1) broadcast map from a trained vocab."""
+    return final_vocab.select(
         "word",
         F.size("syms").cast("long").alias("n_syms"),
         F.lit(1).alias("known"),
     )
-    valw = (
-        docs.where(F.col("doc_id") % 2 == 1)
-        .select("source", F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
-    )
-    scored = valw.join(F.broadcast(m), "word", "left").select(
+
+
+def oov_score(docs: DataFrame, vocab_map: DataFrame) -> DataFrame:
+    """Per-source OOV/token-budget counters for ``docs`` against a trained
+    vocab map — SHARED by the batch audit (`bpe_oov_audit`) and the
+    streaming monitor (`streaming/oov.py`), so the two can never disagree
+    about the scoring rule (the drift_labels pattern). All three outputs
+    are mergeable sums: partials from any split of docs add up to the
+    whole."""
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    scored = words.join(F.broadcast(vocab_map), "word", "left").select(
         "source",
         F.when(F.col("known").isNull(), 1).otherwise(0).alias("is_oov"),
         F.coalesce(
