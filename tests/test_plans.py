@@ -433,3 +433,36 @@ def test_ts_similarity_no_pairwise_shuffle(spark):
     plan = plan_of(spark, "ts_similarity_topk")
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multimodal_decode_zero_shuffle_pruned_scan(spark):
+    """Payload build + real decode must be one shuffle-free projection
+    chain over a 2-column pruned scan (doc_id, text)."""
+    plan = plan_of(spark, "multimodal_decode")
+    assert "Exchange" not in plan
+    scan = plan.split("FileScan parquet ")[1].split("]")[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "source" not in scan and "n_chars" not in scan
+
+
+def test_exact_substring_spans_no_cartesian_anchor_join(spark):
+    """Candidates must come from the anchor-hash equi-join; the run
+    merge windows on (doc_a, doc_b, diag)."""
+    plan = plan_of(spark, "exact_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_no_sort_merge_join(spark):
+    """The LM tables broadcast back onto the bigram stream — the corpus
+    is never sort-merge-joined against itself."""
+    plan = plan_of(spark, "bigram_lm_perplexity")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bot_regularity_single_user_exchange(spark):
+    """One user-keyed exchange serves both the lag window and the stats
+    aggregate (the agg reuses the window's partitioning)."""
+    plan = plan_of(spark, "bot_regularity_score")
+    assert plan.count("Exchange") <= 1
