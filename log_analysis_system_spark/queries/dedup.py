@@ -1355,10 +1355,10 @@ def shared_substring_spans(
     )
 
 
-@query(
-    "substring_span_scrub",
-    oracle=f"""
-WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared CTE chain: per-doc interval-union coverage of repeated spans
+# (the scrub accounting) — used by substring_span_scrub (doc grain) and
+# corpus_dup_profile (source grain).
+_SCRUB_CTE = f"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 g AS (
     SELECT doc_id, i AS pos,
            md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
@@ -1408,7 +1408,13 @@ merged AS (
 cov AS (
     SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered
     FROM merged GROUP BY doc_id
-)
+)"""
+
+
+@query(
+    "substring_span_scrub",
+    oracle=f"""
+WITH {_SCRUB_CTE}
 SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
        CAST(coalesce(c.covered, 0) AS BIGINT) AS scrubbed_tokens,
        CAST(len(w.w) - coalesce(c.covered, 0) AS BIGINT) AS retained_tokens
@@ -1653,4 +1659,50 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
         .otherwise(F.col("doc_b"))
         .alias("contained_doc"),
+    )
+
+
+@query(
+    "corpus_dup_profile",
+    oracle=f"""
+WITH {_SCRUB_CTE},
+per_doc AS (
+    SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS scrubbed
+    FROM words w LEFT JOIN cov c USING (doc_id)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(p.scrubbed) AS BIGINT) AS dup_tokens,
+       CAST(sum(p.scrubbed) * 1000000 // sum(p.n_tokens) AS BIGINT)
+           AS dup_ppm
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def q_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-grain duplication health report: per source, how many tokens
+    sit inside cross-document repeated spans (keep-first accounting from
+    `substring_span_scrub`) — the number a curation dashboard tracks over
+    time, and the input to down-weighting duplicate-heavy sources in
+    `source_mixture_weights`. dup_ppm is exact integer arithmetic.
+
+    Scale: one source-keyed hash-agg on top of the scrub plan; output is
+    |sources| rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = q_substring_span_scrub(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("scrubbed_tokens").alias("scrubbed")
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("scrubbed").alias("dup_tokens"),
+            F.floor(
+                F.sum("scrubbed") * 1000000 / F.sum("n_tokens")
+            ).cast("long").alias("dup_ppm"),
+        )
     )
