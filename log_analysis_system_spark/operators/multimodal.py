@@ -2,13 +2,14 @@
 
 Images/audio/video travel as opaque ``binary`` columns with typed metadata
 structs. The Spark-side machinery (schema, partition sizing, Arrow batch
-shape, mapInPandas signatures) is real and tested. The image codec is a
-REAL dependency-free decoder for the two pure header+raster formats —
-binary PPM (P6) and uncompressed 24-bpp BMP — parsed with numpy alone
-(`decode_image`); compressed formats (JPEG/PNG) and audio/video demux
-still need external libs (PIL/librosa/av, not in this container) and plug
-into the same ``decode_image`` dispatch / mapInPandas batch functions.
-``fake_feature_batch`` remains as the codec-free pipeline-shape probe.
+shape, mapInPandas signatures) is real and tested, and so are the codecs
+for the pure header+raster formats, parsed with numpy alone: images as
+binary PPM (P6) and uncompressed 24-bpp BMP (`decode_image`), audio as
+PCM-16 WAV via a RIFF chunk walk (`decode_audio`). Compressed formats
+(JPEG/PNG/MP3/AAC) and video demux still need external libs (PIL/librosa/
+av, not in this container) and plug into the same dispatch / mapInPandas
+batch functions. ``fake_feature_batch`` remains as the codec-free
+pipeline-shape probe.
 
 Scale design: decode runs via ``mapInPandas`` so each Arrow batch holds a
 bounded number of blobs (``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -349,3 +350,113 @@ def sample_frames(media: DataFrame, frame_size: int, stride: int) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(gen, FRAME_SCHEMA)
+
+
+# ------------------------------------------------- audio codec (WAV/PCM)
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples as a mono WAV (RIFF) file — like PPM/BMP,
+    WAV-PCM is pure header+raster and needs only numpy."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_audio(payload: bytes):
+    """Real, dependency-free audio decode: mono/stereo PCM-16 WAV parsed
+    with numpy (RIFF chunk walk; fmt then data). Returns
+    (samples: int16 ndarray [n, channels], sample_rate). Raises ValueError
+    on other formats — compressed codecs (MP3/AAC) plug into this
+    dispatch with an external library, the Spark plumbing is unchanged."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(
+            f"unsupported audio format (magic {b[:4]!r}); "
+            f"this build decodes PCM-16 WAV"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM-16 WAV supported (fmt={audio_fmt}, bits={bits})"
+        )
+    n = len(data) // (2 * channels)
+    samples = np.frombuffer(
+        data[: n * 2 * channels], dtype="<i2"
+    ).reshape(n, channels)
+    return samples, rate
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("zero_cross", LongType()),
+    ]
+)
+
+
+def audio_feature_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """REAL audio decode + integer feature extraction per Arrow batch:
+    sample count, total absolute amplitude, and zero-crossing count
+    (adjacent strict sign products < 0) — exact under any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    cols: dict[str, list] = {k: [] for k in
+                             ("media_id", "sample_rate", "n_samples",
+                              "sum_abs", "zero_cross")}
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        samples, rate = decode_audio(bytes(payload))
+        mono = samples[:, 0].astype(np.int64)
+        cols["media_id"].append(mid)
+        cols["sample_rate"].append(rate)
+        cols["n_samples"].append(len(mono))
+        cols["sum_abs"].append(int(np.abs(mono).sum()))
+        cols["zero_cross"].append(
+            int(((mono[:-1] * mono[1:]) < 0).sum()) if len(mono) > 1 else 0
+        )
+    return pd.DataFrame(cols)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode audio pipeline over binary WAV payloads."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield audio_feature_batch(pdf)
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, AUDIO_SCHEMA
+    )

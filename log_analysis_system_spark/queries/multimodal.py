@@ -136,3 +136,69 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_payload").cast("long").alias("frame_len"),
         F.md5("frame_payload").alias("frame_hash"),
     )
+
+
+AUDIO_BYTES = 384                    # 192 int16 mono PCM samples
+AUDIO_RATE = 8000
+# Constant 44-byte RIFF/fmt/data header for AUDIO_BYTES of PCM-16 mono
+# at AUDIO_RATE (see operators.multimodal.encode_wav for the layout).
+_WAV_HDR_HEX = (
+    "52494646a401000057415645666d7420100000000100010040"
+    "1f0000803e0000020010006461746180010000"
+)
+
+
+@query(
+    "multimodal_audio",
+    oracle=f"""
+WITH raster AS (
+    SELECT doc_id, rpad(substr(text, 1, {AUDIO_BYTES}), {AUDIO_BYTES}, ' ')
+               AS r
+    FROM documents
+),
+sm AS (
+    SELECT doc_id, j,
+           ascii(substr(r, 2 * j + 1, 1))
+               + 256 * ascii(substr(r, 2 * j + 2, 1)) AS s
+    FROM raster,
+         (SELECT unnest(generate_series(0, {AUDIO_BYTES // 2 - 1})) AS j)
+),
+seq AS (
+    SELECT doc_id, s,
+           lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev_s
+    FROM sm
+)
+SELECT doc_id AS media_id,
+       CAST({AUDIO_RATE} AS BIGINT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+       CAST(sum(CASE WHEN prev_s IS NOT NULL AND prev_s * s < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+FROM seq GROUP BY doc_id
+""",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's bytes become a valid
+    mono PCM-16 WAV (constant RIFF header literal + space-padded raster)
+    built IN-PLAN, then `decode_audio` walks the RIFF chunks with numpy
+    inside mapInPandas and emits exact integer features (sample count,
+    total absolute amplitude, zero crossings). The oracle re-derives every
+    16-bit little-endian sample byte-by-byte in SQL, pinning chunk
+    walking, sample decoding, and channel handling bit-for-bit. ASCII
+    payload bytes keep every sample non-negative (high byte < 128), so
+    zero_cross is structurally 0 here — the signed/negative paths are
+    pinned by the codec round-trip pytest with full-range random int16.
+
+    Same scale shape as multimodal_decode: zero-shuffle Arrow-batched
+    projection."""
+    from ..operators.multimodal import audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raster = F.rpad(F.substring("text", 1, AUDIO_BYTES), AUDIO_BYTES, " ")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.unhex(F.lit(_WAV_HDR_HEX)), raster.cast("binary")
+        ).alias("payload"),
+    )
+    return audio_features(media)

