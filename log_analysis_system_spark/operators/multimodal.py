@@ -460,3 +460,115 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         gen, AUDIO_SCHEMA
     )
+
+
+# ------------------------------------------- video codec (Y4M/YUV4MPEG2)
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Encode (N, H, W, 3) uint8 planar-component frames as YUV4MPEG2
+    (C444): ASCII stream header, then ``FRAME\\n`` + 3 raw planes per
+    frame — the pure header+raster video container (what ffmpeg's rawvideo
+    pipeline speaks), encodable/decodable with numpy alone."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError(f"expected (N, H, W, 3) frames, got {a.shape}")
+    n, h, w = a.shape[:3]
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C444\n" % (w, h, fps)]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        for p in range(3):  # planar: all Y, all U, all V
+            out.append(a[f, :, :, p].tobytes())
+    return b"".join(out)
+
+
+def decode_video(payload: bytes):
+    """Real, dependency-free video demux+decode: YUV4MPEG2 C444 parsed
+    with numpy (header tag walk, per-FRAME plane extraction). Returns
+    (frames: uint8 ndarray [n, h, w, 3], fps). Raises ValueError on other
+    containers — MP4/MKV demux plugs into this dispatch with PyAV."""
+    import numpy as np
+
+    b = bytes(payload)
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError(
+            f"unsupported video format (magic {b[:9]!r}); "
+            f"this build decodes YUV4MPEG2 (Y4M) C444"
+        )
+    nl = b.index(b"\n")
+    w = h = fps = None
+    colorspace = "C420"  # Y4M default when no C tag present
+    for tag in b[10:nl].split(b" "):
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"F":
+            fps = int(tag[1:].split(b":")[0])
+        elif tag[:1] == b"C":
+            colorspace = tag.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"only C444 Y4M supported, got {colorspace}")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(b):
+        fnl = b.index(b"\n", pos)
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        raw = b[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(raw) != frame_bytes:
+            raise ValueError(
+                f"Y4M frame truncated: need {frame_bytes}, got {len(raw)}"
+            )
+        planes = np.frombuffer(raw, dtype=np.uint8).reshape(3, h, w)
+        frames.append(np.transpose(planes, (1, 2, 0)))
+        pos = fnl + 1 + frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), "uint8"), fps
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_y", LongType()),
+        StructField("sum_u", LongType()),
+        StructField("sum_v", LongType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame) -> DataFrame:
+    """mapInPandas real video demux: one output row per decoded frame with
+    exact integer plane sums."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in ("media_id", "frame_idx", "width", "height",
+                          "sum_y", "sum_u", "sum_v")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _ = decode_video(bytes(payload))
+                for i, fr in enumerate(frames):
+                    s = fr.sum(axis=(0, 1), dtype="int64")
+                    cols["media_id"].append(mid)
+                    cols["frame_idx"].append(i)
+                    cols["height"].append(fr.shape[0])
+                    cols["width"].append(fr.shape[1])
+                    cols["sum_y"].append(int(s[0]))
+                    cols["sum_u"].append(int(s[1]))
+                    cols["sum_v"].append(int(s[2]))
+            yield pd.DataFrame(cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, VIDEO_SCHEMA
+    )

@@ -978,3 +978,41 @@ def test_wav_codec_roundtrip_and_features(spark):
     r = audio_features(media).collect()[0]
     assert (r["n_samples"], r["sum_abs"], r["zero_cross"]) == (3, 600, 2)
     assert r["sample_rate"] == 8000
+
+
+def test_y4m_codec_roundtrip_and_rejection(spark):
+    """Y4M video: encode→decode bit-exact (multi-frame, non-square),
+    default-colorspace and truncation rejection, empty stream handling."""
+    import numpy as np
+    import pytest
+
+    from log_analysis_system_spark.operators.multimodal import (
+        decode_video,
+        encode_y4m,
+        video_frame_features,
+    )
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, (3, 4, 6, 3), dtype=np.uint8)
+    dec, fps = decode_video(encode_y4m(a, 30))
+    assert fps == 30 and (dec == a).all()
+
+    with pytest.raises(ValueError, match="unsupported video format"):
+        decode_video(b"\x00\x00\x00 ftypmp42....")
+    with pytest.raises(ValueError, match="only C444"):
+        decode_video(b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + b"\x00" * 5)
+
+    # per-frame features on known planes
+    f0 = np.zeros((2, 2, 3), dtype=np.uint8)
+    f0[:, :, 0] = 10   # Y plane sums to 40
+    f0[:, :, 1] = 2    # U -> 8
+    f0[:, :, 2] = 255  # V -> 1020
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_y4m(np.stack([f0]))))],
+        "media_id long, payload binary",
+    )
+    r = video_frame_features(media).collect()[0]
+    assert (r["frame_idx"], r["width"], r["height"]) == (0, 2, 2)
+    assert (r["sum_y"], r["sum_u"], r["sum_v"]) == (40, 8, 1020)
