@@ -270,3 +270,68 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return video_frame_features(media)
+
+
+RSZ_W = 8
+RSZ_H = 8
+_RSZ_LEN = RSZ_W * RSZ_H * 3  # 192 bytes of resized raster
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+WITH raster AS (
+    SELECT doc_id, rpad(substr(text, 1, {_RASTER_LEN}), {_RASTER_LEN}, ' ')
+               AS r
+    FROM documents
+),
+mapped AS (
+    SELECT doc_id, k,
+           ascii(substr(r,
+               ((2 * (k // {RSZ_W * 3})) * {IMG_W}
+                + 2 * ((k % {RSZ_W * 3}) // 3)) * 3 + (k % 3) + 1,
+               1)) AS v,
+           substr(r,
+               ((2 * (k // {RSZ_W * 3})) * {IMG_W}
+                + 2 * ((k % {RSZ_W * 3}) // 3)) * 3 + (k % 3) + 1,
+               1) AS ch
+    FROM raster,
+         (SELECT unnest(generate_series(0, {_RSZ_LEN - 1})) AS k)
+)
+SELECT doc_id AS media_id,
+       CAST({RSZ_W} AS BIGINT) AS width,
+       CAST({RSZ_H} AS BIGINT) AS height,
+       CAST(sum(CASE WHEN k % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN k % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN k % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       md5(string_agg(ch, '' ORDER BY k)) AS raster_md5
+FROM mapped GROUP BY doc_id
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: {IMG_W}x{IMG_H} PPM payloads built
+    in-plan -> `decode_image` -> nearest-neighbor resample to
+    {RSZ_W}x{RSZ_H} (exact integer index mapping src = dst * src_dim //
+    dst_dim) -> re-encode as PPM -> decode again and emit exact channel
+    sums + md5 of the RESIZED raster. The oracle re-derives every resized
+    byte's source position in SQL and reassembles the resized raster for
+    the md5, so decode, resample geometry, and re-encode are pinned
+    bit-for-bit. Nearest-neighbor (not an interpolating kernel) is chosen
+    precisely because it is exact integer arithmetic both engines can
+    reproduce; a bilinear kernel drops into `resample_nearest`'s slot with
+    the same plumbing.
+
+    Scale: two chained zero-shuffle Arrow projections (resize, then
+    feature extraction)."""
+    from ..operators.multimodal import decode_features, resize_decoded_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raster = F.rpad(F.substring("text", 1, _RASTER_LEN), _RASTER_LEN, " ")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n"), raster
+        ).cast("binary").alias("payload"),
+    )
+    resized = resize_decoded_images(media, width=RSZ_W, height=RSZ_H)
+    return decode_features(resized)

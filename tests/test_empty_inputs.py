@@ -51,6 +51,13 @@ EMPTY_SAFE_QUERIES = [
     "substring_span_scrub",
     "multimodal_decode",
     "bigram_lm_perplexity",
+    "multimodal_audio",
+    "multimodal_video",
+    "multimodal_resize",
+    "dedup_containment",
+    "source_overlap_matrix",
+    "bot_regularity_score",
+    "corpus_dup_profile",
 ]
 
 
