@@ -2091,3 +2091,122 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         RRF_TOP,
         rank_col="rnk",
     ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+@query(
+    "source_embedding_separation",
+    oracle="""
+WITH q AS (
+    SELECT d.source,
+           list_transform(e.embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS e
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+flat AS (
+    SELECT source, i, e[i] AS v
+    FROM (SELECT source, e, unnest(generate_series(1, len(e))) AS i FROM q)
+),
+cent AS (
+    SELECT source, i, CAST(sum(v) AS BIGINT) AS s
+    FROM flat GROUP BY source, i
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+dots AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(a.s * b.s) AS BIGINT) AS dot_ab
+    FROM cent a JOIN cent b ON a.i = b.i AND a.source <= b.source
+    GROUP BY 1, 2
+)
+SELECT d.source_a, d.source_b, sa.n AS n_a, sb.n AS n_b,
+       round(d.dot_ab / (sqrt(CAST(na.dot_ab AS DOUBLE))
+                         * sqrt(CAST(nb.dot_ab AS DOUBLE))), 6)
+           AS centroid_cosine
+FROM dots d
+JOIN dots na ON na.source_a = d.source_a AND na.source_b = d.source_a
+JOIN dots nb ON nb.source_a = d.source_b AND nb.source_b = d.source_b
+JOIN sizes sa ON sa.source = d.source_a
+JOIN sizes sb ON sb.source = d.source_b
+WHERE d.source_a < d.source_b
+""",
+)
+def q_source_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source separation in EMBEDDING space: pairwise cosine between each
+    source's centroid (un-normalized sum vector — cosine is scale-
+    invariant, so exact bigint sums substitute for float means). The
+    dense-space complement of `source_overlap_matrix`'s lexical view:
+    sources whose centroids are near-parallel carry redundant content for
+    mixture-weighting purposes even when their surface text differs.
+
+    Determinism: centroid elements are exact bigint sums of quantized
+    components under any partitioning; every pairwise dot (including the
+    self-dots used as norms) is exact bigint; the two sqrts + one
+    division + round(6) happen once per source pair at the edge.
+
+    Scale: the flatten+agg is dim x corpus rows map-side-combined down to
+    dim x |sources| centroid cells; the pair join is centroid x centroid
+    (bounded by source count), never corpus-sized."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    q = emb.select("vec_id", F.expr(_QUANT).alias("e")).join(
+        F.broadcast(docs), emb.vec_id == docs.doc_id
+    )
+    flat = q.select(
+        "source", F.posexplode("e").alias("i", "v")
+    )
+    cent = flat.groupBy("source", "i").agg(F.sum("v").alias("s"))
+    sizes = q.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = cent.select(
+        F.col("source").alias("source_a"), "i", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"), "i", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "i")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot_ab"))
+    )
+    na = dots.where(F.col("source_a") == F.col("source_b")).select(
+        F.col("source_a").alias("src"), F.col("dot_ab").alias("self_dot")
+    )
+    pairs = (
+        dots.where(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(na.withColumnRenamed("src", "source_a")
+                        .withColumnRenamed("self_dot", "da")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(na.withColumnRenamed("src", "source_b")
+                        .withColumnRenamed("self_dot", "db")),
+            "source_b",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("n_b"))),
+            "source_b",
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dot_ab")
+            / (
+                F.sqrt(F.col("da").cast("double"))
+                * F.sqrt(F.col("db").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )
