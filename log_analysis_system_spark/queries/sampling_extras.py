@@ -353,3 +353,103 @@ def q_split_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_lo") != F.col("split_hi")).cast("long")
         ).alias("is_leak"),
     )
+
+
+def _split_leak_embedding_oracle() -> str:
+    """Same composition as _split_leak_oracle, but pairs come from the
+    banded sign-LSH EMBEDDING near-dup (vec_id aligns with doc_id in the
+    driver testdata)."""
+    from . import ORACLES
+
+    pairs = ORACLES["embedding_near_dup"].strip().rstrip(";")
+    return f"""
+WITH p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({pairs}) t),
+s AS (
+    SELECT doc_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                          15)) AS BIGINT) % 100 < {VAL_PCT}
+                THEN 'val'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                          15)) AS BIGINT) % 100
+                     < {VAL_PCT + TEST_PCT}
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+),
+marked AS (
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi
+    FROM p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS BIGINT)
+           AS is_leak
+FROM marked GROUP BY 1, 2
+"""
+
+
+@query("split_leak_embedding", oracle=_split_leak_embedding_oracle())
+def q_split_leak_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity audit in EMBEDDING space: semantic near-duplicate
+    pairs (banded sign-LSH over the embedding column) that straddle the
+    train/val/test boundary — catches paraphrase-level leakage that the
+    lexical `split_leak_audit` (MinHash shingles) misses entirely: a
+    reworded eval document shares no shingles with its training twin but
+    sits millimeters away in embedding space. Same split rule, same
+    output shape, so the two audits diff directly.
+
+    Scale shape: rides embedding_near_dup's banded-LSH candidates (no
+    new pairwise work); split labels join onto slim pair rows."""
+    from .similarity import q_embedding_near_dup
+
+    pairs = q_embedding_near_dup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 100
+    )
+    s = docs.select(
+        "doc_id",
+        F.when(bucket < VAL_PCT, "val")
+        .when(bucket < VAL_PCT + TEST_PCT, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    marked = (
+        pairs.join(
+            F.broadcast(
+                s.select(F.col("doc_id").alias("doc_a"),
+                         F.col("split").alias("sa"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                s.select(F.col("doc_id").alias("doc_b"),
+                         F.col("split").alias("sb"))
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+    )
+    return marked.groupBy("split_lo", "split_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.when(F.col("split_lo") != F.col("split_hi"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_leak"),
+    )
