@@ -1218,3 +1218,84 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_c",
         F.expr("CAST(rnk * 1000000 div n AS BIGINT)").alias("quantile_ppm"),
     )
+
+
+# ------------------------------------- HLL set-intersection estimation
+
+HLL_INTER_TOL_PPM = 250_000  # |est - exact| <= 25% of the UNION size
+
+
+@query(
+    "hll_intersection_verdict",
+    oracle="""
+WITH ua AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+ub AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+x AS (
+    SELECT (SELECT count(*) FROM ua) AS exact_a,
+           (SELECT count(*) FROM ub) AS exact_b,
+           (SELECT count(*) FROM ua JOIN ub USING (user_id)) AS exact_inter,
+           (SELECT count(*) FROM (SELECT * FROM ua UNION
+                                  SELECT * FROM ub)) AS exact_union
+)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       TRUE AS inter_within_tol
+FROM x
+""",
+)
+def q_hll_intersection_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-INTERSECTION via inclusion-exclusion: HLL supports only
+    union natively, so |A∩B| is estimated as est(A) + est(B) - est(A∪B) —
+    three sketch estimates whose errors ADD, which is the classic sketch
+    gotcha: the absolute error scales with the UNION size, so a small
+    intersection of two large sets can even estimate negative. The query
+    computes the estimate from per-set DataSketches HLL sketches (union
+    via hll_union_agg — the persisted-rollup serving shape), the exact
+    twin values, and a tolerance VERDICT stated against the union size
+    (|est - exact| <= 25% of |A∪B|, far beyond the ~5-sigma band for
+    lgConfigK=12) — honest semantics a naive 'intersection sketch' API
+    would hide. Estimates themselves are not engine-comparable, so only
+    exact twins + the verdict are in the hashed output (the
+    sketch_rollup_users contract)."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    sk = (
+        a.select(F.lit("a").alias("side"), "user_id")
+        .unionByName(b.select(F.lit("b").alias("side"), "user_id"))
+        .groupBy("side")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    ests = sk.agg(
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("side") == "a", F.col("sk")))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("side") == "b", F.col("sk")))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    exact = (
+        a.intersect(b).agg(F.count(F.lit(1)).alias("exact_inter"))
+        .crossJoin(a.distinct().agg(F.count(F.lit(1)).alias("exact_a")))
+        .crossJoin(b.distinct().agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a.union(b).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+        )
+    )
+    return exact.crossJoin(F.broadcast(ests)).select(
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+        "exact_union",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("exact_inter")
+            )
+            * 1000000
+            <= F.lit(HLL_INTER_TOL_PPM) * F.col("exact_union")
+        ).alias("inter_within_tol"),
+    )
