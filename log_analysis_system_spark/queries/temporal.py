@@ -691,3 +691,59 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n * tot_days) * 1000000 div (n_days * tot_n) AS BIGINT)"
         ).alias("seasonal_index_ppm"),
     )
+
+
+# ---------------------------------------- Holt linear-trend forecasting
+
+# ONE SQL text executed verbatim by BOTH engines (the trade_reach_hops
+# contract): Holt's double exponential smoothing with alpha = beta = 1/2,
+# INTEGER form — each recurrence step is floor((..)/2) on exact bigint
+# cents, so level/trend are bit-exact under any engine and the only
+# floats are the transient /2.0 divisions of values far below 2^52.
+HOLT_SQL = """
+WITH RECURSIVE
+m AS (
+    SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS mon,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT mon, y, CAST(row_number() OVER (ORDER BY mon) AS BIGINT) AS t
+    FROM m
+),
+holt AS (
+    SELECT t, mon, y, y AS l, CAST(0 AS BIGINT) AS b
+    FROM idx WHERE t = 1
+    UNION ALL
+    SELECT i.t, i.mon, i.y,
+           CAST(floor((i.y + h.l + h.b) / 2.0) AS BIGINT),
+           CAST(floor((CAST(floor((i.y + h.l + h.b) / 2.0) AS BIGINT)
+                       - h.l + h.b) / 2.0) AS BIGINT)
+    FROM idx i JOIN holt h ON i.t = h.t + 1
+)
+SELECT mon, y AS revenue_c, l AS level_c, b AS trend_c,
+       l + b AS forecast_next_c
+FROM holt
+"""
+
+
+@query("holt_forecast_revenue", oracle=HOLT_SQL)
+def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential (level + linear trend) smoothing of monthly
+    revenue with a one-step-ahead forecast per month — the trend-aware
+    upgrade of the single-EWMA `forecast_revenue`/`ewma_events` family:
+    l_t = (y_t + l_{t-1} + b_{t-1})/2, b_t = (l_t - l_{t-1} + b_{t-1})/2
+    (alpha = beta = 1/2), evaluated as an INTEGER recurrence on cents so
+    both engines produce identical bigints.
+
+    The sequential recurrence is a RECURSIVE CTE over the MONTH table —
+    the recursion's working set is O(months), never the fact table
+    (orders aggregates to months in one hash-agg before any recursion),
+    which is exactly how a sequential model should meet a distributed
+    engine: reduce first, recurse over the reduced series. The oracle is
+    this same SQL text run verbatim by DuckDB."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(HOLT_SQL)
