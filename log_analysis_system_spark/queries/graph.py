@@ -269,3 +269,140 @@ def q_trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(REACH_SQL)
+
+
+# ------------------------------------------------ personalized PageRank
+
+PPR_SEED_NATION = "GERMANY"
+PPR_TELEPORT = (15 * PR_START) // 100  # per-round seed teleport, micro-units
+
+_PPR_SEEDS_SQL = f"""
+    SELECT DISTINCT e.src AS node
+    FROM ({_EDGES_SQL}) e
+    JOIN customer c ON c.c_custkey = e.src
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE e.src < {SUPP_OFFSET} AND n.n_name = '{PPR_SEED_NATION}'
+"""
+
+
+def _ppr_oracle(iters: int = PR_ITERS) -> str:
+    """Unrolled personalized-PageRank recurrence: teleport mass lands ONLY
+    on the seed set (rank = relevance TO the seeds), start mass on seeds."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        f"seeds AS ({_PPR_SEEDS_SQL})",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"pr0 AS (SELECT nd.node, CAST(CASE WHEN s.node IS NULL THEN 0 "
+        f"ELSE {PR_START} END AS BIGINT) AS pr "
+        f"FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"pr{i + 1} AS ("
+            f"SELECT e.dst AS node, "
+            f"CAST(CASE WHEN s.node IS NULL THEN 0 ELSE {PPR_TELEPORT} END "
+            f"+ (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT) AS pr "
+            f"FROM edges e "
+            f"JOIN pr{i} p ON p.node = e.src "
+            f"JOIN deg d ON d.src = e.src "
+            f"LEFT JOIN seeds s ON s.node = e.dst "
+            f"GROUP BY e.dst, s.node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, pr FROM pr{iters}"
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """Integer personalized PageRank: identical recurrence to `pagerank`
+    except the teleport term lands only on ``seeds`` (node), so ranks
+    measure relevance TO the seed set (random walk with restart). Same
+    two-shuffle round shape + localCheckpoint lineage truncation; the
+    doubled-undirected-edges requirement guarantees every node receives
+    flow, so the teleport join is a plain inner join on the round's agg."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeded = nodes.join(
+        seeds.select("node").withColumn("is_seed", F.lit(1)), "node", "left"
+    )
+    pr = seeded.select(
+        "node",
+        F.when(F.col("is_seed") == 1, PR_START)
+        .otherwise(0)
+        .cast("long")
+        .alias("pr"),
+    ).localCheckpoint()
+    tp = seeded.select(
+        "node",
+        F.when(F.col("is_seed") == 1, PPR_TELEPORT)
+        .otherwise(0)
+        .cast("long")
+        .alias("tp"),
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .select("dst", F.expr("pr div outdeg").alias("c"))
+        )
+        flow = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.expr("cast((85 * sum(c)) div 100 as bigint)").alias("flow")
+        )
+        pr = (
+            flow.join(tp, "node")
+            .select("node", (F.col("tp") + F.col("flow")).alias("pr"))
+            .localCheckpoint()
+        )
+    return pr
+
+
+@query("personalized_pagerank_trade", oracle=_ppr_oracle())
+def q_personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart relevance over the customer<->supplier
+    trade graph, personalized to {PPR_SEED_NATION}'s customers: teleport
+    mass lands only on the seed set, so high-rank suppliers are the ones
+    structurally closest to that market — the 'suppliers similar to what
+    GERMANY buys from' recommendation view, where global `pagerank` would
+    just surface overall hubs. Integer micro-unit recurrence (floor-div
+    per-edge contributions), fixed {PR_ITERS} rounds, unrolled-CTE oracle
+    — the established exact-iterative contract."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") < SUPP_OFFSET)
+        .distinct()
+        .join(
+            F.broadcast(
+                c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+                .where(F.col("n_name") == PPR_SEED_NATION)
+                .select(F.col("c_custkey").alias("node"))
+            ),
+            "node",
+        )
+    )
+    return personalized_pagerank(edges, seeds)
