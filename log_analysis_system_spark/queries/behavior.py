@@ -1182,3 +1182,83 @@ def q_bot_regularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gap_cv"),
     )
+
+
+# ------------------------------------------ sequence entropy (predictability)
+
+ENT_SCALE = 1_000_000  # micro-nats per transition log-probability
+
+
+@query(
+    "sequence_entropy",
+    oracle=f"""
+WITH tr AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS b
+    FROM events
+),
+cnt AS (
+    SELECT user_id, a, b, CAST(count(*) AS BIGINT) AS n
+    FROM tr WHERE b IS NOT NULL GROUP BY 1, 2, 3
+),
+tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+scored AS (
+    SELECT c.user_id, c.n, t.nt,
+           CAST(floor(ln(c.n / CAST(t.nt AS DOUBLE)) * {ENT_SCALE})
+                AS BIGINT) AS ll
+    FROM cnt c JOIN tot t USING (user_id)
+)
+SELECT user_id,
+       CAST(max(nt) AS BIGINT) AS n_transitions,
+       round(-sum(n * ll) / (max(nt) * {ENT_SCALE}.0), 6) AS entropy_nats
+FROM scored GROUP BY user_id
+""",
+)
+def q_sequence_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: per user, the Shannon entropy (nats) of
+    their first-order event-transition distribution — near 0 means a
+    metronomic/looping client (the frequency-domain complement of
+    `bot_regularity_score`'s TIMING regularity: a bot can jitter its
+    clock but still loop the same two actions), near ln(|types|^2) means
+    maximally mixed behavior.
+
+    Determinism recipe (the bigram_lm_perplexity pattern): each
+    transition's log-probability floors to integer micro-nats, the
+    weighted sum is exact bigint under any partitioning, and the single
+    division + round(6) closes each user.
+
+    Scale: one user-keyed window exchange for the lead; the pair counts
+    and the entropy rollup both reuse user-prefixed keys (map-side
+    combinable)."""
+    from pyspark.sql import Window
+
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), F.col("event_id"))
+    tr = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cnt = tr.groupBy("user_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("user_id").agg(F.sum("n").alias("nt"))
+    scored = cnt.join(tot, "user_id").select(
+        "user_id",
+        "n",
+        "nt",
+        F.floor(
+            F.log(F.col("n") / F.col("nt").cast("double")) * ENT_SCALE
+        ).cast("long").alias("ll"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.max("nt").alias("n_transitions"),
+        F.round(
+            -F.sum(F.col("n") * F.col("ll"))
+            / (F.max("nt") * F.lit(float(ENT_SCALE))),
+            6,
+        ).alias("entropy_nats"),
+    )
