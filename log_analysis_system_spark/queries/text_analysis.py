@@ -1371,3 +1371,58 @@ def search_text_index(
         )
         .cast("long"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id,
+           lower(trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{URL_RE}', '<URL>', 'g'),
+               '{WS_RE}', ' ', 'g'))) AS norm_text
+    FROM documents
+)
+SELECT md5(norm_text) AS norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       CAST(sum(CASE WHEN nt != text THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed
+FROM (SELECT n.doc_id, n.norm_text, n.norm_text AS nt, d.text
+      FROM norm n JOIN documents d USING (doc_id))
+GROUP BY md5(norm_text)
+""",
+)
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tier BETWEEN exact and near-dup: exact dedup on the
+    NORMALIZED text (email/URL masks, whitespace collapse, trim,
+    lowercase — the same `normalize_text` expression `text_normalize`
+    pins cross-dialect), catching trivially-reformatted duplicates
+    (case, spacing, swapped contact details) that raw-byte `dedup_exact`
+    misses but that don't need MinHash's probabilistic machinery.
+    n_changed counts group members whose text was altered by
+    normalization — the audit column for how much work the masks did.
+
+    Scale: identical shape to dedup_exact — the shuffle carries only
+    (32-byte hash, id, changed-bit) after a codegen'd projection."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.select(
+        "doc_id",
+        "text",
+        normalize_text(F.col("text")).alias("norm_text"),
+    )
+    return (
+        n.select(
+            F.md5(F.col("norm_text").cast("binary")).alias("norm_hash"),
+            "doc_id",
+            (F.col("norm_text") != F.col("text")).cast("long").alias("chg"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sum("chg").alias("n_changed"),
+        )
+    )
