@@ -1426,3 +1426,122 @@ def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chg").alias("n_changed"),
         )
     )
+
+
+# --------------------------------- source JSD (distributional distance)
+
+JSD_SCALE = 1_000_000  # micro-nats per (pair, word) contribution
+
+
+@query(
+    "source_jsd",
+    oracle=f"""
+WITH w AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+    SELECT source, word, CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE word <> '' GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM wc GROUP BY 1),
+vocab AS (SELECT DISTINCT word FROM wc),
+grid AS (
+    SELECT t.source, v.word, coalesce(c.n, 0) AS n, t.nt
+    FROM tot t CROSS JOIN vocab v
+    LEFT JOIN wc c ON c.source = t.source AND c.word = v.word
+),
+contrib AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(floor({JSD_SCALE} * (
+               CASE WHEN a.n > 0
+                    THEN 0.5 * (a.n / CAST(a.nt AS DOUBLE))
+                         * ln((a.n / CAST(a.nt AS DOUBLE))
+                              / ((a.n / CAST(a.nt AS DOUBLE)
+                                  + b.n / CAST(b.nt AS DOUBLE)) / 2))
+                    ELSE 0 END
+             + CASE WHEN b.n > 0
+                    THEN 0.5 * (b.n / CAST(b.nt AS DOUBLE))
+                         * ln((b.n / CAST(b.nt AS DOUBLE))
+                              / ((a.n / CAST(a.nt AS DOUBLE)
+                                  + b.n / CAST(b.nt AS DOUBLE)) / 2))
+                    ELSE 0 END)) AS BIGINT) AS c_micro
+    FROM grid a JOIN grid b ON a.word = b.word AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(sum(c_micro) AS BIGINT) AS jsd_micro_nats,
+       round(sum(c_micro) / {JSD_SCALE}.0, 6) AS jsd_nats
+FROM contrib GROUP BY 1, 2
+""",
+)
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the DISTRIBUTION-level source-similarity metric
+    sitting between `source_overlap_matrix` (set overlap of shingles) and
+    `source_embedding_separation` (dense centroids): two sources can
+    share every word (overlap ~1) yet use them at wildly different rates,
+    which only the JSD sees. Symmetric, bounded by ln 2, zero iff
+    identical distributions.
+
+    Determinism: each (pair, word) contribution floors to integer
+    micro-nats before the cross-word sum (probabilities are ratios of
+    exact bigint counts -> identical doubles -> identical ln/products on
+    both engines); one division + round(6) at the edge.
+
+    Scale: one corpus-wide word-count hash-agg; everything after operates
+    on the (sources x vocab) grid — bounded by vocabulary and source
+    count, never corpus size (cap the grid with a top-K vocabulary at
+    open-vocab scale, the standard JSD-over-top-terms practice)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    wc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = wc.groupBy("source").agg(F.sum("n").alias("nt"))
+    vocab = wc.select("word").distinct()
+    grid = (
+        tot.crossJoin(F.broadcast(vocab))
+        .join(wc, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "nt",
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "word",
+        F.col("n").alias("na"),
+        F.col("nt").alias("ta"),
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"),
+        "word",
+        F.col("n").alias("nb"),
+        F.col("nt").alias("tb"),
+    )
+    pa = F.col("na") / F.col("ta").cast("double")
+    pb = F.col("nb") / F.col("tb").cast("double")
+    m = (pa + pb) / 2
+    term = F.when(
+        F.col("na") > 0, 0.5 * pa * F.log(pa / m)
+    ).otherwise(0.0) + F.when(
+        F.col("nb") > 0, 0.5 * pb * F.log(pb / m)
+    ).otherwise(0.0)
+    contrib = (
+        a.join(F.broadcast(b), "word")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.floor(JSD_SCALE * term).cast("long").alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("source_a", "source_b").agg(
+        F.sum("c_micro").alias("jsd_micro_nats"),
+        F.round(F.sum("c_micro") / F.lit(float(JSD_SCALE)), 6).alias(
+            "jsd_nats"
+        ),
+    )
