@@ -1545,3 +1545,84 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jsd_nats"
         ),
     )
+
+
+# ------------------------------ score agreement (exact Spearman's rho)
+
+def _score_corr_oracle() -> str:
+    from . import ORACLES
+
+    qa = ORACLES["quality_score"].strip().rstrip(";")
+    qb = ORACLES["bigram_lm_perplexity"].strip().rstrip(";")
+    return f"""
+WITH qa AS ({qa}),
+qb AS ({qb}),
+j AS (
+    SELECT qa.doc_id, qa.quality, qb.xent_nats
+    FROM qa JOIN qb USING (doc_id)
+),
+r AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT)
+               AS ra,
+           CAST(row_number() OVER (ORDER BY xent_nats DESC, doc_id)
+                AS BIGINT) AS rb
+    FROM j
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       round(1 - 6.0 * sum((ra - rb) * (ra - rb))
+                 / (count(*) * (count(*) * count(*) - 1)), 6) AS spearman_rho
+FROM r
+"""
+
+
+@query("score_correlation", oracle=_score_corr_oracle())
+def q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement check: exact Spearman rank correlation
+    between the heuristic `quality_score` and the bigram-LM cross-entropy
+    (xent DESC, so both rankings point 'better first') — the calibration
+    number that says whether the cheap heuristic and the statistical
+    model would keep the same documents. Rank-based, so it needs no
+    distributional assumptions, and EXACT: ranks are total-ordered
+    (doc_id tiebreak), d^2 sums are bigints, and rho's single division +
+    round(6) closes the scalar.
+
+    Scale: two global rank windows over per-doc score rows (at open scale
+    use global_rank's range-partition form); everything else is one
+    aggregate."""
+    from . import QUERIES
+
+    qa = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "quality")
+    qb = QUERIES["bigram_lm_perplexity"](spark, sf_dir).select(
+        "doc_id", "xent_nats"
+    )
+    j = qa.join(qb, "doc_id")
+    from pyspark.sql import Window
+
+    r = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("quality", "doc_id"))
+        .cast("long")
+        .alias("ra"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("xent_nats"), "doc_id"))
+        .cast("long")
+        .alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(d2).alias("sum_d2"),
+        F.round(
+            1
+            - 6.0
+            * F.sum(d2)
+            / (
+                F.count(F.lit(1))
+                * (F.count(F.lit(1)) * F.count(F.lit(1)) - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
