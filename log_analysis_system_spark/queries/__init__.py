@@ -33,13 +33,12 @@ PRIORITY: tuple[str, ...] = (
     "top10_session_per_category",
     "area_top3",
     "funnel",
-    # TPC-H battery representatives — important_parts / promo_revenue_share
-    # / priority_by_line_status rotated out round 4 (redundant with the
-    # remaining Q1/Q3/Q5 shapes; driver_sim + pytest keep them) in favor of
-    # the round-4 flagships below
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
+    # TPC-H battery — important_parts / promo_revenue_share /
+    # priority_by_line_status rotated out round 4; shipping_priority /
+    # local_supplier_volume / pricing_summary round 5 (join+agg shapes
+    # redundant with the session/OLAP rows, and Q1's pushdown + two-phase
+    # agg stay plan-gated in tests/test_plans.py; driver_sim + pytest +
+    # bench keep all of them) in favor of the round-5 flagships below
     # dedup family — incl. round-4 exact repeated-substring spans
     # (suffix-array-style ExactSubstr, an op class no other row exercises)
     "dedup_exact",
@@ -98,6 +97,14 @@ PRIORITY: tuple[str, ...] = (
     # round-4 flagship: distributed BPE training (iterative trained-state
     # op over the text family — no other row exercises it)
     "bpe_vocab_train",
+    # round-5 flagships: the two verdict-flagged scale fixes as first-class
+    # oracle rows — distributed global_rank Spearman agreement (no bare
+    # windows) and df_cap'd containment (the capped candidate path itself
+    # is what the oracle mirrors) — plus unigram-LM tokenizer training
+    # (EM/Viterbi-fold op class no other row exercises)
+    "score_correlation",
+    "dedup_containment_capped",
+    "unigram_lm_vocab",
 )
 
 
@@ -147,4 +154,9 @@ def load_all() -> None:
         behavior,
         data_quality,
         bpe,
+        unigram_lm,
     )
+    # Late-bound composed oracles (the referenced oracle lives in a module
+    # imported after the query's own module).
+    if "dedup_keep_best" not in ORACLES:
+        ORACLES["dedup_keep_best"] = dedup._keep_best_oracle()

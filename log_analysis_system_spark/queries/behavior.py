@@ -1226,7 +1226,8 @@ def q_sequence_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism recipe (the bigram_lm_perplexity pattern): each
     transition's log-probability floors to integer micro-nats, the
     weighted sum is exact bigint under any partitioning, and the single
-    division + round(6) closes each user.
+    division + round(6) closes each user. Floor-boundary clearance of the
+    pre-floor ln values is audited by tests/test_micro_nat_boundary.py.
 
     Scale: one user-keyed window exchange for the lead; the pair counts
     and the entropy rollup both reuse user-prefixed keys (map-side

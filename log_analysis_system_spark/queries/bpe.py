@@ -83,16 +83,104 @@ def _merge_fold_expr(a: str, b: str) -> str:
     )
 
 
+def _safe_merge_batch(
+    rows: list, capacity: int, truncated: bool, existing_syms: set[str]
+) -> list[tuple[str, str, int]]:
+    """From the (cnt DESC, a, b) sorted pair-count prefix, pick the longest
+    prefix of merges that sequential BPE would PROVABLY pick in the same
+    order — the exact-equivalence batching rule (the public fast-BPE
+    optimization, done strictly):
+
+    1. Walk the sorted list, accepting pairs whose symbols are disjoint
+       from every previously-accepted pair's symbols. Disjointness means
+       an earlier accepted merge cannot change a later accepted pair's
+       count, so its recorded count IS its count at its sequential round.
+    2. Stop at the FIRST pair sharing a symbol with the accepted set; its
+       count ``c*`` bounds every count an accepted merge can create or
+       inflate: merging (a, b) -> ab only creates pairs (x, ab) / (ab, y)
+       with counts <= the CURRENT counts of (x, a) / (b, y), and those
+       neighbor pairs share a symbol with the batch, so they sort at or
+       after the first conflict. If the listing was truncated (``rows``
+       is a strict prefix of the pair table), the unseen tail bounds
+       ``c*`` instead.
+    3. Keep only accepted pairs with cnt STRICTLY greater than ``c*``
+       (plus the head, which is the exact argmax regardless): a created
+       pair tying an accepted count could still lex-beat it at its
+       sequential round, so ties are not batched.
+
+    ``existing_syms`` closes the one hole in the neighbor-count bound: a
+    merge whose concatenated string EQUALS a symbol already in the
+    alphabet (e.g. merging ("a", "ba") to "aba" when ("ab", "a") was
+    merged in an earlier round — initial symbols are single chars plus
+    the end marker, so every multi-char symbol is a prior merge string)
+    would ADD occurrences to pre-existing (x, "aba") pairs, whose summed
+    count is bounded by 2·c*, not c*. Such a pair, and any pair already
+    CONTAINING one of those strings, is treated as a conflict boundary
+    instead of being batched.
+    """
+    head = rows[0]
+    if head["a"] + head["b"] in existing_syms:
+        # The head merge re-creates an existing symbol: its occurrences ADD
+        # to pre-existing (x, m) counts (2·c* bound), so nothing after the
+        # head (the exact argmax) can be batched safely this round.
+        return [(head["a"], head["b"], int(head["cnt"]))]
+    accepted: list[tuple[str, str, int]] = []
+    syms_in_batch: set[str] = set()
+    c_star = -1
+    for i, row in enumerate(rows):
+        a, b, cnt = row["a"], row["b"], int(row["cnt"])
+        if truncated and i == len(rows) - 1:
+            c_star = cnt  # sentinel row: unseen tail has counts <= this
+            break
+        if (
+            a in syms_in_batch
+            or b in syms_in_batch
+            or (accepted and a + b in existing_syms | syms_in_batch)
+        ):
+            c_star = cnt
+            break
+        if len(accepted) < capacity:
+            accepted.append((a, b, cnt))
+            syms_in_batch.update((a, b, a + b))
+        # disjoint pairs beyond capacity: keep scanning for the first
+        # conflict — its count still bounds what the batch can create
+    safe = accepted[:1]
+    for a, b, cnt in accepted[1:]:
+        if cnt <= c_star:
+            break  # counts are sorted: nothing later can clear the bar
+        safe.append((a, b, cnt))
+    return safe
+
+
 def train_bpe(
-    vocab: DataFrame, n_merges: int = N_MERGES
+    vocab: DataFrame, n_merges: int = N_MERGES, batch_size: int = 1
 ) -> tuple[list[tuple], DataFrame]:
-    """Run n_merges BPE rounds; returns (merge list, final vocab).
+    """Run n_merges BPE merges; returns (merge list, final vocab).
 
     Merge list rows: (rank, sym_a, sym_b, merged, pair_count). The final
-    vocab keeps (word, freq, syms) with fully merged symbol arrays."""
+    vocab keeps (word, freq, syms) with fully merged symbol arrays.
+
+    ``batch_size=1`` (default): the canonical loop — one pair-count
+    hash-agg + one 1-row collect per merge.
+
+    ``batch_size=K``: the production-vocab configuration. A 32k-merge
+    vocab at one driver round-trip per merge is wall-clock bound on 32k
+    sequential collects, not on data; batching applies up to K merges per
+    round-trip using ``_safe_merge_batch``'s strict disjointness +
+    count-gap rule, which GUARANTEES bit-identical output to
+    ``batch_size=1`` (pytest-pinned against the pure-Python subword-nmt
+    reference at 64 merges in tests/test_bpe.py). Driver round-trips
+    become ~n_merges / E[batch] — sublinear in vocab size whenever the
+    pair-count distribution has spread, which real corpora always do."""
     v = vocab.localCheckpoint()
     merges: list[tuple] = []
-    for r in range(1, n_merges + 1):
+    # Multi-char symbols the alphabet may contain: every prior merge string
+    # plus the end marker (initial symbols are otherwise single chars).
+    known_multichar: set[str] = {END_MARK}
+    # Enough sorted prefix to find the first conflict past a full batch;
+    # +1 sentinel row detects truncation.
+    k_probe = max(batch_size * 8, 64)
+    while len(merges) < n_merges:
         pairs = v.where(F.size("syms") >= 2).select(
             "freq",
             F.explode(
@@ -103,23 +191,31 @@ def train_bpe(
                 )
             ).alias("p"),
         )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+        counted = pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        rows = (
+            counted.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(k_probe + 1)
             .collect()
         )
-        if not best:
+        if not rows:
             raise ValueError(
-                f"BPE round {r}: no adjacent pairs left to merge "
-                f"(vocab fully collapsed before n_merges={n_merges})"
+                f"BPE round {len(merges) + 1}: no adjacent pairs left to "
+                f"merge (vocab fully collapsed before n_merges={n_merges})"
             )
-        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
-        merges.append((r, a, b, a + b, cnt))
-        # localCheckpoint: keeps the per-round plan flat instead of
-        # nesting r fold expressions (CollapseProject would re-expand)
-        v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b))).localCheckpoint()
+        batch = _safe_merge_batch(
+            rows,
+            capacity=min(batch_size, n_merges - len(merges)),
+            truncated=len(rows) == k_probe + 1,
+            existing_syms=known_multichar,
+        )
+        for a, b, cnt in batch:
+            merges.append((len(merges) + 1, a, b, a + b, cnt))
+            known_multichar.add(a + b)
+            v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
+        # localCheckpoint once per ROUND: keeps the plan depth bounded by
+        # batch_size instead of total merges (CollapseProject would
+        # otherwise re-expand the nested folds)
+        v = v.localCheckpoint()
     return merges, v
 
 
@@ -308,10 +404,16 @@ def q_training_manifest_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bpe_tokens"),
         out_col="__cum",
     )
-    start = (F.col("__cum") - F.col("n_bpe_tokens")).cast("long")
     return (
         packed.withColumn(
-            "shard_id", F.floor(start / BPE_MANIFEST_BUDGET).cast("long")
+            # exact bigint floor-division (`div`) on the token prefix sum —
+            # double division misplaces a shard boundary once the corpus
+            # token count passes ~2^53
+            "shard_id",
+            F.expr(
+                "CAST((__cum - n_bpe_tokens) div "
+                f"{BPE_MANIFEST_BUDGET} AS BIGINT)"
+            ),
         )
         .groupBy("source", "shard_id")
         .agg(

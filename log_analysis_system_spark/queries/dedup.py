@@ -312,33 +312,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- jaccard
 
-def ngram_jaccard_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
-    """N-gram Jaccard pairs via inverted-index join, optionally capped.
+def pair_overlap_stats(sh: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Per-pair shingle-overlap sufficient statistics
+    ``(doc_a, doc_b, inter_n, na, nb)`` — the shared candidate-generation +
+    scoring core of BOTH set-similarity dedup tiers (symmetric Jaccard in
+    ``ngram_jaccard_pairs``, asymmetric containment in
+    ``containment_pairs``), so the scale switch is configured once and
+    applies to every consumer.
 
     ``df_cap=None``: exact — every doc pair sharing >= 1 shingle is scored
-    from the full shingle join (matches the SQL oracle).
+    from the full inverted-index self-join (matches the SQL oracles).
 
     ``df_cap=K``: the 100 TB configuration. A shingle present in > K docs
     contributes > K^2 rows to the self-join — one stop-gram ("in the of")
     can dominate the whole shuffle. Capped mode drops such hot shingles
     from CANDIDATE GENERATION only, then re-scores every surviving pair
     EXACTLY via array_intersect of the two docs' full shingle sets, so
-    emitted jaccard values are identical to uncapped ones; the (documented,
+    emitted inter_n/na/nb are identical to uncapped ones; the (documented,
     standard) approximation is that pairs sharing ONLY hot shingles are
     never considered — by construction those pairs' similarity comes from
-    stop-grams, not content."""
-    sh = shingles(docs).cache()
+    stop-grams, not content.
+
+    Size joins are plain shuffle joins, NOT broadcasts: sizes is a per-doc
+    table (corpus-cardinality), far too large to broadcast at open scale."""
     if df_cap is None:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh")
+        )
         a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         pairs = (
             a.join(b, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter_n"))
+            .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
         )
-        joined = pairs.join(
+        return pairs.join(
             sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
                 "n_sh", "na"
             ),
@@ -348,46 +357,56 @@ def ngram_jaccard_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame
                 "n_sh", "nb"
             ),
             "doc_b",
+        ).select("doc_a", "doc_b", "inter_n", "na", "nb")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_arr"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+    )
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_arr").alias("arr_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
         )
-    else:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > df_cap)
-            .select("shingle")
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_arr").alias("arr_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
         )
-        rare = sh.join(hot, "shingle", "left_anti")
-        a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
-        cand = (
-            a.join(b, "shingle")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+        .withColumn(
+            "inter_n",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
         )
-        arrs = sh.groupBy("doc_id").agg(
-            F.collect_set("shingle").alias("sh_arr"),
-            F.count(F.lit(1)).alias("n_sh"),
-        )
-        joined = (
-            cand.join(
-                arrs.select(
-                    F.col("doc_id").alias("doc_a"),
-                    F.col("sh_arr").alias("arr_a"),
-                    F.col("n_sh").alias("na"),
-                ),
-                "doc_a",
-            )
-            .join(
-                arrs.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("sh_arr").alias("arr_b"),
-                    F.col("n_sh").alias("nb"),
-                ),
-                "doc_b",
-            )
-            .withColumn("inter_n", F.size(F.array_intersect("arr_a", "arr_b")))
-        )
+        .select("doc_a", "doc_b", "inter_n", "na", "nb")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """N-gram Jaccard pairs via inverted-index join, optionally capped —
+    candidate generation + overlap stats come from ``pair_overlap_stats``
+    (see there for the exact-vs-``df_cap`` semantics)."""
+    joined = pair_overlap_stats(shingles(docs).cache(), df_cap)
     jac = F.col("inter_n") / (F.col("na") + F.col("nb") - F.col("inter_n"))
     return joined.where(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
@@ -522,6 +541,66 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def _keep_best_oracle() -> str:
+    """Composed from the components + quality_score oracles. quality_score
+    lives in text_analysis (imported AFTER dedup), so load_all registers
+    this oracle late instead of the @query decorator."""
+    from . import ORACLES
+
+    comp = _components_oracle().strip()
+    q = ORACLES["quality_score"].strip().rstrip(";")
+    return f"""
+WITH comp AS ({comp}),
+q AS (SELECT doc_id, quality FROM ({q})),
+j AS (SELECT c.component_id, c.doc_id, q.quality
+      FROM comp c JOIN q USING (doc_id)),
+sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS n_docs
+          FROM j GROUP BY 1),
+r AS (SELECT component_id, doc_id, quality,
+             row_number() OVER (PARTITION BY component_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM j)
+SELECT r.component_id, s.n_docs,
+       r.doc_id AS keep_id, r.quality AS keep_quality,
+       s.n_docs - 1 AS dropped_docs
+FROM r JOIN sizes s USING (component_id)
+WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best")  # oracle registered late by load_all (see above)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution: per near-dup component, keep the
+    HIGHEST-quality document (tiebreak lowest doc_id) instead of the
+    naive min-id canonical — the policy real curation pipelines use so
+    dedup removes the boilerplate-wrapped copy, not the clean original.
+    Composes `dedup_components` with `quality_score`.
+
+    Determinism: quality values are round(.,4) doubles derived from
+    integer features (hash-checked identical cross-engine by the
+    quality_score row), so the (quality DESC, doc_id ASC) argmax — taken
+    as min over (-quality, doc_id) structs, a comparison, never a double
+    sum — is bit-stable. One component-keyed hash-agg; components are
+    near-dup clusters (tiny by construction), so no skew hazard."""
+    from . import QUERIES
+
+    comp = q_dedup_components(spark, sf_dir)
+    q = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "quality")
+    j = comp.join(q, "doc_id")
+    agg = j.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.struct((-F.col("quality")).alias("nq"),
+                       F.col("doc_id").alias("d"))).alias("best"),
+    )
+    return agg.select(
+        "component_id",
+        "n_docs",
+        F.col("best.d").alias("keep_id"),
+        (-F.col("best.nq")).alias("keep_quality"),
+        (F.col("n_docs") - 1).alias("dropped_docs"),
+    )
+
+
 # ------------------------------------------------- CDC / sampling family
 
 
@@ -587,15 +666,21 @@ def apply_changelog(
     finds no tombstone to lose against and resurrects the deleted key.
     Pass ``watermark`` (the max ts already applied, e.g. from the previous
     batch's ops) to enforce ordering: the apply raises ValueError if any
-    incoming op is older than the watermark instead of silently diverging
-    from the full recompute."""
+    incoming op is at-or-before the watermark instead of silently diverging
+    from the full recompute. The guard is ``ts <= watermark`` (STRICT
+    newer-than), not ``<``: a time-ordered split puts all equal-ts ops in
+    one batch, so a later batch carrying ts == watermark is by definition
+    out of order — and an equal-ts upsert with a LOWER event_id than an
+    already-compacted delete tombstone at the same ts would lose the
+    (ts, event_id) tiebreak against a tombstone that no longer exists,
+    i.e. resurrect the key."""
     from pyspark.sql import Window
 
     if watermark is not None:
-        n_late = ops.where(F.col("ts") < F.lit(watermark)).count()
+        n_late = ops.where(F.col("ts") <= F.lit(watermark)).count()
         if n_late:
             raise ValueError(
-                f"apply_changelog: {n_late} op(s) older than watermark "
+                f"apply_changelog: {n_late} op(s) at or before watermark "
                 f"{watermark!r} — out-of-order batches can resurrect "
                 f"deleted keys (tombstones are compacted at every apply); "
                 f"replay the changelog in ts order instead"
@@ -1576,6 +1661,35 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_THRESHOLD_PPM = 800_000  # inter/|smaller| >= 0.8 => containment
 
 
+def containment_pairs(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Asymmetric containment pairs: inter / |smaller shingle set|, with
+    the SAME exact-default / ``df_cap``-at-scale switch as
+    ``ngram_jaccard_pairs`` — both tiers share ``pair_overlap_stats``, so
+    capping hot stop-grams is a parameter here too, not a rewrite.
+
+    Emits the pair, exact set sizes, the containment in integer ppm
+    (bigint `div`, matching the oracle's `//` — double division drifts by
+    1 ppm once the numerator passes ~2^53), and which doc is the contained
+    (smaller-set) one — the drop candidate under a keep-superset policy."""
+    joined = pair_overlap_stats(shingles(docs).cache(), df_cap)
+    cont = F.expr("CAST(inter_n * 1000000 div least(na, nb) AS BIGINT)")
+    return (
+        joined.withColumn("containment_ppm", cont)
+        .where(F.col("containment_ppm") >= CONTAIN_THRESHOLD_PPM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "containment_ppm",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
+
+
 @query(
     "dedup_containment",
     oracle=f"""
@@ -1610,56 +1724,72 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the Jaccard row in web-corpus dedup (Broder's containment
     coefficient).
 
-    Emits the pair, exact set sizes, the containment in integer ppm
-    (floor division of bigints — no doubles anywhere), and which doc is
-    the contained (smaller-set) one — the drop candidate under a
-    keep-superset policy. Same inverted-index equi-join shape as
-    dedup_ngram_jaccard; at 100 TB the identical df_cap stop-gram bound
-    applies (see ngram_jaccard_pairs)."""
+    This registry entry runs uncapped (exact semantics = the oracle); the
+    100 TB configuration is ``containment_pairs(docs, df_cap=K)`` — the
+    stop-gram candidate bound shared with ``ngram_jaccard_pairs`` via
+    ``pair_overlap_stats`` — oracle-checked by ``dedup_containment_capped``."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
-    )
-    joined = pairs.join(
-        F.broadcast(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-            )
-        ),
-        "doc_a",
-    ).join(
-        F.broadcast(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-            )
-        ),
-        "doc_b",
-    )
-    cont = F.floor(
-        F.col("inter_n") * 1000000 / F.least(F.col("n_a"), F.col("n_b"))
-    ).cast("long")
-    return joined.withColumn("containment_ppm", cont).where(
-        F.col("containment_ppm") >= CONTAIN_THRESHOLD_PPM
-    ).select(
-        "doc_a",
-        "doc_b",
-        "inter_n",
-        "n_a",
-        "n_b",
-        "containment_ppm",
-        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("contained_doc"),
-    )
+    return containment_pairs(docs, df_cap=None)
+
+
+# df_cap used by the capped containment registry row. 4 is deliberately TIGHT
+# for the synthetic corpus (max shingle df there is ~7) so the capped path is
+# genuinely exercised — ~11% of candidate pairs are pruned at sf0.01 — while
+# every true high-containment pair survives (its evidence shingles are rare
+# by construction). Production would use O(100s-1000s).
+CONTAIN_DF_CAP = 4
+
+
+@query(
+    "dedup_containment_capped",
+    oracle=f"""
+WITH {{SHINGLE_CTE}},
+dfreq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+rare AS (
+    SELECT s.doc_id, s.shingle
+    FROM sh s JOIN dfreq USING (shingle) WHERE dfreq.c <= {CONTAIN_DF_CAP}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter_n
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, p.inter_n,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(p.inter_n * 1000000 // least(sa.n_sh, sb.n_sh) AS BIGINT)
+           AS containment_ppm,
+       CASE WHEN sa.n_sh <= sb.n_sh THEN p.doc_a ELSE p.doc_b END
+           AS contained_doc
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE p.inter_n * 1000000 // least(sa.n_sh, sb.n_sh)
+      >= {{CONTAIN_THRESHOLD_PPM}}
+""".format(
+        SHINGLE_CTE=SHINGLE_CTE, CONTAIN_THRESHOLD_PPM=CONTAIN_THRESHOLD_PPM
+    ),
+)
+def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB configuration of containment dedup: identical semantics
+    to ``dedup_containment`` except candidate pairs are generated only
+    from shingles appearing in <= {CONTAIN_DF_CAP} documents (the stop-gram
+    df_cap bound shared with ``ngram_jaccard_pairs`` through
+    ``pair_overlap_stats``), then every surviving pair is re-scored
+    EXACTLY against the full shingle sets. The oracle mirrors the capped
+    candidate generation, so this row proves the capped path — not just
+    the exact one — end-to-end: a hot shingle can never blow up the
+    self-join into the |docs-sharing-it|^2 regime, and emitted ppm values
+    are bit-identical to the exact tier for every emitted pair."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(docs, df_cap=CONTAIN_DF_CAP)
 
 
 @query(
@@ -1701,8 +1831,8 @@ def q_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("scrubbed").alias("dup_tokens"),
-            F.floor(
-                F.sum("scrubbed") * 1000000 / F.sum("n_tokens")
-            ).cast("long").alias("dup_ppm"),
+            F.expr(
+                "CAST(sum(scrubbed) * 1000000 div sum(n_tokens) AS BIGINT)"
+            ).alias("dup_ppm"),
         )
     )

@@ -1501,9 +1501,9 @@ def q_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "majority_label",
         "majority_n",
-        F.floor(F.col("majority_n") * 1000000 / F.col("n_vecs"))
-        .cast("long")
-        .alias("purity_ppm"),
+        F.expr("CAST(majority_n * 1000000 div n_vecs AS BIGINT)").alias(
+            "purity_ppm"
+        ),
     )
 
 

@@ -1226,7 +1226,13 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MICRO-NATS first (ln on identical integer-derived doubles
     agrees across engines; floor pins the last bit), so the per-doc sum
     is an exact bigint under any partitioning; the single double division
-    + round(6) happens once at the output edge.
+    + round(6) happens once at the output edge. JVM Math.log and libm log
+    may differ in the last ulp, so a pre-floor value within ~1 ulp of an
+    integer could floor differently per engine —
+    tests/test_micro_nat_boundary.py measures the actual boundary
+    clearance of every pre-floor value on the test data (min > 1e-7,
+    ~10x the worst cross-engine spread) so the hazard is audited, not
+    assumed away.
 
     Scale: bigram extraction is the zero-shuffle transform+explode
     projection (no per-doc window); the LM tables (c1, c12, V) are
@@ -1485,7 +1491,9 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each (pair, word) contribution floors to integer
     micro-nats before the cross-word sum (probabilities are ratios of
     exact bigint counts -> identical doubles -> identical ln/products on
-    both engines); one division + round(6) at the edge.
+    both engines); one division + round(6) at the edge. Floor-boundary
+    clearance of the pre-floor doubles is audited on the real data by
+    tests/test_micro_nat_boundary.py.
 
     Scale: one corpus-wide word-count hash-agg; everything after operates
     on the (sources x vocab) grid — bounded by vocabulary and source
@@ -1588,29 +1596,28 @@ def q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id tiebreak), d^2 sums are bigints, and rho's single division +
     round(6) closes the scalar.
 
-    Scale: two global rank windows over per-doc score rows (at open scale
-    use global_rank's range-partition form); everything else is one
-    aggregate."""
+    Scale: both global ranks run through ``operators.sampling.global_rank``
+    (range-partition + per-partition ordinal + O(parallelism) offset
+    broadcast) — NEVER a bare ``row_number() OVER (ORDER BY ...)`` window,
+    which funnels every score row through one task. The two rank frames
+    re-meet on a doc_id equi-join; everything else is one aggregate."""
     from . import QUERIES
+    from ..operators.sampling import global_rank
 
     qa = QUERIES["quality_score"](spark, sf_dir).select("doc_id", "quality")
     qb = QUERIES["bigram_lm_perplexity"](spark, sf_dir).select(
         "doc_id", "xent_nats"
     )
-    j = qa.join(qb, "doc_id")
-    from pyspark.sql import Window
-
-    r = j.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy("quality", "doc_id"))
-        .cast("long")
-        .alias("ra"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("xent_nats"), "doc_id"))
-        .cast("long")
-        .alias("rb"),
-    )
+    # localCheckpoint: j feeds BOTH rank branches — without it the
+    # quality/LM pipelines would be recomputed once per branch.
+    j = qa.join(qb, "doc_id").localCheckpoint(eager=False)
+    ra = global_rank(
+        j, [F.asc("quality"), F.asc("doc_id")], rank_col="ra0"
+    ).select("doc_id", (F.col("ra0") + 1).cast("long").alias("ra"))
+    rb = global_rank(
+        j, [F.desc("xent_nats"), F.asc("doc_id")], rank_col="rb0"
+    ).select("doc_id", (F.col("rb0") + 1).cast("long").alias("rb"))
+    r = ra.join(rb, "doc_id")
     d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
     return r.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -387,6 +387,67 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "temperature_mixture_weights",
+    oracle=f"""
+WITH per_src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+s AS (
+    SELECT source, n_tokens,
+           CAST(floor(sqrt(n_tokens) * 1000) AS BIGINT) AS sqrt_milli
+    FROM per_src
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens,
+           CAST(sum(sqrt_milli) AS BIGINT) AS all_sqrt
+    FROM s
+)
+SELECT source, n_tokens, sqrt_milli,
+       CAST(n_tokens * 1000000 // all_tokens AS BIGINT) AS natural_ppm,
+       CAST(sqrt_milli * 1000000 // all_sqrt AS BIGINT) AS temp_ppm
+FROM s, tot
+""",
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) sampling mix over sources: the
+    multilingual-LM standard that upweights small sources without letting
+    any source dominate — sample_i proportional to p_i^alpha. With
+    alpha = 1/2 the power is ``sqrt``, which IEEE 754 REQUIRES to be
+    correctly rounded (unlike ln/exp), so floor(sqrt(n)·1000) is
+    bit-identical on every engine with no boundary audit needed; the
+    normalization is then pure bigint `div`. Compare ``natural_ppm``
+    (alpha = 1) with ``temp_ppm`` (alpha = 0.5) to see the flattening.
+
+    Scale shape: one per-source hash-agg + a 1-row broadcast total —
+    output is |sources| rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens")
+    )
+    s = per_src.withColumn(
+        "sqrt_milli",
+        F.floor(F.sqrt(F.col("n_tokens")) * 1000).cast("long"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.sum("sqrt_milli").alias("all_sqrt"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "sqrt_milli",
+        F.expr("CAST(n_tokens * 1000000 div all_tokens AS BIGINT)").alias(
+            "natural_ppm"
+        ),
+        F.expr("CAST(sqrt_milli * 1000000 div all_sqrt AS BIGINT)").alias(
+            "temp_ppm"
+        ),
+    )
+
+
 # ------------------------------------------------------- mixture schedule
 
 SCHED_SCALE = 1 << 20  # integer stride resolution (exact in double)

@@ -135,3 +135,105 @@ def _check_duckdb(word_freqs, n_merges):
     got = sorted(con.execute(_train_ctes(n_merges) + "\n" + tail).fetchall())
     exp_merges, _ = ref_bpe(word_freqs, n_merges)
     assert got == sorted(exp_merges)
+
+
+# ------------------------------------------------- batched merge rounds
+
+def test_bpe_batched_matches_sequential_64_merges(spark):
+    """batch_size=8 must be BIT-IDENTICAL to the canonical sequential loop
+    at a production-ish merge count (64), while taking far fewer driver
+    round-trips — the public fast-BPE batching under the strict
+    disjointness + count-gap rule of _safe_merge_batch."""
+    import random
+
+    rng = random.Random(8142026)
+    words = {
+        "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 10)))
+        for _ in range(400)
+    }
+    word_freqs = {w: rng.randint(1, 50) for w in words}
+    n_merges = 64
+
+    exp_merges, exp_vocab = ref_bpe(word_freqs, n_merges)
+    assert len(exp_merges) == n_merges  # vocab is rich enough
+    got_merges, got_final = train_bpe(
+        _spark_vocab(spark, word_freqs), n_merges, batch_size=8
+    )
+    assert got_merges == exp_merges
+    got_vocab = {r["word"]: tuple(r["syms"]) for r in got_final.collect()}
+    assert got_vocab == exp_vocab
+
+
+def test_bpe_batched_property_random_vocabs(spark):
+    """Adversarial a/b-alphabet vocabs maximize both repeated-symbol runs
+    AND merge-string collisions (e.g. 'a'+'ba' == 'ab'+'a' == 'aba') —
+    the cases where naive batching silently diverges from sequential.
+    Every batch size must still match the pure-Python reference."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        words = {
+            "".join(rng.choice("ab") for _ in range(rng.randint(2, 8)))
+            for _ in range(rng.randint(3, 9))
+        }
+        word_freqs = {w: rng.randint(1, 6) for w in words}
+        n_merges = rng.randint(2, 6)
+        exp = None
+        try:
+            exp = ref_bpe(word_freqs, n_merges)
+            if len(exp[0]) < n_merges:
+                continue  # reference collapsed early; raise-path covered elsewhere
+        except Exception:
+            continue
+        for bs in (2, 4):
+            got_merges, got_final = train_bpe(
+                _spark_vocab(spark, word_freqs), n_merges, batch_size=bs
+            )
+            assert got_merges == exp[0], (word_freqs, n_merges, bs)
+            got_vocab = {
+                r["word"]: tuple(r["syms"]) for r in got_final.collect()
+            }
+            assert got_vocab == exp[1], (word_freqs, n_merges, bs)
+
+
+def test_bpe_batched_fewer_round_trips():
+    """_safe_merge_batch accepts multiple disjoint merges when the count
+    gap allows — the driver-round-trip win — and stays singleton when the
+    head re-creates an existing symbol (the 2·c* hazard)."""
+    from log_analysis_system_spark.queries.bpe import _safe_merge_batch
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    rows = [
+        R(a="a", b="b", cnt=100),
+        R(a="c", b="d", cnt=90),
+        R(a="e", b="f", cnt=80),
+        R(a="a", b="c", cnt=70),  # first conflict -> c* = 70
+        R(a="g", b="h", cnt=60),
+    ]
+    got = _safe_merge_batch(rows, capacity=8, truncated=False,
+                            existing_syms={"</w>"})
+    assert got == [("a", "b", 100), ("c", "d", 90), ("e", "f", 80)]
+
+    # count tie with c* -> not batched past the gap
+    rows_tie = [
+        R(a="a", b="b", cnt=100),
+        R(a="c", b="d", cnt=70),
+        R(a="a", b="c", cnt=70),
+    ]
+    got = _safe_merge_batch(rows_tie, capacity=8, truncated=False,
+                            existing_syms={"</w>"})
+    assert got == [("a", "b", 100)]
+
+    # head merge string already exists -> singleton batch
+    got = _safe_merge_batch(rows, capacity=8, truncated=False,
+                            existing_syms={"</w>", "ab"})
+    assert got == [("a", "b", 100)]
+
+    # truncated listing: unseen tail bounds c* via the sentinel row
+    got = _safe_merge_batch(rows[:3], capacity=8, truncated=True,
+                            existing_syms={"</w>"})
+    assert got == [("a", "b", 100), ("c", "d", 90)]

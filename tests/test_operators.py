@@ -680,6 +680,14 @@ def test_cdc_incremental_apply_matches_full(spark):
         for r in apply_changelog(snap1, second, watermark=wm_ok).collect()
     }
     assert guarded == full
+    # Boundary: an op AT the watermark timestamp must also raise — a
+    # time-ordered split keeps all equal-ts ops in one batch, and an
+    # equal-ts upsert with a lower event_id than a compacted delete
+    # tombstone at the same ts would resurrect the key.
+    boundary = second.where(F.col("ts") == F.lit(wm))
+    assert boundary.count() > 0
+    with pytest.raises(ValueError, match="resurrect"):
+        apply_changelog(snap1, boundary, watermark=wm)
 
 
 def test_pq_index_build_and_serve(spark, tmp_path):

@@ -364,6 +364,98 @@ def test_mixture_schedule_heap_cut_no_bare_source_window(spark):
         assert "source" not in w or "slice" in w or "__pid" in w, w
 
 
+# Queries whose physical plans legitimately contain an ORDER-only Window:
+# each window runs over a structurally BOUNDED frame (a calendar/domain
+# histogram, a top-k cut, a monthly series), never the fact table, so a
+# single-task window is O(bounded) at any corpus scale. Several use
+# partitionBy(lit(...)) in source, which Catalyst constant-folds away —
+# the executed plan cannot distinguish them from truly-bare windows, so
+# the justification lives here and in each query's docstring.
+BOUNDED_FRAME_WINDOWS = {
+    "bm25_rank": "rank over the already-cut global_topn result (10 rows)",
+    "cusum_change_point": "prefix sum over the per-DAY series "
+    "(calendar-bounded; raw scan collapses first)",
+    "holt_forecast_revenue": "recurrence over the per-MONTH revenue series",
+    "key_skew_profile": "cumulative window over the counts-of-counts "
+    "histogram (O(distinct per-key counts))",
+    "ks_drift": "CDF prefix over the bounded value-grid histogram "
+    "(~500 buckets)",
+    "repeat_purchase_cadence": "percentile cut over the day-gap histogram "
+    "(calendar-bounded)",
+}
+
+
+def _window_partition_specs(plan: str) -> list[tuple[str, str | None]]:
+    """Parse every Window node of an executed plan into
+    (full_line, partition_spec_or_None). The node prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — an order-only
+    window drops the middle group, and a sort-order marker (ASC/DESC)
+    distinguishes an order spec from a partition-only spec."""
+    import re
+
+    out = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, ""
+        for ch in m.group(1):
+            if ch == "[":
+                depth += 1
+            if depth > 0:
+                cur += ch
+            if ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(cur)
+                    cur = ""
+        if len(groups) >= 3:  # exprs, partition, order
+            out.append((line.strip(), groups[1]))
+        elif len(groups) == 2 and not re.search(
+            r"\b(ASC|DESC)\b", groups[1]
+        ):  # exprs + partition-only (no orderBy)
+            out.append((line.strip(), groups[1]))
+        else:  # order-only: no partition key at all
+            out.append((line.strip(), None))
+    return out
+
+
+def test_no_bare_global_windows_registry_wide(spark):
+    """EVERY registry query's executed plan must be free of order-only
+    (unpartitioned) Window nodes — the single-task funnel that killed
+    score_correlation's first draft — unless the query is explicitly
+    allowlisted in BOUNDED_FRAME_WINDOWS with the bounded-frame reason.
+    New queries with a bare window fail here until they either use
+    operators.sampling.global_rank / grouped_prefix_sum or document why
+    the window's input frame is size-bounded."""
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in BOUNDED_FRAME_WINDOWS:
+            continue
+        plan = plan_of(spark, name)
+        bare = [ln for ln, part in _window_partition_specs(plan) if part is None]
+        if bare:
+            offenders[name] = bare[0][:120]
+    assert not offenders, (
+        f"order-only global Window in production plans (use global_rank / "
+        f"grouped_prefix_sum, or justify in BOUNDED_FRAME_WINDOWS): "
+        f"{offenders}"
+    )
+
+
+def test_bounded_frame_window_allowlist_is_current(spark):
+    """The allowlist must not rot: every allowlisted query still exists and
+    still has the order-only window it is excused for (drop stale rows)."""
+    for name, why in BOUNDED_FRAME_WINDOWS.items():
+        assert name in QUERIES, f"allowlisted query {name} no longer exists"
+        plan = plan_of(spark, name)
+        bare = [ln for ln, part in _window_partition_specs(plan) if part is None]
+        assert bare, (
+            f"{name} no longer has an order-only window — remove it from "
+            f"BOUNDED_FRAME_WINDOWS ({why})"
+        )
+
+
 def test_chunk_documents_zero_shuffle(spark):
     """Chunking is a pure projection + explode: no Exchange anywhere."""
     plan = plan_of(spark, "chunk_documents")

@@ -42,6 +42,11 @@ FAMILY_REPRESENTATIVES = {
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
     # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
     "multimodal_decode", "exact_substring_spans", "bpe_vocab_train",
+    # round-5 flagships (TPC-H shipping_priority / local_supplier_volume /
+    # pricing_summary rotated out — join+agg shapes redundant with the
+    # session/OLAP rows and Q1's pushdown stays plan-gated; driver_sim +
+    # pytest + bench keep them)
+    "score_correlation", "dedup_containment_capped", "unigram_lm_vocab",
     # OLAP extras
     "asof_join_orders", "rollup_lineitem", "value_percentiles",
     "pivot_event_matrix", "analytic_functions", "range_join_events",
