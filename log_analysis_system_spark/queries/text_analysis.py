@@ -1633,3 +1633,84 @@ def q_score_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ------------------------------ n-gram diversity (type-token ratios)
+
+@query(
+    "ngram_diversity",
+    oracle="""
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+uni AS (
+    SELECT source, CAST(1 AS BIGINT) AS n, g FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS g FROM documents
+    ) WHERE g <> ''
+),
+bi AS (
+    SELECT source, CAST(2 AS BIGINT) AS n, w[i] || ' ' || w[i+1] AS g
+    FROM (SELECT source, w,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks)
+),
+tri AS (
+    SELECT source, CAST(3 AS BIGINT) AS n,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    FROM (SELECT source, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+          FROM toks)
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi
+          UNION ALL SELECT * FROM tri)
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_grams,
+       CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+FROM grams GROUP BY source, n
+""",
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity (distinct-n / type-token ratio for
+    n = 1, 2, 3): the standard corpus-health metric that catches template
+    spam and machine-generated repetition a quality score misses — a
+    source can have perfect per-doc quality yet near-zero trigram TTR
+    because every doc is the same template. `doc_repetition` is the
+    WITHIN-doc twin; `boilerplate_ngrams` lists the shared strings; this
+    row gives the source-grain scalar a curation dashboard tracks.
+
+    Unigrams drop empty tokens (vocabulary convention); 2/3-grams run
+    over the raw split arrays (shingle convention, matching SHINGLE_CTE).
+    All integers + one bigint `div` — bit-stable. One explode + one
+    two-phase distinct aggregate per n, all map-side combinable; at open
+    scale swap count_distinct for approx_count_distinct (the
+    `sketch_rollup_users` HLL pattern) without changing the shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def grams(k: int):
+        if k == 1:
+            return (
+                docs.select(
+                    "source", F.explode(F.split("text", " ")).alias("g")
+                )
+                .where(F.col("g") != "")
+                .select("source", F.lit(1).cast("long").alias("n"), "g")
+            )
+        return docs.select(
+            "source",
+            F.lit(k).cast("long").alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) "
+                    f"- {k - 1}, 0)), i -> concat_ws(' ', "
+                    f"slice(split(text, ' '), i, {k})))"
+                )
+            ).alias("g"),
+        )
+
+    all_grams = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    return all_grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("g").alias("distinct_grams"),
+        F.expr(
+            "CAST(count(DISTINCT g) * 1000000 div count(1) AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
