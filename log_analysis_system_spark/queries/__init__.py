@@ -155,6 +155,7 @@ def load_all() -> None:
         data_quality,
         bpe,
         unigram_lm,
+        layout_audit,
     )
     # Late-bound composed oracles (the referenced oracle lives in a module
     # imported after the query's own module).

@@ -320,6 +320,26 @@ def q_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_vocab_train_batched",
+    oracle=_train_ctes(N_MERGES) + "\n" + _TRAIN_TAIL,
+)
+def q_bpe_vocab_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME {N_MERGES} merges trained with batch_size=4 — multiple
+    provably-safe merges applied per driver round-trip
+    (``_safe_merge_batch``'s strict disjointness + count-gap rule).
+    Deliberately shares `bpe_vocab_train`'s sequential-recurrence oracle:
+    the hash match IS the proof that batching changes wall-clock shape
+    (driver round-trips sublinear in vocab size), never output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = train_bpe(word_vocab(docs), N_MERGES, batch_size=4)
+    return spark.createDataFrame(
+        merges,
+        "rank long, sym_a string, sym_b string, merged string, "
+        "pair_count long",
+    )
+
+
+@query(
     "bpe_tokenize", oracle=_train_ctes(N_MERGES) + _TOKENIZE_TAIL
 )
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
