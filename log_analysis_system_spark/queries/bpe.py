@@ -518,3 +518,97 @@ def oov_score(docs: DataFrame, vocab_map: DataFrame) -> DataFrame:
         F.sum("is_oov").cast("long").alias("n_oov_words"),
         F.sum("n_toks").alias("bpe_tokens"),
     )
+
+
+# ---------------------------------------------- persisted vocab (build/serve)
+
+def build_bpe_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_merges: int = N_MERGES,
+    batch_size: int = 4,
+) -> None:
+    """Index-build half of the BPE lifecycle (the PQ/BM25 build-serve
+    pattern): train the merge table once, persist (a) the ordered merges
+    (rank, sym_a, sym_b) — the artifact a tokenizer SHIPS — and (b) the
+    memoized (word -> n_syms, syms) segmentation of every training word,
+    so serve-time tokenization of seen words is a broadcast join with no
+    recompute. Rebuild = overwrite (derived data)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, final = train_bpe(word_vocab(docs), n_merges, batch_size)
+    spark.createDataFrame(
+        merges,
+        "rank long, sym_a string, sym_b string, merged string, "
+        "pair_count long",
+    ).write.mode("overwrite").parquet(f"{index_dir}/merges")
+    final.select("word", "syms").write.mode("overwrite").parquet(
+        f"{index_dir}/words"
+    )
+
+
+def tokenize_with_bpe_index(
+    spark: SparkSession, index_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Serve half: tokenize ``docs`` from the persisted index with NO
+    retraining — per doc (doc_id, n_words, n_bpe_tokens, n_oov_words).
+
+    Seen words resolve through the memoized word table (broadcast join).
+    UNSEEN words — the case inline `bpe_tokenize` never faces because it
+    tokenizes its own training corpus — are segmented exactly as the BPE
+    algorithm specifies: chars + end marker, then the persisted merge
+    list replayed IN RANK ORDER (each merge one greedy-leftmost codegen
+    fold). The replay runs over the DISTINCT unseen words only (a table
+    orders of magnitude smaller than the corpus), and the merge count is
+    a vocab-size constant, not data-sized."""
+    merges = [
+        (r["sym_a"], r["sym_b"])
+        for r in spark.read.parquet(f"{index_dir}/merges")
+        .orderBy("rank")
+        .collect()
+    ]
+    known = spark.read.parquet(f"{index_dir}/words").select(
+        "word", F.size("syms").cast("long").alias("n_syms")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    seen = words.join(F.broadcast(known), "word").withColumn(
+        "oov", F.lit(0).cast("long")
+    )
+    unseen_words = (
+        words.join(F.broadcast(known.select("word")), "word", "left_anti")
+        .select("word")
+        .distinct()
+        .withColumn(
+            "syms",
+            F.expr(
+                "concat(transform(sequence(1, length(word)), "
+                f"i -> substring(word, i, 1)), array('{END_MARK}'))"
+            ),
+        )
+    )
+    # Replay the shipped merge list on the tiny distinct-OOV table.
+    for i, (a, b) in enumerate(merges):
+        unseen_words = unseen_words.withColumn(
+            "syms", F.expr(_merge_fold_expr(a, b))
+        )
+        if (i + 1) % 8 == 0:  # keep plan depth bounded for long merge lists
+            unseen_words = unseen_words.localCheckpoint(eager=False)
+    oov_map = unseen_words.select(
+        "word", F.size("syms").cast("long").alias("n_syms")
+    )
+    unseen = (
+        words.join(F.broadcast(known.select("word")), "word", "left_anti")
+        .join(F.broadcast(oov_map), "word")
+        .withColumn("oov", F.lit(1).cast("long"))
+    )
+    return (
+        seen.unionByName(unseen)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.sum("oov").alias("n_oov_words"),
+        )
+    )

@@ -237,3 +237,66 @@ def test_bpe_batched_fewer_round_trips():
     got = _safe_merge_batch(rows[:3], capacity=8, truncated=True,
                             existing_syms={"</w>"})
     assert got == [("a", "b", 100), ("c", "d", 90)]
+
+
+# ---------------------------------------------- persisted vocab build/serve
+
+def test_bpe_index_build_and_serve(spark, tmp_path):
+    """Serving from the persisted BPE index must equal retokenizing with
+    the trained merges — including OOV words the training corpus never
+    saw, segmented by replaying the shipped merge list in rank order."""
+    from log_analysis_system_spark.queries.bpe import (
+        build_bpe_index,
+        tokenize_with_bpe_index,
+    )
+
+    train_wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "lowest": 4}
+    corpus_dir = str(tmp_path / "corpus")
+    text = " ".join(" ".join([w] * f) for w, f in sorted(train_wf.items()))
+    spark.createDataFrame(
+        [(0, text)], "doc_id long, text string"
+    ).write.parquet(f"{corpus_dir}/documents.parquet")
+
+    idx = str(tmp_path / "idx")
+    n_merges = 8
+    build_bpe_index(spark, corpus_dir, idx, n_merges=n_merges, batch_size=3)
+
+    # Serve docs mixing seen words with OOV ("slowest", "news", "zz").
+    serve_docs = spark.createDataFrame(
+        [(1, "low newest slowest news zz"), (2, "widest widest")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["n_oov_words"])
+        for r in tokenize_with_bpe_index(spark, idx, serve_docs).collect()
+    }
+
+    merges, vocab = ref_bpe(train_wf, n_merges)
+
+    def segment(word: str) -> int:
+        syms = list(word) + [END_MARK]
+        for _rank, a, b, _ab, _cnt in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    def expect(text: str):
+        ws = text.split(" ")
+        return (
+            len(ws),
+            sum(
+                len(vocab[w]) if w in vocab else segment(w) for w in ws
+            ),
+            sum(1 for w in ws if w not in vocab),
+        )
+
+    assert got == {
+        1: expect("low newest slowest news zz"),
+        2: expect("widest widest"),
+    }
+    assert got[1][2] == 3  # the three OOV words really took the replay path

@@ -276,3 +276,83 @@ def test_chunk_documents_matches_model(texts):
             words.extend(ctext.split(" ")[:CHUNK_STRIDE])
         words.extend(model[-1][2].split(" "))
         assert " ".join(words) == t
+
+
+# ------------------------- global_rank / grouped_prefix_sum vs naive windows
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    st.integers(1, 6),
+)
+def test_global_rank_matches_naive_row_number(values, nparts):
+    """global_rank (range-partition + offset broadcast — the scale-safe
+    replacement now load-bearing for score_correlation/quantile_transform)
+    must equal the naive single-partition row_number for every partition
+    count, including heavy ties (the (value, id) tiebreak makes it total)."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_system_spark.operators.sampling import global_rank
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["rnk"]
+        for r in global_rank(
+            df, [F.asc("v"), F.asc("id")], num_partitions=nparts
+        ).collect()
+    }
+    exp = {
+        idx: rank
+        for rank, (v, idx) in enumerate(
+            sorted((v, i) for i, v in enumerate(values))
+        )
+    }
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(-5, 5)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 5),
+)
+def test_grouped_prefix_sum_matches_naive_window(rows, nparts):
+    """grouped_prefix_sum (range-partitioned slice scan + offset lift) must
+    equal the naive `sum(v) OVER (PARTITION BY g ORDER BY o, id)` running
+    sum for every partition count — ties on the order key included."""
+    from pyspark.sql import functions as F
+
+    from log_analysis_system_spark.operators.sampling import grouped_prefix_sum
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, g, o, v) for i, (g, o, v) in enumerate(rows)],
+        "id long, g long, o long, v long",
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in grouped_prefix_sum(
+            df,
+            ["g"],
+            [F.asc("o"), F.asc("id")],
+            F.col("v"),
+            num_partitions=nparts,
+        ).collect()
+    }
+    exp = {}
+    by_g: dict[int, list[tuple[int, int, int]]] = {}
+    for i, (g, o, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((o, i, v))
+    for g, evs in by_g.items():
+        evs.sort()
+        run = 0
+        for o, i, v in evs:
+            run += v
+            exp[i] = run
+    assert got == exp
