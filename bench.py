@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "semantic_clusters",
     "lsh_recall_audit",
     "ann_pq_topk",
+    # round-5 flagships (pins appended to the BASELINE.md table)
+    "score_correlation",
+    "dedup_containment_capped",
+    "unigram_lm_vocab",
+    "zorder_skipping_stats",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

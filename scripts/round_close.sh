@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-close battery — run from the repo root on an otherwise-idle host
+# (trust bench/probe numbers only when start loadavg < ~1.5):
+#
+#   bash scripts/round_close.sh
+#
+# 1. full pytest suite            (~12-15 min)
+# 2. full driver_sim sweep, default parallelism   (~5 min)
+# 3. full driver_sim sweep, SPARK_GRAFT_CPUS=5    (~5-8 min)
+#    -> hashes must match step 2 (partitioning independence)
+# 4. scale probe -> SCALE.md      (~8 min; exit 1 on unexplained superlinear)
+# 5. bench.py one-line JSON       (~2 min; compare to BASELINE.md pin,
+#    scale by calib_sec ratio first)
+#
+# Any non-zero exit stops the battery.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== loadavg: $(cat /proc/loadavg)"
+echo "== 1/5 pytest"
+python -m pytest tests/ -x -q
+echo "== 2/5 driver_sim (default parallelism)"
+python scripts/driver_sim.py /root/testdata/sf0.01
+echo "== 3/5 driver_sim (SPARK_GRAFT_CPUS=5)"
+SPARK_GRAFT_CPUS=5 python scripts/driver_sim.py /root/testdata/sf0.01
+echo "== 4/5 scale probe"
+python scripts/scale_probe.py
+echo "== 5/5 bench"
+python bench.py
+echo "== round-close battery green"
