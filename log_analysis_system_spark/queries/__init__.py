@@ -119,12 +119,22 @@ def ordered(reg: dict) -> dict:
     return {**head, **tail}
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query function, optionally with its DuckDB oracle SQL."""
+# Composed oracles that reference ANOTHER module's ORACLES entry pass a
+# zero-arg callable instead of SQL text; load_all resolves them after every
+# module has imported (decorator-time lookup would KeyError on any oracle
+# registered later in the import order).
+_LAZY_ORACLES: dict = {}
+
+
+def query(name: str, oracle=None):
+    """Register a query function, optionally with its DuckDB oracle SQL
+    (a string, or a zero-arg callable resolved late by ``load_all``)."""
 
     def deco(fn):
         QUERIES[name] = fn
-        if oracle is not None:
+        if callable(oracle):
+            _LAZY_ORACLES[name] = oracle
+        elif oracle is not None:
             ORACLES[name] = oracle
         return fn
 
@@ -157,7 +167,7 @@ def load_all() -> None:
         unigram_lm,
         layout_audit,
     )
-    # Late-bound composed oracles (the referenced oracle lives in a module
-    # imported after the query's own module).
-    if "dedup_keep_best" not in ORACLES:
-        ORACLES["dedup_keep_best"] = dedup._keep_best_oracle()
+    # Resolve late-bound composed oracles now that every module imported.
+    for n, thunk in _LAZY_ORACLES.items():
+        if n not in ORACLES:
+            ORACLES[n] = thunk()

@@ -576,9 +576,13 @@ def tokenize_with_bpe_index(
     seen = words.join(F.broadcast(known), "word").withColumn(
         "oov", F.lit(0).cast("long")
     )
+    # One corpus-sized anti-join, reused by both the distinct-OOV replay
+    # table and the per-occurrence OOV rows below.
+    oov_base = words.join(
+        F.broadcast(known.select("word")), "word", "left_anti"
+    ).localCheckpoint(eager=False)
     unseen_words = (
-        words.join(F.broadcast(known.select("word")), "word", "left_anti")
-        .select("word")
+        oov_base.select("word")
         .distinct()
         .withColumn(
             "syms",
@@ -598,10 +602,8 @@ def tokenize_with_bpe_index(
     oov_map = unseen_words.select(
         "word", F.size("syms").cast("long").alias("n_syms")
     )
-    unseen = (
-        words.join(F.broadcast(known.select("word")), "word", "left_anti")
-        .join(F.broadcast(oov_map), "word")
-        .withColumn("oov", F.lit(1).cast("long"))
+    unseen = oov_base.join(F.broadcast(oov_map), "word").withColumn(
+        "oov", F.lit(1).cast("long")
     )
     return (
         seen.unionByName(unseen)

@@ -543,8 +543,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _keep_best_oracle() -> str:
     """Composed from the components + quality_score oracles. quality_score
-    lives in text_analysis (imported AFTER dedup), so load_all registers
-    this oracle late instead of the @query decorator."""
+    lives in text_analysis (imported AFTER dedup), so this is passed to
+    @query as a CALLABLE and resolved late by load_all."""
     from . import ORACLES
 
     comp = _components_oracle().strip()
@@ -568,7 +568,7 @@ WHERE rn = 1
 """
 
 
-@query("dedup_keep_best")  # oracle registered late by load_all (see above)
+@query("dedup_keep_best", oracle=_keep_best_oracle)  # resolved by load_all
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster resolution: per near-dup component, keep the
     HIGHEST-quality document (tiebreak lowest doc_id) instead of the

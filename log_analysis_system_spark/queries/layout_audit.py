@@ -54,14 +54,12 @@ keyed AS (
 ),
 zfiles AS (
     SELECT z // {Z_FILE_SPAN} AS file_id,
-           min(ub) AS min_ub, max(ub) AS max_ub,
-           CAST(count(*) AS BIGINT) AS n_rows
+           min(ub) AS min_ub, max(ub) AS max_ub
     FROM keyed GROUP BY 1
 ),
 linfiles AS (
     SELECT tb AS file_id,
-           min(ub) AS min_ub, max(ub) AS max_ub,
-           CAST(count(*) AS BIGINT) AS n_rows
+           min(ub) AS min_ub, max(ub) AS max_ub
     FROM dims GROUP BY 1
 ),
 probes AS (SELECT * FROM (VALUES {_PROBE_VALUES}) AS t(probe_ub)),
@@ -113,12 +111,10 @@ def q_zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.min("ub").alias("min_ub"),
         F.max("ub").alias("max_ub"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
     linfiles = dims.groupBy(F.col("tb").alias("file_id")).agg(
         F.min("ub").alias("min_ub"),
         F.max("ub").alias("max_ub"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
     probes = spark.createDataFrame(
         [(p,) for p in PROBES], "probe_ub long"

@@ -1694,14 +1694,19 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("g") != "")
                 .select("source", F.lit(1).cast("long").alias("n"), "g")
             )
+        # Guard docs shorter than k tokens: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0] (not empty like DuckDB's generate_series), and
+        # the i = 0 element would crash slice(). Empty array -> no rows.
         return docs.select(
             "source",
             F.lit(k).cast("long").alias("n"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) "
-                    f"- {k - 1}, 0)), i -> concat_ws(' ', "
-                    f"slice(split(text, ' '), i, {k})))"
+                    f"CASE WHEN size(split(text, ' ')) >= {k} THEN "
+                    f"transform(sequence(1, size(split(text, ' ')) "
+                    f"- {k - 1}), i -> concat_ws(' ', "
+                    f"slice(split(text, ' '), i, {k}))) "
+                    f"ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("g"),
         )

@@ -1024,3 +1024,43 @@ def test_y4m_codec_roundtrip_and_rejection(spark):
     r = video_frame_features(media).collect()[0]
     assert (r["frame_idx"], r["width"], r["height"]) == (0, 2, 2)
     assert (r["sum_y"], r["sum_u"], r["sum_v"]) == (40, 8, 1020)
+
+
+def test_ngram_diversity_short_docs_no_crash(spark, tmp_path):
+    """Docs shorter than k tokens must produce zero k-gram rows, not a
+    slice() crash: Spark's sequence(1, 0) is the DESCENDING [1, 0], so an
+    unguarded transform feeds i=0 into slice (DuckDB's generate_series is
+    empty there — oracle fine, Spark fatal). Regression for the guard."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries import ORACLES, load_all
+    from log_analysis_system_spark.queries.text_analysis import (
+        q_ngram_diversity,
+    )
+
+    load_all()
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "ok", "en", "s0", 2), (1, "a b", "en", "s0", 3),
+         (2, "x y z w", "en", "s1", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["source"], r["n"]): (r["occurrences"], r["distinct_grams"])
+        for r in q_ngram_diversity(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    exp = {
+        (s, n): (o, dg)
+        for s, n, o, dg, _ in con.execute(ORACLES["ngram_diversity"]).fetchall()
+    }
+    assert got == exp
+    # 's0' has the 1- and 2-token docs: 3 unigrams, one bigram, NO trigram
+    assert got[("s0", 1)] == (3, 3)
+    assert got[("s0", 2)] == (1, 1)
+    assert ("s0", 3) not in got
