@@ -1836,3 +1836,191 @@ def q_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm"),
         )
     )
+
+
+# ----------------------------------- benchmark decontamination (span level)
+
+def _eval_in_sql() -> str:
+    from .training_prep import EVAL_SOURCES
+
+    return "(" + ", ".join(f"'{s}'" for s in EVAL_SOURCES) + ")"
+
+
+def _decon_span_cte() -> str:
+    return f"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0)))
+                     AS i
+          FROM words)
+),
+keep AS (SELECT h FROM g GROUP BY h
+         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM g a JOIN keep USING (h) JOIN g b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+isl AS (
+    SELECT doc_a, doc_b, pos_a, pos_b,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                      ORDER BY pos_a) AS island
+    FROM p
+),
+isl_agg AS (
+    SELECT doc_a, doc_b, min(pos_a) AS sa, min(pos_b) AS sb,
+           max(pos_a) - min(pos_a) + {SPAN_K} AS span_tokens
+    FROM isl
+    GROUP BY doc_a, doc_b, pos_a - pos_b, island
+    HAVING max(pos_a) - min(pos_a) + {SPAN_K} >= {SPAN_MIN_TOKENS}
+),
+srcs AS (SELECT doc_id, source IN {_eval_in_sql()} AS is_eval FROM documents),
+cspans AS (
+    SELECT CASE WHEN ea.is_eval THEN i.doc_b ELSE i.doc_a END AS doc_id,
+           CASE WHEN ea.is_eval THEN i.sb ELSE i.sa END AS s,
+           CASE WHEN ea.is_eval THEN i.sb ELSE i.sa END
+               + i.span_tokens - 1 AS e
+    FROM isl_agg i
+    JOIN srcs ea ON ea.doc_id = i.doc_a
+    JOIN srcs eb ON eb.doc_id = i.doc_b
+    WHERE ea.is_eval <> eb.is_eval
+),
+flagged AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM cspans
+),
+merged AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e
+    FROM (SELECT doc_id, s, e,
+                 sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                          THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS grp
+          FROM flagged)
+    GROUP BY doc_id, grp
+)"""
+
+
+def _decon_spans_oracle() -> str:
+    """Composed with training_prep.EVAL_SOURCES (imported later) — passed
+    to @query as a callable, resolved by load_all."""
+    return f"""
+WITH {_decon_span_cte()}
+SELECT m.doc_id, d.source,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(m.e - m.s + 1) AS BIGINT) AS contaminated_tokens,
+       CAST(sum(m.e - m.s + 1) * 1000000
+            // len(string_split(d.text, ' ')) AS BIGINT)
+           AS contaminated_ppm
+FROM merged m JOIN documents d USING (doc_id)
+GROUP BY m.doc_id, d.source, d.text
+"""
+
+
+@query("decontaminate_spans", oracle=_decon_spans_oracle)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level benchmark decontamination (the ExactSubstr form of the
+    Lee-et-al dedup method applied across corpora): every verbatim token
+    span of >= {SPAN_MIN_TOKENS} tokens shared between a TRAINING document
+    and any eval-slice document (training_prep.EVAL_SOURCES), union-merged
+    per training doc into the exact token intervals a scrubber would cut.
+    Stronger than `decontaminate_ngram` (which flags whole docs on one
+    shared n-gram): this reports exactly HOW MUCH of each training doc is
+    benchmark text, and where a surgical scrub can act — eval docs are
+    never touched.
+
+    Plan: reuses the self-dedup span miner (`shared_substring_spans` —
+    anchor k-gram equi-join, never all-pairs, same df_cap stop-gram
+    policy), filters span pairs to cross-set (one eval side, one train
+    side) via a broadcastable doc->is_eval map, takes the TRAIN side's
+    interval regardless of id order, and union-merges intervals with the
+    running-max island windows of `substring_span_scrub`. Only (doc_id,
+    start, end) triples move after the anchor join."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spans = shared_substring_spans(
+        docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS, df_cap=SPAN_DF_CAP
+    )
+    from .training_prep import EVAL_SOURCES
+
+    ev = docs.select(
+        "doc_id", F.col("source").isin(*EVAL_SOURCES).alias("is_eval")
+    )
+    j = spans.join(
+        F.broadcast(
+            ev.select(F.col("doc_id").alias("doc_a"), F.col("is_eval").alias("ea"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            ev.select(F.col("doc_id").alias("doc_b"), F.col("is_eval").alias("eb"))
+        ),
+        "doc_b",
+    )
+    cross = j.where(F.col("ea") != F.col("eb"))
+    t_start = F.when(F.col("ea"), F.col("start_b")).otherwise(F.col("start_a"))
+    iv = cross.select(
+        F.when(F.col("ea"), F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_id"
+        ),
+        t_start.alias("s"),
+        (t_start + F.col("span_tokens") - 1).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        iv.withColumn("prev_max", F.max("e").over(w_prev))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("s") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).over(w_cum),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
+                "contaminated_tokens"
+            ),
+        )
+        .join(meta, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "n_spans",
+            "contaminated_tokens",
+            F.expr(
+                "CAST(contaminated_tokens * 1000000 div n_tokens AS BIGINT)"
+            ).alias("contaminated_ppm"),
+        )
+    )
