@@ -1496,6 +1496,42 @@ cov AS (
 )"""
 
 
+def union_merge_intervals(iv: DataFrame) -> DataFrame:
+    """Union-merge per-doc token intervals (doc_id, s, e) into disjoint
+    maximal intervals — the running-max island windows shared by the
+    scrub and decontamination accounting (a token inside two overlapping
+    spans must count once). Both windows key on doc_id; interval counts
+    per doc are bounded by span structure, not corpus size."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        iv.withColumn("prev_max", F.max("e").over(w_prev))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("prev_max").isNull()
+                    | (F.col("s") > F.col("prev_max")),
+                    1,
+                ).otherwise(0)
+            ).over(w_cum),
+        )
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select("doc_id", "s", "e")
+    )
+
+
 @query(
     "substring_span_scrub",
     oracle=f"""
@@ -1520,8 +1556,6 @@ def q_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     miner's plan — interval counts per doc are bounded by span structure,
     not corpus size; the corpus text itself is never shuffled (only
     (doc_id, start, end) triples move)."""
-    from pyspark.sql import Window
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     spans = shared_substring_spans(
         docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS, df_cap=SPAN_DF_CAP
@@ -1531,31 +1565,7 @@ def q_substring_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = iv.withColumn("prev_max", F.max("e").over(w_prev))
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    grouped = flagged.withColumn(
-        "grp",
-        F.sum(
-            F.when(
-                F.col("prev_max").isNull()
-                | (F.col("s") > F.col("prev_max")),
-                1,
-            ).otherwise(0)
-        ).over(w_cum),
-    )
-    merged = grouped.groupBy("doc_id", "grp").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    cov = merged.groupBy("doc_id").agg(
+    cov = union_merge_intervals(iv).groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s") + 1).alias("covered")
     )
     n_tok = docs.select(
@@ -1840,53 +1850,150 @@ def q_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------- benchmark decontamination (span level)
 
+# Train-side per-anchor document cap for cross-set span mining. Unlike the
+# self-dedup SPAN_DF_CAP (where hot grams are boilerplate NOISE to drop),
+# decontamination's most important spans are exactly the most-replicated
+# ones, so no eval-side cap exists and the train-side cap is set high: it
+# only bounds the per-anchor join fan-out (|eval docs with g| x cap) and a
+# production run raises it, never the shape.
+DECON_TRAIN_DF_CAP = 1000
+
+
 def _eval_in_sql() -> str:
     from .training_prep import EVAL_SOURCES
 
-    return "(" + ", ".join(f"'{s}'" for s in EVAL_SOURCES) + ")"
+    if not EVAL_SOURCES:
+        raise ValueError("EVAL_SOURCES must be non-empty")
+    quoted = ", ".join("'" + s.replace("'", "''") + "'" for s in EVAL_SOURCES)
+    return f"({quoted})"
 
 
-def _decon_span_cte() -> str:
-    return f"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def cross_substring_spans(
+    docs: DataFrame,
+    is_eval: Column,
+    k: int = SPAN_K,
+    min_tokens: int = SPAN_MIN_TOKENS,
+    train_df_cap: int = DECON_TRAIN_DF_CAP,
+) -> DataFrame:
+    """Verbatim token spans of >= ``min_tokens`` shared between a TRAIN
+    document and an EVAL document (``is_eval`` boolean column over docs)
+    — (doc_t, doc_e, start_t, start_e, span_tokens).
+
+    Unlike piping `shared_substring_spans` through a post-filter, this
+    miner never materializes train-train (or eval-eval) pairs: candidate
+    anchors must appear in >= 1 eval doc AND 1..cap train docs, and the
+    pair join is eval-side x train-side only — in a realistic corpus the
+    eval slice is tiny, so the joined volume is bounded by the benchmark,
+    not the corpus pair structure. Same anchor k-gram + diagonal
+    (pos_t - pos_e) island merging as the self-dedup miner; exact span
+    lengths."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", is_eval.alias("is_eval"), F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= k)
+    grams = base.select(
+        "doc_id",
+        "is_eval",
+        F.explode(F.expr(f"sequence(1, size(toks) - {k} + 1)")).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "is_eval",
+        "pos",
+        F.md5(F.array_join(F.expr(f"slice(toks, pos, {k})"), " ")).alias("h"),
+    )
+    stats = grams.groupBy("h").agg(
+        F.countDistinct(
+            F.when(F.col("is_eval"), F.col("doc_id"))
+        ).alias("ev_docs"),
+        F.countDistinct(
+            F.when(~F.col("is_eval"), F.col("doc_id"))
+        ).alias("tr_docs"),
+    )
+    keep = stats.where(
+        (F.col("ev_docs") >= 1)
+        & F.col("tr_docs").between(1, train_df_cap)
+    ).select("h")
+    kept = grams.join(keep, "h")
+    gt = kept.where(~F.col("is_eval")).select(
+        "h", F.col("doc_id").alias("doc_t"), F.col("pos").alias("pos_t")
+    )
+    ge = kept.where(F.col("is_eval")).select(
+        "h", F.col("doc_id").alias("doc_e"), F.col("pos").alias("pos_e")
+    )
+    pairs = gt.join(ge, "h").select("doc_t", "doc_e", "pos_t", "pos_e")
+    diag = F.col("pos_t") - F.col("pos_e")
+    w = Window.partitionBy("doc_t", "doc_e", diag).orderBy("pos_t")
+    isl = pairs.withColumn("island", F.col("pos_t") - F.row_number().over(w))
+    spans = isl.groupBy("doc_t", "doc_e", diag.alias("diag"), "island").agg(
+        F.min("pos_t").cast("long").alias("start_t"),
+        F.min("pos_e").cast("long").alias("start_e"),
+        (F.max("pos_t") - F.min("pos_t") + k).cast("long").alias(
+            "span_tokens"
+        ),
+    )
+    return spans.where(F.col("span_tokens") >= min_tokens).select(
+        "doc_t", "doc_e", "start_t", "start_e", "span_tokens"
+    )
+
+
+def contamination_intervals(docs: DataFrame, is_eval: Column) -> DataFrame:
+    """The scrub cut-list: per TRAIN doc, the disjoint union-merged token
+    intervals (doc_id, s, e) shared verbatim with the eval slice — what a
+    surgical scrubber actually consumes (`decontaminate_spans` is the
+    per-doc accounting view over this)."""
+    spans = cross_substring_spans(docs, is_eval)
+    return union_merge_intervals(
+        spans.select(
+            F.col("doc_t").alias("doc_id"),
+            F.col("start_t").alias("s"),
+            (F.col("start_t") + F.col("span_tokens") - 1).alias("e"),
+        )
+    )
+
+
+def _decon_spans_oracle() -> str:
+    """Composed with training_prep.EVAL_SOURCES (imported later) — passed
+    to @query as a callable, resolved by load_all."""
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w,
+           source IN {_eval_in_sql()} AS is_eval
+    FROM documents
+),
 g AS (
-    SELECT doc_id, i AS pos,
+    SELECT doc_id, is_eval, i AS pos,
            md5(array_to_string(w[i:i+{SPAN_K - 1}], ' ')) AS h
-    FROM (SELECT doc_id, w,
+    FROM (SELECT doc_id, is_eval, w,
                  unnest(generate_series(1, greatest(len(w) - {SPAN_K} + 1, 0)))
                      AS i
-          FROM words)
+          FROM d)
 ),
-keep AS (SELECT h FROM g GROUP BY h
-         HAVING count(DISTINCT doc_id) BETWEEN 2 AND {SPAN_DF_CAP}),
+keep AS (
+    SELECT h FROM g GROUP BY h
+    HAVING count(DISTINCT CASE WHEN is_eval THEN doc_id END) >= 1
+       AND count(DISTINCT CASE WHEN NOT is_eval THEN doc_id END)
+           BETWEEN 1 AND {DECON_TRAIN_DF_CAP}
+),
 p AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.pos AS pos_a, b.pos AS pos_b
-    FROM g a JOIN keep USING (h) JOIN g b USING (h)
-    WHERE a.doc_id < b.doc_id
+    SELECT t.doc_id AS doc_t, e.doc_id AS doc_e,
+           t.pos AS pos_t, e.pos AS pos_e
+    FROM g t JOIN keep USING (h) JOIN g e USING (h)
+    WHERE NOT t.is_eval AND e.is_eval
 ),
 isl AS (
-    SELECT doc_a, doc_b, pos_a, pos_b,
-           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
-                                      ORDER BY pos_a) AS island
+    SELECT doc_t, doc_e, pos_t, pos_e,
+           pos_t - row_number() OVER (PARTITION BY doc_t, doc_e, pos_t - pos_e
+                                      ORDER BY pos_t) AS island
     FROM p
 ),
-isl_agg AS (
-    SELECT doc_a, doc_b, min(pos_a) AS sa, min(pos_b) AS sb,
-           max(pos_a) - min(pos_a) + {SPAN_K} AS span_tokens
-    FROM isl
-    GROUP BY doc_a, doc_b, pos_a - pos_b, island
-    HAVING max(pos_a) - min(pos_a) + {SPAN_K} >= {SPAN_MIN_TOKENS}
-),
-srcs AS (SELECT doc_id, source IN {_eval_in_sql()} AS is_eval FROM documents),
 cspans AS (
-    SELECT CASE WHEN ea.is_eval THEN i.doc_b ELSE i.doc_a END AS doc_id,
-           CASE WHEN ea.is_eval THEN i.sb ELSE i.sa END AS s,
-           CASE WHEN ea.is_eval THEN i.sb ELSE i.sa END
-               + i.span_tokens - 1 AS e
-    FROM isl_agg i
-    JOIN srcs ea ON ea.doc_id = i.doc_a
-    JOIN srcs eb ON eb.doc_id = i.doc_b
-    WHERE ea.is_eval <> eb.is_eval
+    SELECT doc_t AS doc_id, min(pos_t) AS s,
+           max(pos_t) + {SPAN_K} - 1 AS e
+    FROM isl
+    GROUP BY doc_t, doc_e, pos_t - pos_e, island
+    HAVING max(pos_t) - min(pos_t) + {SPAN_K} >= {SPAN_MIN_TOKENS}
 ),
 flagged AS (
     SELECT doc_id, s, e,
@@ -1904,123 +2011,63 @@ merged AS (
                            ROWS UNBOUNDED PRECEDING) AS grp
           FROM flagged)
     GROUP BY doc_id, grp
-)"""
-
-
-def _decon_spans_oracle() -> str:
-    """Composed with training_prep.EVAL_SOURCES (imported later) — passed
-    to @query as a callable, resolved by load_all."""
-    return f"""
-WITH {_decon_span_cte()}
-SELECT m.doc_id, d.source,
-       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(m.e - m.s + 1) AS BIGINT) AS contaminated_tokens,
-       CAST(sum(m.e - m.s + 1) * 1000000
-            // len(string_split(d.text, ' ')) AS BIGINT)
+),
+per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS cont
+    FROM merged GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.cont, 0) AS BIGINT) AS contaminated_tokens,
+       CAST(coalesce(p.cont, 0) * 1000000 // len(d.w) AS BIGINT)
            AS contaminated_ppm
-FROM merged m JOIN documents d USING (doc_id)
-GROUP BY m.doc_id, d.source, d.text
+FROM d LEFT JOIN per_doc p USING (doc_id)
+WHERE NOT d.is_eval
 """
 
 
 @query("decontaminate_spans", oracle=_decon_spans_oracle)
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPAN-level benchmark decontamination (the ExactSubstr form of the
-    Lee-et-al dedup method applied across corpora): every verbatim token
-    span of >= {SPAN_MIN_TOKENS} tokens shared between a TRAINING document
-    and any eval-slice document (training_prep.EVAL_SOURCES), union-merged
-    per training doc into the exact token intervals a scrubber would cut.
-    Stronger than `decontaminate_ngram` (which flags whole docs on one
-    shared n-gram): this reports exactly HOW MUCH of each training doc is
-    benchmark text, and where a surgical scrub can act — eval docs are
-    never touched.
+    """SPAN-level benchmark decontamination (the ExactSubstr method
+    applied ACROSS corpora): for EVERY training document — clean docs
+    included, with zeros — the number and total tokens of verbatim spans
+    shared with the eval slice (training_prep.EVAL_SOURCES), after
+    per-doc interval union. Stronger than `decontaminate_ngram` (which
+    flags whole docs on one shared n-gram): this measures HOW MUCH of
+    each doc is benchmark text; `contamination_intervals` exposes the
+    exact (doc_id, s, e) cut-list a scrubber consumes.
 
-    Plan: reuses the self-dedup span miner (`shared_substring_spans` —
-    anchor k-gram equi-join, never all-pairs, same df_cap stop-gram
-    policy), filters span pairs to cross-set (one eval side, one train
-    side) via a broadcastable doc->is_eval map, takes the TRAIN side's
-    interval regardless of id order, and union-merges intervals with the
-    running-max island windows of `substring_span_scrub`. Only (doc_id,
-    start, end) triples move after the anchor join."""
-    from pyspark.sql import Window
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    spans = shared_substring_spans(
-        docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS, df_cap=SPAN_DF_CAP
-    )
+    Mining is the dedicated cross-set miner (`cross_substring_spans`):
+    no train-train pairs are ever materialized, anchors need >= 1 eval
+    occurrence, and — unlike the self-dedup tier, where hot grams are
+    droppable boilerplate — there is NO eval-side cap, so the most
+    heavily leaked benchmark passages are reported, not silently skipped
+    (the train-side cap only bounds join fan-out and is set far above
+    any test-scale df). Eval docs are never touched."""
     from .training_prep import EVAL_SOURCES
 
-    ev = docs.select(
-        "doc_id", F.col("source").isin(*EVAL_SOURCES).alias("is_eval")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    merged = contamination_intervals(docs, is_eval)
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("cont"),
     )
-    j = spans.join(
-        F.broadcast(
-            ev.select(F.col("doc_id").alias("doc_a"), F.col("is_eval").alias("ea"))
-        ),
-        "doc_a",
-    ).join(
-        F.broadcast(
-            ev.select(F.col("doc_id").alias("doc_b"), F.col("is_eval").alias("eb"))
-        ),
-        "doc_b",
-    )
-    cross = j.where(F.col("ea") != F.col("eb"))
-    t_start = F.when(F.col("ea"), F.col("start_b")).otherwise(F.col("start_a"))
-    iv = cross.select(
-        F.when(F.col("ea"), F.col("doc_b")).otherwise(F.col("doc_a")).alias(
-            "doc_id"
-        ),
-        t_start.alias("s"),
-        (t_start + F.col("span_tokens") - 1).alias("e"),
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("s", "e")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = (
-        iv.withColumn("prev_max", F.max("e").over(w_prev))
-        .withColumn(
-            "grp",
-            F.sum(
-                F.when(
-                    F.col("prev_max").isNull()
-                    | (F.col("s") > F.col("prev_max")),
-                    1,
-                ).otherwise(0)
-            ).over(w_cum),
-        )
-        .groupBy("doc_id", "grp")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-    )
-    meta = docs.select(
+    train_meta = docs.where(~is_eval).select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    return (
-        merged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("e") - F.col("s") + 1).cast("long").alias(
-                "contaminated_tokens"
-            ),
-        )
-        .join(meta, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "n_spans",
-            "contaminated_tokens",
-            F.expr(
-                "CAST(contaminated_tokens * 1000000 div n_tokens AS BIGINT)"
-            ).alias("contaminated_ppm"),
-        )
+    return train_meta.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("cont"), F.lit(0)).cast("long").alias(
+            "contaminated_tokens"
+        ),
+        F.expr(
+            "CAST(coalesce(cont, 0) * 1000000 div n_tokens AS BIGINT)"
+        ).alias("contaminated_ppm"),
     )

@@ -58,6 +58,15 @@ EMPTY_SAFE_QUERIES = [
     "source_overlap_matrix",
     "bot_regularity_score",
     "corpus_dup_profile",
+    # round-5 additions
+    "decontaminate_spans",
+    "dedup_containment_capped",
+    "score_correlation",
+    "unigram_lm_segment_stats",
+    "temperature_mixture_weights",
+    "ngram_diversity",
+    "dedup_keep_best",
+    "zorder_skipping_stats",
 ]
 
 

@@ -1064,3 +1064,58 @@ def test_ngram_diversity_short_docs_no_crash(spark, tmp_path):
     assert got[("s0", 1)] == (3, 3)
     assert got[("s0", 2)] == (1, 1)
     assert ("s0", 3) not in got
+
+
+def test_decontaminate_spans_planted_overlap(spark, tmp_path):
+    """Planted-answer pin for span-level decontamination (the sibling of
+    decontaminate_ngram's planted test): known passages copied from an
+    eval doc into training docs must yield EXACT per-doc interval
+    accounting — including a doc with two disjoint plants (2 spans), an
+    overlap union, a heavily-replicated passage (present in MANY training
+    docs — must still be reported: no eval-side df cap), clean docs with
+    zero rows, and train-train duplication that must NOT count."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.dedup import (
+        SPAN_MIN_TOKENS,
+        q_decontaminate_spans,
+    )
+
+    ev = [f"e{i}" for i in range(40)]          # eval doc tokens
+    passage = ev[5:5 + SPAN_MIN_TOKENS]        # 12-token leaked passage
+    passage2 = ev[25:25 + SPAN_MIN_TOKENS]     # second, disjoint passage
+    fill = lambda tag, n: [f"{tag}{i}" for i in range(n)]
+
+    rows = [(100, " ".join(ev), "en", "src0", 0)]   # the eval doc
+    # t1: one plant in the middle -> one span of 12 at positions 11..22
+    rows.append((1, " ".join(fill("a", 10) + passage + fill("b", 10)),
+                 "en", "src5", 0))
+    # t2: two disjoint plants -> 2 spans, 24 tokens
+    rows.append((2, " ".join(fill("c", 5) + passage + fill("d", 5)
+                             + passage2 + fill("x", 3)), "en", "src6", 0))
+    # t3..t40: the SAME passage replicated in many training docs (anchor
+    # df >> self-dedup's SPAN_DF_CAP=32) -> every copy must be reported
+    for i in range(3, 41):
+        rows.append((i, " ".join(fill(f"u{i}_", 6) + passage
+                                 + fill(f"v{i}_", 4)), "en", "src7", 0))
+    # t50: clean training doc -> zero row
+    rows.append((50, " ".join(fill("z", 30)), "en", "src8", 0))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["contaminated_tokens"])
+        for r in q_decontaminate_spans(spark, d).collect()
+    }
+    assert 100 not in got                      # eval doc never reported
+    assert got[1] == (1, SPAN_MIN_TOKENS)
+    assert got[2] == (2, 2 * SPAN_MIN_TOKENS)
+    for i in range(3, 41):                     # hot passage: all reported
+        assert got[i] == (1, SPAN_MIN_TOKENS), i
+    assert got[50] == (0, 0)                   # clean doc present w/ zeros
+    # train-train sharing (u/v fillers unique per doc; the only cross-doc
+    # text among train docs is the eval passage) already covered: counts
+    # above would exceed 12 if train-train spans were counted
