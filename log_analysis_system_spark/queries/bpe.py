@@ -174,9 +174,23 @@ def train_bpe(
     pair-count distribution has spread, which real corpora always do."""
     v = vocab.localCheckpoint()
     merges: list[tuple] = []
-    # Multi-char symbols the alphabet may contain: every prior merge string
-    # plus the end marker (initial symbols are otherwise single chars).
+    # Multi-char symbols the alphabet may contain: every prior merge string,
+    # the end marker, AND any multi-char symbol already present in the
+    # CALLER'S initial vocab — train_bpe is public and must not assume the
+    # word_vocab single-char precondition, or a pre-segmented input would
+    # silently lose the merged-string-collision guard in batched mode. The
+    # seed collect is over DISTINCT multi-char symbols of the initial
+    # alphabet (bounded by vocab structure, not corpus size) and only runs
+    # when batching can actually skip the guard.
     known_multichar: set[str] = {END_MARK}
+    if batch_size > 1:
+        known_multichar |= {
+            r["s"]
+            for r in v.select(F.explode("syms").alias("s"))
+            .where(F.length("s") > 1)
+            .distinct()
+            .collect()
+        }
     # Enough sorted prefix to find the first conflict past a full batch;
     # +1 sentinel row detects truncation.
     k_probe = max(batch_size * 8, 64)
@@ -548,12 +562,23 @@ def build_bpe_index(
 
 
 def tokenize_with_bpe_index(
-    spark: SparkSession, index_dir: str, docs: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Serve half: tokenize ``docs`` from the persisted index with NO
     retraining — per doc (doc_id, n_words, n_bpe_tokens, n_oov_words).
 
-    Seen words resolve through the memoized word table (broadcast join).
+    Seen words resolve through the memoized word table. The word table is
+    DISTINCT-WORD cardinality — Heaps'-law sublinear in corpus size but
+    NOT constant-bounded, unlike the codebook/centroid tables that are
+    always safe to broadcast (pair_overlap_stats documents the same
+    distinction for its df table). ``broadcast_vocab=True`` (default) is
+    the right call for a shipped tokenizer vocabulary (tens of MB at a
+    32k-merge production vocab); set it False for open-vocabulary
+    corpora where the memoized table itself is corpus-scale, and the
+    word-keyed joins fall back to shuffle hash joins on the same keys.
     UNSEEN words — the case inline `bpe_tokenize` never faces because it
     tokenizes its own training corpus — are segmented exactly as the BPE
     algorithm specifies: chars + end marker, then the persisted merge
@@ -567,19 +592,20 @@ def tokenize_with_bpe_index(
         .orderBy("rank")
         .collect()
     ]
+    hint = F.broadcast if broadcast_vocab else (lambda df: df)
     known = spark.read.parquet(f"{index_dir}/words").select(
         "word", F.size("syms").cast("long").alias("n_syms")
     )
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.col("word") != "")
-    seen = words.join(F.broadcast(known), "word").withColumn(
+    seen = words.join(hint(known), "word").withColumn(
         "oov", F.lit(0).cast("long")
     )
     # One corpus-sized anti-join, reused by both the distinct-OOV replay
     # table and the per-occurrence OOV rows below.
     oov_base = words.join(
-        F.broadcast(known.select("word")), "word", "left_anti"
+        hint(known.select("word")), "word", "left_anti"
     ).localCheckpoint(eager=False)
     unseen_words = (
         oov_base.select("word")
@@ -602,7 +628,7 @@ def tokenize_with_bpe_index(
     oov_map = unseen_words.select(
         "word", F.size("syms").cast("long").alias("n_syms")
     )
-    unseen = oov_base.join(F.broadcast(oov_map), "word").withColumn(
+    unseen = oov_base.join(hint(oov_map), "word").withColumn(
         "oov", F.lit(1).cast("long")
     )
     return (

@@ -1857,6 +1857,13 @@ def q_corpus_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only bounds the per-anchor join fan-out (|eval docs with g| x cap) and a
 # production run raises it, never the shape.
 DECON_TRAIN_DF_CAP = 1000
+# cross_substring_spans' volume argument assumes the eval slice is a small
+# benchmark, not a second corpus: the eval side is deliberately UNCAPPED
+# (leaked passages must be reported, never dropped), so an "eval = half the
+# corpus" caller would get quadratic pair volume silently. Guard at 20% —
+# well above any real benchmark fraction (test data sits at 10%) — and make
+# misuse loud instead of slow; pass max_eval_frac=None to override.
+DECON_MAX_EVAL_FRAC = 0.2
 
 
 def _eval_in_sql() -> str:
@@ -1874,6 +1881,7 @@ def cross_substring_spans(
     k: int = SPAN_K,
     min_tokens: int = SPAN_MIN_TOKENS,
     train_df_cap: int = DECON_TRAIN_DF_CAP,
+    max_eval_frac: float | None = DECON_MAX_EVAL_FRAC,
 ) -> DataFrame:
     """Verbatim token spans of >= ``min_tokens`` shared between a TRAIN
     document and an EVAL document (``is_eval`` boolean column over docs)
@@ -1886,8 +1894,30 @@ def cross_substring_spans(
     eval slice is tiny, so the joined volume is bounded by the benchmark,
     not the corpus pair structure. Same anchor k-gram + diagonal
     (pos_t - pos_e) island merging as the self-dedup miner; exact span
-    lengths."""
+    lengths.
+
+    ``max_eval_frac`` enforces the "eval slice is tiny" contract the
+    uncapped-eval design depends on: one bounded guard job (a 2-scalar
+    count over the pruned doc_id/is_eval columns) raises if the eval
+    share of the corpus exceeds the cap, instead of letting a mislabeled
+    split run a silently quadratic join. None disables the guard (e.g.
+    for deliberate corpus-vs-corpus overlap studies that accept the
+    cost)."""
     from pyspark.sql import Window
+
+    if max_eval_frac is not None:
+        n_tot, n_ev = docs.select(
+            F.count(F.lit(1)),
+            F.sum(is_eval.cast("long")),
+        ).first()
+        if n_tot and (n_ev or 0) > max_eval_frac * n_tot:
+            raise ValueError(
+                f"cross_substring_spans: eval slice is {n_ev}/{n_tot} docs "
+                f"({(n_ev or 0) / n_tot:.1%}) > max_eval_frac="
+                f"{max_eval_frac:.0%} — the uncapped-eval miner assumes a "
+                f"small benchmark slice; pass max_eval_frac=None to run a "
+                f"deliberate corpus-vs-corpus overlap study anyway"
+            )
 
     base = docs.select(
         "doc_id", is_eval.alias("is_eval"), F.split("text", " ").alias("toks")

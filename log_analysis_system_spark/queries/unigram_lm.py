@@ -357,8 +357,17 @@ def q_unigram_lm_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Viterbi token count, and tokens/1000-words — the fertility metric a
     tokenizer rollout tracks per source (high fertility = the vocab fits
     that source badly; the unigram twin of `bpe_oov_audit`). One corpus
-    explode joined to the word-level best-path table (broadcastable);
-    integer division only."""
+    explode joined to the word-level best-path table; integer division
+    only.
+
+    Broadcast stance: ``best`` is DISTINCT-WORD cardinality — Heaps'-law
+    sublinear but not constant-bounded (the distinction
+    `pair_overlap_stats` draws for its df table). The hint is correct
+    for this query because the trained tokenizer's word table is a
+    shipped-vocabulary artifact (bounded like the BPE merge list); an
+    open-vocabulary deployment should drop the hint and take the
+    shuffle hash join on the same key, exactly as
+    `tokenize_with_bpe_index(broadcast_vocab=False)` does."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     _, best = train_unigram_lm(docs)
     words = docs.select(

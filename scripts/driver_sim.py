@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -37,7 +38,9 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_TESTDATA", "/root/testdata"
+    ) + "/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="driver-sim")
     con = duckdb.connect()

@@ -16,13 +16,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+TESTDATA="${SPARK_GRAFT_TESTDATA:-/root/testdata}"
 echo "== loadavg: $(cat /proc/loadavg)"
 echo "== 1/5 pytest"
 python -m pytest tests/ -x -q
 echo "== 2/5 driver_sim (default parallelism)"
-python scripts/driver_sim.py /root/testdata/sf0.01
+python scripts/driver_sim.py "$TESTDATA/sf0.01"
 echo "== 3/5 driver_sim (SPARK_GRAFT_CPUS=5)"
-SPARK_GRAFT_CPUS=5 python scripts/driver_sim.py /root/testdata/sf0.01
+SPARK_GRAFT_CPUS=5 python scripts/driver_sim.py "$TESTDATA/sf0.01"
 echo "== 4/5 scale probe"
 python scripts/scale_probe.py
 echo "== 5/5 bench"

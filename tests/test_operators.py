@@ -1119,3 +1119,31 @@ def test_decontaminate_spans_planted_overlap(spark, tmp_path):
     # train-train sharing (u/v fillers unique per doc; the only cross-doc
     # text among train docs is the eval passage) already covered: counts
     # above would exceed 12 if train-train spans were counted
+
+
+def test_cross_substring_spans_eval_fraction_guard(spark):
+    """The uncapped-eval miner's volume contract, enforced: an "eval"
+    label covering more than DECON_MAX_EVAL_FRAC of the corpus must raise
+    (loud misuse), the test-scale 10% labeling must pass, and
+    max_eval_frac=None must run the oversized split anyway (the
+    deliberate corpus-vs-corpus escape hatch)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.dedup import (
+        cross_substring_spans,
+    )
+
+    toks = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(i, toks) for i in range(10)], "doc_id long, text string"
+    )
+    heavy = F.col("doc_id") < 5         # 50% "eval" — misuse
+    with pytest.raises(ValueError, match="max_eval_frac"):
+        cross_substring_spans(docs, heavy)
+    # escape hatch: same split runs (and finds the planted overlap)
+    spans = cross_substring_spans(docs, heavy, max_eval_frac=None)
+    assert spans.count() == 25           # 5 train x 5 eval full-copy pairs
+    # the shipped 10% labeling stays under the default 20% gate
+    ok = F.col("doc_id") < 1
+    assert cross_substring_spans(docs, ok).count() == 9
