@@ -1983,11 +1983,16 @@ def contamination_intervals(docs: DataFrame, is_eval: Column) -> DataFrame:
     )
 
 
-def _decon_spans_oracle() -> str:
-    """Composed with training_prep.EVAL_SOURCES (imported later) — passed
-    to @query as a callable, resolved by load_all."""
-    return f"""
-WITH d AS (
+def _decon_merged_cte() -> str:
+    """Shared DuckDB CTE chain of the decontamination family — documents
+    through the cross-set miner to ``merged`` (the per-train-doc disjoint
+    contamination intervals). Both the accounting oracle
+    (`decontaminate_spans`) and the scrub-emission oracle
+    (`decontaminate_scrub`) build on this, mirroring how both Spark
+    queries share `contamination_intervals`. Composed with
+    training_prep.EVAL_SOURCES (imported later), so callers are
+    callables resolved by load_all."""
+    return f"""d AS (
     SELECT doc_id, source, string_split(text, ' ') AS w,
            source IN {_eval_in_sql()} AS is_eval
     FROM documents
@@ -2041,7 +2046,12 @@ merged AS (
                            ROWS UNBOUNDED PRECEDING) AS grp
           FROM flagged)
     GROUP BY doc_id, grp
-),
+)"""
+
+
+def _decon_spans_oracle() -> str:
+    return f"""
+WITH {_decon_merged_cte()},
 per_doc AS (
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(e - s + 1) AS BIGINT) AS cont
@@ -2100,4 +2110,82 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(coalesce(cont, 0) * 1000000 div n_tokens AS BIGINT)"
         ).alias("contaminated_ppm"),
+    )
+
+
+def _decon_scrub_oracle() -> str:
+    return f"""
+WITH {_decon_merged_cte()},
+pos AS (
+    SELECT doc_id, source, w,
+           unnest(generate_series(1, len(w))) AS i
+    FROM d WHERE NOT is_eval
+),
+cut AS (
+    SELECT DISTINCT p.doc_id, p.i
+    FROM pos p JOIN merged m
+      ON m.doc_id = p.doc_id AND p.i BETWEEN m.s AND m.e
+)
+SELECT p.doc_id, any_value(p.source) AS source,
+       CAST(any_value(len(p.w)) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE c.i IS NULL) AS BIGINT) AS kept_tokens,
+       CAST(count(*) FILTER (WHERE c.i IS NOT NULL) AS BIGINT) AS cut_tokens,
+       coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.w[p.i] END,
+                           ' ' ORDER BY p.i), '') AS scrubbed_text
+FROM pos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.i = p.i
+GROUP BY p.doc_id
+"""
+
+
+@query("decontaminate_scrub", oracle=_decon_scrub_oracle)
+def q_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION — the last step of the pipeline a user
+    actually runs: emit the SCRUBBED training corpus, with every token
+    interval that `contamination_intervals` flagged as verbatim benchmark
+    text excised. Per train doc: original and kept/cut token counts plus
+    the scrubbed text itself (clean docs pass through byte-identical;
+    fully-contaminated docs come out empty, not dropped — downstream
+    filters decide on the counts). Eval docs are never emitted or
+    modified. Completes the family: `decontaminate_spans` is the
+    accounting view, this is the emission; both consume the same
+    cut-list, and the cross-set protocol mirrors what
+    `substring_span_scrub` does for self-duplication.
+
+    Scale: the cut-list is the span miner's output union-merged per doc
+    (`union_merge_intervals`, shared with `substring_span_scrub`) and is
+    interval-count bounded by span structure, not corpus size. The corpus
+    text itself is touched exactly once: intervals are collect_list-ed
+    per doc (bounded per-row array) and the excision is a single codegen
+    `filter()` over the token array with an `exists()` interval probe —
+    no token-level explode, no token-level shuffle; the only exchanges
+    move (doc_id, s, e) triples and the final doc-keyed join."""
+    from .training_prep import EVAL_SOURCES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    ivs = (
+        contamination_intervals(docs, is_eval)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    train = docs.where(~is_eval).select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    joined = train.join(ivs, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce(
+            "ivs", F.expr("CAST(array() AS array<struct<s:long,e:long>>)")
+        ),
+    )
+    kept = F.expr(
+        "filter(toks, (t, i) -> "
+        "NOT exists(ivs, iv -> i + 1 BETWEEN iv.s AND iv.e))"
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("cut_tokens"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
     )

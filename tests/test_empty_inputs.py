@@ -67,6 +67,8 @@ EMPTY_SAFE_QUERIES = [
     "ngram_diversity",
     "dedup_keep_best",
     "zorder_skipping_stats",
+    # round-6 additions
+    "decontaminate_scrub",
 ]
 
 

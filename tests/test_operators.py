@@ -1147,3 +1147,52 @@ def test_cross_substring_spans_eval_fraction_guard(spark):
     # the shipped 10% labeling stays under the default 20% gate
     ok = F.col("doc_id") < 1
     assert cross_substring_spans(docs, ok).count() == 9
+
+
+def test_decontaminate_scrub_planted_emission(spark, tmp_path):
+    """Planted-answer pin for the scrub EMISSION: the scrubbed text must
+    be exactly the original with the contaminated interval(s) excised —
+    clean docs byte-identical, a mid-doc plant cut with both flanks
+    stitched on a single space, two disjoint plants both cut, a
+    fully-contaminated doc emitted EMPTY (not dropped), and eval docs
+    never emitted."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.dedup import (
+        SPAN_MIN_TOKENS,
+        q_decontaminate_scrub,
+    )
+
+    ev = [f"e{i}" for i in range(40)]
+    p1 = ev[5:5 + SPAN_MIN_TOKENS]
+    p2 = ev[25:25 + SPAN_MIN_TOKENS]
+    fill = lambda tag, n: [f"{tag}{i}" for i in range(n)]
+
+    a, b = fill("a", 10), fill("b", 10)
+    c, d_, x = fill("c", 5), fill("d", 5), fill("x", 3)
+    z = fill("z", 30)
+    rows = [
+        (100, " ".join(ev), "en", "src0", 0),            # eval doc
+        (1, " ".join(a + p1 + b), "en", "src5", 0),      # one plant
+        (2, " ".join(c + p1 + d_ + p2 + x), "en", "src6", 0),  # two plants
+        (3, " ".join(p1), "en", "src7", 0),              # fully contaminated
+        (50, " ".join(z), "en", "src8", 0),              # clean
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["kept_tokens"], r["cut_tokens"],
+            r["scrubbed_text"],
+        )
+        for r in q_decontaminate_scrub(spark, d).collect()
+    }
+    assert 100 not in got
+    assert got[1] == (32, 20, 12, " ".join(a + b))
+    assert got[2] == (37, 13, 24, " ".join(c + d_ + x))
+    assert got[3] == (12, 0, 12, "")
+    assert got[50] == (30, 30, 0, " ".join(z))
