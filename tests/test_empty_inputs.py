@@ -69,6 +69,7 @@ EMPTY_SAFE_QUERIES = [
     "zorder_skipping_stats",
     # round-6 additions
     "decontaminate_scrub",
+    "ann_ivfpq_topk",
 ]
 
 

