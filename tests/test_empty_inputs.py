@@ -70,6 +70,7 @@ EMPTY_SAFE_QUERIES = [
     # round-6 additions
     "decontaminate_scrub",
     "ann_ivfpq_topk",
+    "pq_index_refresh",
 ]
 
 

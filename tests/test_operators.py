@@ -1212,3 +1212,88 @@ def test_ann_ivfpq_recall_verdict(spark):
     row = QUERIES["ann_ivfpq_topk"](spark, SF_DIR).collect()
     assert len(row) == 1
     assert row[0]["n_queries"] == 10 and bool(row[0]["recall_ok"])
+
+
+def test_pq_index_refresh_recovers_recall(spark, tmp_path):
+    """Lifecycle close-out for the append-staleness trade: a drifted
+    delta encoded with stale codebooks drops audit recall to 14/50; the
+    refresh must (a) trigger, (b) retrain with stratified seeds so the
+    drifted mode gets codewords (Lloyd's cannot split a far cluster the
+    init gave one codeword — the exact failure an all-base init has),
+    (c) compact delta partitions back into batch=base, and (d) re-audit
+    above the gate. Exact integer pins, deterministic."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        PQ_DRIFT_EXPR,
+        _norm,
+        _quantized,
+        append_pq_index,
+        build_pq_index,
+        refresh_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF_DIR, idx)
+    vecs = _quantized(spark, SF_DIR)
+    delta = vecs.select(
+        (F.col("vec_id") + 10**6).alias("vec_id"),
+        F.expr(PQ_DRIFT_EXPR).alias("e"),
+    ).withColumn("nrm", _norm("e"))
+    append_pq_index(spark, idx, delta, batch_id=0)
+    n_store = spark.read.parquet(f"{idx}/codes").count()
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + 2 * 10**6).alias("vec_id"),
+        F.expr(PQ_DRIFT_EXPR).alias("e"),
+    )
+
+    r = refresh_pq_index(spark, idx, queries)
+    assert r["refreshed"] is True
+    assert (r["hits_before"], r["total_before"]) == (14, 50)
+    assert (r["hits_after"], r["total_after"]) == (32, 50)
+    # compaction: delta partitions folded into a single base batch,
+    # no rows lost, staging dir gone
+    assert sorted(
+        d for d in os.listdir(f"{idx}/codes") if d.startswith("batch=")
+    ) == ["batch=base"]
+    assert not os.path.exists(f"{idx}/codes_staged")
+    assert spark.read.parquet(f"{idx}/codes").count() == n_store
+    # the drifted mode regained code diversity (was 1 distinct
+    # code-vector under the stale books)
+    assert (
+        spark.read.parquet(f"{idx}/codes")
+        .where(F.col("vec_id") >= 10**6)
+        .select(F.col("codes").cast("string"))
+        .distinct()
+        .count()
+        > 100
+    )
+
+
+def test_pq_index_refresh_noop_when_healthy(spark, tmp_path):
+    """A healthy index (no drifted append) must NOT be rebuilt: audit
+    passes, refreshed=False, store files untouched."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        _quantized,
+        build_pq_index,
+        refresh_pq_index,
+    )
+
+    idx = str(tmp_path / "pq")
+    build_pq_index(spark, SF_DIR, idx)
+    files_before = sorted(os.listdir(f"{idx}/codes/batch=base"))
+    queries = _quantized(spark, SF_DIR).where(
+        F.col("vec_id") < N_QUERIES
+    ).select("vec_id", "e")
+    r = refresh_pq_index(spark, idx, queries)
+    assert r["refreshed"] is False
+    assert r["recall_after"] == r["recall_before"] >= 0.5
+    assert sorted(os.listdir(f"{idx}/codes/batch=base")) == files_before
