@@ -40,20 +40,30 @@ PRIORITY: tuple[str, ...] = (
     # agg stay plan-gated in tests/test_plans.py; driver_sim + pytest +
     # bench keep all of them) in favor of the round-5 flagships below
     # dedup family — incl. round-4 exact repeated-substring spans
-    # (suffix-array-style ExactSubstr, an op class no other row exercises)
+    # (suffix-array-style ExactSubstr, an op class no other row exercises).
+    # dedup_simhash rotated out round 6 (banded-signature near-dup stays
+    # officially covered by dedup_minhash_lsh — identical band-bucket join
+    # shape, signature arithmetic pinned bit-exact in pytest) and
+    # dedup_ngram_jaccard too (its CAPPED production twin
+    # dedup_containment_capped holds the window row for the shared
+    # pair_overlap_stats machinery; driver_sim + pytest + bench keep both)
+    # in favor of the round-6 decontamination flagships below
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_components",
     "exact_substring_spans",
+    "decontaminate_spans",
+    "decontaminate_scrub",
     # ANN / similarity family — ann_lsh_topk rotated out round 3 (sign-LSH
     # banding stays officially covered by dedup_minhash_lsh +
     # embedding_near_dup's banded candidates; driver_sim + pytest keep it)
-    # in favor of the PQ path, which no other row exercises
+    # in favor of the PQ path, which no other row exercises; round 6 adds
+    # the IVF-PQ composition and the index-lifecycle refresh
     "ann_brute_topk",
     "ann_pq_topk",
     "ann_ivf_trained_topk",
+    "ann_ivfpq_topk",
+    "pq_index_refresh",
     "embedding_near_dup",
     # text analysis family — tfidf/doc_rarity rotated out round 3 (explode +
     # idf aggregation stays covered by text_metrics + the dedup rows;
@@ -63,16 +73,20 @@ PRIORITY: tuple[str, ...] = (
     "doc_fingerprint",
     "bm25_rank",
     "drift_psi",
-    # multimodal — frames plumbing + round-4 REAL codec decode
-    "multimodal_frames",
+    # multimodal — REAL codec rows; frames plumbing rotated out round 6
+    # (multimodal_decode exercises the identical mapInPandas schema/batch
+    # path PLUS a real image codec on top; driver_sim + pytest keep frames)
+    # in favor of the WAV-PCM16 audio codec, a distinct parser
     "multimodal_decode",
-    # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotate out
-    # (pytest + driver_sim cover them) to make room for the behavior family
+    "multimodal_audio",
+    # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotated out
+    # round 3, cumulative round 6 (A11's state loop is pinned by the
+    # streaming pytest suite + driver_sim; blacklist keeps the family row)
     "stream_blacklist",
-    "stream_cumulative_stat",
-    # behavior analytics family (cohort / sequence)
+    # behavior analytics family — event_transitions rotated out round 6
+    # (lag-window sequence shape also exercised by funnel +
+    # analytic_functions; cohort_retention keeps the family row)
     "cohort_retention",
-    "event_transitions",
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
@@ -105,6 +119,9 @@ PRIORITY: tuple[str, ...] = (
     "score_correlation",
     "dedup_containment_capped",
     "unigram_lm_vocab",
+    # round-6 flagships decontaminate_spans / decontaminate_scrub /
+    # ann_ivfpq_topk / pq_index_refresh / multimodal_audio are slotted
+    # into their family groups above
 )
 
 

@@ -17,26 +17,33 @@ FAMILY_REPRESENTATIVES = {
     "session_agg", "session_stats", "session_filter", "session_detail",
     "hour_histogram", "stratified_sample", "top10_category",
     "top10_session_per_category", "area_top3", "funnel",
-    # streaming batch oracles (§2.11) — top3/sliding rotated out of the
-    # window round 3 (pytest + driver_sim cover them)
-    "stream_blacklist", "stream_cumulative_stat",
-    # behavior analytics family
-    "cohort_retention", "event_transitions",
+    # streaming batch oracles (§2.11) — top3/sliding rotated out round 3,
+    # cumulative round 6 (streaming pytest suite + driver_sim cover them)
+    "stream_blacklist",
+    # behavior analytics family (event_transitions rotated out round 6 —
+    # lag-window shape also exercised by funnel + analytic_functions)
+    "cohort_retention",
     # scalar + set ops (§2.7/2.8)
     "scalar_functions", "set_ops_users",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_components",
+    # dedup family (simhash/ngram_jaccard rotated out round 6: banded
+    # signatures stay covered by dedup_minhash_lsh, the capped
+    # pair_overlap_stats path by dedup_containment_capped)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     # ANN family (ann_lsh_topk rotated out round 3 — LSH banding stays
     # officially covered by dedup_minhash_lsh + embedding_near_dup)
     "ann_brute_topk", "ann_pq_topk", "ann_ivf_trained_topk",
     "embedding_near_dup",
+    # round-6 ANN additions: the IVF-PQ composition and the
+    # staleness-triggered index refresh (both verdict oracles)
+    "ann_ivfpq_topk", "pq_index_refresh",
     # text analysis + data quality drift (tfidf/doc_rarity rotated out
     # round 3 for the BM25 / PSI op classes)
     "text_metrics", "doc_fingerprint", "bm25_rank", "drift_psi",
     # multimodal / corpus / temporal / sampling / graph / data quality
-    # (resample_hourly_dense rotated out round 3; sim + pytest cover it)
-    "multimodal_frames", "corpus_pipeline", "gap_sessions_events",
+    # (resample_hourly_dense rotated out round 3; multimodal_frames round 6
+    # — decode exercises the same mapInPandas plumbing plus a real codec;
+    # sim + pytest cover both)
+    "multimodal_audio", "corpus_pipeline", "gap_sessions_events",
     "dq_checks", "sample_weighted_docs", "balanced_shards",
     "pagerank_trade_graph",
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
@@ -47,6 +54,8 @@ FAMILY_REPRESENTATIVES = {
     # session/OLAP rows and Q1's pushdown stays plan-gated; driver_sim +
     # pytest + bench keep them)
     "score_correlation", "dedup_containment_capped", "unigram_lm_vocab",
+    # round-6 flagships: the decontamination pipeline end-to-end
+    "decontaminate_spans", "decontaminate_scrub",
     # OLAP extras
     "asof_join_orders", "rollup_lineitem", "value_percentiles",
     "pivot_event_matrix", "analytic_functions", "range_join_events",
