@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "dedup_containment_capped",
     "unigram_lm_vocab",
     "zorder_skipping_stats",
+    # round-6 flagships (pins appended to the BASELINE.md table)
+    "decontaminate_spans",
+    "decontaminate_scrub",
+    "ann_ivfpq_topk",
+    "pq_index_refresh",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)
