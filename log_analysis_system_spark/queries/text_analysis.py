@@ -1287,6 +1287,109 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perplexity band, in ppm of the scored-doc count: drop the most
+# predictable 5% (boilerplate/templates the LM has memorized) AND the
+# least predictable 5% (encoding garbage, wrong-language shards) — the
+# CCNet/Gopher-style two-sided LM filter.
+PPL_BAND_LO_PPM = 50_000
+PPL_BAND_HI_PPM = 950_000
+
+_PPL_BAND_CTE = f"""
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks)
+),
+c1 AS (
+    SELECT w1 AS word, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1
+),
+c12 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+),
+perdoc AS (
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST((-sum(CAST(floor(ln((c12.c + 1)
+                                     / CAST(c1.c + vocab.v AS DOUBLE))
+                                  * {LM_SCALE}) AS BIGINT)))
+                // count(*) AS BIGINT) AS xent_micro
+    FROM bg b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.word = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+),
+ranked AS (
+    SELECT doc_id, n_bigrams, xent_micro,
+           CAST(row_number() OVER (ORDER BY xent_micro, doc_id) - 1
+                AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n_scored
+    FROM perdoc
+)"""
+
+
+@query(
+    "perplexity_band_filter",
+    oracle=f"""
+WITH {_PPL_BAND_CTE}
+SELECT doc_id, n_bigrams, xent_micro, rnk,
+       CAST(rnk * 1000000 >= {PPL_BAND_LO_PPM} * n_scored
+            AND rnk * 1000000 < {PPL_BAND_HI_PPM} * n_scored
+            AS BOOLEAN) AS keep
+FROM ranked
+""",
+)
+def q_perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided perplexity-band corpus filter (the CCNet/Gopher LM
+    filter): rank every scoreable doc by integer micro-nat cross-entropy
+    under the corpus bigram LM (`bigram_lm_perplexity`'s exact sums) and
+    keep only the middle band — the bottom {PPL_BAND_LO_PPM // 10_000}%
+    is memorized boilerplate, the top is noise. Band membership is pure
+    integer arithmetic on (rank, scored-count) ppm products, and the
+    per-doc statistic is the bigint ``(-ll_micro) div n_bigrams``, so
+    keep decisions are bit-deterministic. Docs with fewer than 2 tokens
+    have no bigram evidence and are excluded from ranking (a production
+    pipeline routes them to a length filter instead — `text_metrics`).
+
+    Scale: per-doc scoring inherits the bigram LM plan (broadcast LM
+    tables onto the zero-shuffle bigram stream); the global order uses
+    operators/sampling.global_rank — range-partition + per-partition
+    offsets, never a single-partition window; the scored-count scalar is
+    a broadcast 1-row join."""
+    from ..operators.sampling import global_rank
+
+    perdoc = q_bigram_lm_perplexity(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(
+            "CAST((-ll_micro_nats) div n_bigrams AS BIGINT)"
+        ).alias("xent_micro"),
+    )
+    ranked = global_rank(
+        perdoc, [F.asc("xent_micro"), F.asc("doc_id")], rank_col="rnk"
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+    n = perdoc.agg(F.count(F.lit(1)).alias("n_scored"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_bigrams",
+        "xent_micro",
+        "rnk",
+        (
+            (F.col("rnk") * 1_000_000 >= PPL_BAND_LO_PPM * F.col("n_scored"))
+            & (F.col("rnk") * 1_000_000 < PPL_BAND_HI_PPM * F.col("n_scored"))
+        ).alias("keep"),
+    )
+
+
 # ----------------------------------- persisted text index (build/serve)
 
 def build_text_index(docs: DataFrame, index_dir: str) -> None:

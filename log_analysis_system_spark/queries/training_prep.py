@@ -710,3 +710,316 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_tokens").alias("shard_tokens"),
         )
     )
+
+
+# ---------------------------------------- DSIR hashed importance resampling
+
+# Curated target slice for importance resampling (distinct from
+# EVAL_SOURCES, which must NEVER influence training composition — the
+# decontamination family exists to keep eval out; the DSIR target is a
+# quality exemplar like a vetted reference corpus).
+DSIR_TARGET_SOURCES = ("src2", "src3")
+DSIR_BUCKETS = 256        # hashed unigram feature space: md5 first 2 hex
+DSIR_SCALE = 1_000_000    # micro-nats per bucket log-ratio
+DSIR_KEEP_PPM = 250_000   # resample the top 25% by importance weight
+
+
+def _dsir_in_sql() -> str:
+    quoted = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in DSIR_TARGET_SOURCES
+    )
+    return f"({quoted})"
+
+
+def _dsir_oracle() -> str:
+    return f"""
+WITH occ AS (
+    SELECT doc_id, source, source IN {_dsir_in_sql()} AS is_target,
+           substr(md5(word), 1, 2) AS b
+    FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+),
+bstats AS (
+    SELECT b,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+    FROM occ GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+    FROM bstats
+),
+llr AS (
+    SELECT b,
+           CAST(floor(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)
+                         / CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE))
+                      * {DSIR_SCALE}) AS BIGINT) AS llr_micro
+    FROM bstats CROSS JOIN tot
+),
+perdoc AS (
+    SELECT o.doc_id, any_value(o.source) AS source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(l.llr_micro) AS BIGINT) AS weight_micro
+    FROM occ o JOIN llr l USING (b)
+    WHERE NOT o.is_target
+    GROUP BY o.doc_id
+),
+ranked AS (
+    SELECT doc_id, source, n_words, weight_micro,
+           CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id) - 1
+                AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n_pool
+    FROM perdoc
+)
+SELECT doc_id, source, n_words, weight_micro, rnk,
+       CAST(rnk * 1000000 < {DSIR_KEEP_PPM} * n_pool AS BOOLEAN) AS selected
+FROM ranked
+"""
+
+
+@query("dsir_importance_resample", oracle=_dsir_oracle)
+def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    public method) over hashed unigram features: score every RAW-pool doc
+    by how much its hashed-word distribution looks like the curated
+    TARGET slice, sum of per-occurrence log(p_target(b)/p_raw(b)) in
+    integer micro-nats, and select the top {DSIR_KEEP_PPM // 10_000}% by
+    global importance rank. Hash features (md5 hex prefix →
+    {DSIR_BUCKETS} buckets, identical bytes on both engines) make the
+    estimator vocabulary-free: the LLR table is a CONSTANT
+    {DSIR_BUCKETS}-row broadcast no matter the corpus, the deliberate
+    contrast to the Heaps'-law word tables `tokenize_with_bpe_index`
+    documents. Add-one smoothing on both numerator and denominator;
+    ln on exact bigint-product ratios + floor → the micro-nat
+    determinism recipe of `bigram_lm_perplexity`.
+
+    Scale: one token-stream scan → {DSIR_BUCKETS}-row hash-agg (+1-row
+    totals) → broadcast joins back onto the stream → per-doc sum →
+    global_rank (range partition + offsets, no single-partition
+    window). Nothing corpus-sized ever broadcasts or funnels."""
+    from ..operators.sampling import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    occ = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("source").isin(*DSIR_TARGET_SOURCES).alias("is_target"),
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .withColumn("b", F.expr("substring(md5(word), 1, 2)"))
+    )
+    bstats = occ.groupBy("b").agg(
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+    )
+    tot = bstats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    llr = bstats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                F.expr(
+                    f"CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE)"
+                    f" / CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE)"
+                )
+            )
+            * DSIR_SCALE
+        ).cast("long").alias("llr_micro"),
+    )
+    perdoc = (
+        occ.where(~F.col("is_target"))
+        .join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("llr_micro").cast("long").alias("weight_micro"),
+        )
+    )
+    ranked = global_rank(
+        perdoc, [F.desc("weight_micro"), F.asc("doc_id")], rank_col="rnk"
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+    n = perdoc.agg(F.count(F.lit(1)).alias("n_pool"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "source",
+        "n_words",
+        "weight_micro",
+        "rnk",
+        (F.col("rnk") * 1_000_000 < DSIR_KEEP_PPM * F.col("n_pool")).alias(
+            "selected"
+        ),
+    )
+
+
+# ------------------------------------- excess-loss mixture reweighting
+
+XLM_SCALE = 1_000_000  # micro-nats / ppm
+
+
+def _excess_loss_oracle() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+    SELECT source, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT source, w,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks)
+),
+c1 AS (SELECT w1 AS word, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+vocab AS (
+    SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+),
+persrc AS (
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(floor(ln((c12.c + 1)
+                                  / CAST(c1.c + vocab.v AS DOUBLE))
+                               * {XLM_SCALE}) AS BIGINT)) AS BIGINT) AS ll
+    FROM bg b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.word = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.source
+),
+szs AS (
+    SELECT source, CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM toks GROUP BY 1
+),
+stats AS (
+    SELECT p.source, s.n_tokens, p.n_bigrams,
+           CAST((-p.ll) // p.n_bigrams AS BIGINT) AS xent_micro,
+           CAST((SELECT (-sum(ll)) // sum(n_bigrams) FROM persrc)
+                AS BIGINT) AS corpus_xent_micro
+    FROM persrc p JOIN szs s USING (source)
+),
+wr AS (
+    SELECT source, n_tokens, n_bigrams, xent_micro, corpus_xent_micro,
+           CAST(greatest(xent_micro - corpus_xent_micro, 0) AS BIGINT)
+               AS excess_micro,
+           CAST(n_tokens * ({XLM_SCALE} +
+                greatest(xent_micro - corpus_xent_micro, 0)) AS BIGINT)
+               AS w_raw
+    FROM stats
+)
+SELECT source, n_tokens, n_bigrams, xent_micro, excess_micro,
+       CAST(n_tokens * 1000000 // (SELECT sum(n_tokens) FROM wr)
+            AS BIGINT) AS share_ppm,
+       CAST(w_raw * 1000000 // (SELECT sum(w_raw) FROM wr)
+            AS BIGINT) AS weight_ppm
+FROM wr
+"""
+
+
+@query("excess_loss_mixture_weights", oracle=_excess_loss_oracle)
+def q_excess_loss_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Excess-loss mixture reweighting (the DoReMi idea — Xie et al.
+    2023, public — restated as one exact linearized update): sources
+    whose bigram-LM cross-entropy EXCEEDS the corpus average are the
+    ones the current model fits worst, so their sampling weight is
+    multiplied up proportionally to the excess;
+    ``w_src = tokens_src * (1 + excess_nats)`` normalized to ppm. The
+    linearization (``1 + x`` instead of ``exp(x)``) keeps every
+    intermediate an exact bigint — micro-nat excess times token counts —
+    so weights are bit-deterministic, the same trade
+    `temperature_mixture_weights` makes by using sqrt (exact) instead
+    of a general power. Zero excess (sources at/below corpus xent)
+    degrades to plain token-share weighting; nothing is ever
+    down-weighted below its share by more than normalization.
+
+    Scale: inherits the bigram-LM table plan (broadcast c1/c12/V onto
+    the zero-shuffle bigram stream), then |sources|-row aggregates and
+    1-row totals — the per-source grid is bounded by the source count,
+    exactly like `source_mixture_weights`."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    bg = toks.where(F.size("w") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) as w1, "
+                "element_at(w, i + 1) as w2))"
+            )
+        ).alias("p"),
+    ).select("source", "p.w1", "p.w2")
+    c1 = bg.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    persrc = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), bg.w1 == F.col("word"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1)
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * XLM_SCALE
+            ).cast("long").alias("ll_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("ll_micro").alias("ll"),
+        )
+    )
+    szs = toks.groupBy("source").agg(
+        F.sum(F.size("w")).cast("long").alias("n_tokens")
+    )
+    corpus = persrc.agg(
+        F.expr("CAST((-sum(ll)) div sum(n_bigrams) AS BIGINT)").alias(
+            "corpus_xent_micro"
+        )
+    )
+    wr = (
+        persrc.join(szs, "source")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "xent_micro", F.expr("CAST((-ll) div n_bigrams AS BIGINT)")
+        )
+        .withColumn(
+            "excess_micro",
+            F.expr(
+                "CAST(greatest(xent_micro - corpus_xent_micro, 0) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "w_raw",
+            F.expr(f"CAST(n_tokens * ({XLM_SCALE} + excess_micro) AS BIGINT)"),
+        )
+    )
+    tots = wr.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w_raw").alias("tot_w")
+    )
+    return wr.crossJoin(F.broadcast(tots)).select(
+        "source",
+        "n_tokens",
+        "n_bigrams",
+        "xent_micro",
+        "excess_micro",
+        F.expr("CAST(n_tokens * 1000000 div tot_tokens AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        F.expr("CAST(w_raw * 1000000 div tot_w AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

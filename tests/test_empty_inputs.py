@@ -71,6 +71,10 @@ EMPTY_SAFE_QUERIES = [
     "decontaminate_scrub",
     "ann_ivfpq_topk",
     "pq_index_refresh",
+    "perplexity_band_filter",
+    "dsir_importance_resample",
+    "ann_sq8_topk",
+    "excess_loss_mixture_weights",
 ]
 
 

@@ -131,6 +131,37 @@ FROM x
 """
 
 
+_DSIR_SQL = """
+WITH occ AS (
+    SELECT source IN ('src2', 'src3') AS is_target,
+           substr(md5(word), 1, 2) AS b
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+          FROM read_parquet('{d}/documents.parquet'))
+    WHERE word <> ''
+),
+bstats AS (
+    SELECT b,
+           CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+    FROM occ GROUP BY b
+),
+tot AS (
+    SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+    FROM bstats
+),
+x AS (
+    SELECT ln(CAST((ct + 1) * (nr + 256) AS DOUBLE)
+              / CAST((cr + 1) * (nt + 256) AS DOUBLE)) * 1000000 AS x
+    FROM bstats CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(abs(x - round(x))) AS min_dist,
+       CAST(count(*) FILTER (WHERE x = round(x) AND x <> 0)
+            AS BIGINT) AS exact_nonzero
+FROM x
+"""
+
+
 def _unigram_sql(d: str) -> str:
     """Pre-floor micro-nat values of every unigram-LM score round
     (ln(c/T)·1e6 over the round's vocab table)."""
@@ -164,7 +195,8 @@ FROM x
 @pytest.mark.parametrize(
     "name,sql",
     [("bigram_lm", _LM_SQL), ("sequence_entropy", _ENT_SQL),
-     ("source_jsd", _JSD_SQL), ("unigram_lm", None)],
+     ("source_jsd", _JSD_SQL), ("unigram_lm", None),
+     ("dsir_llr", _DSIR_SQL)],
 )
 def test_micro_nat_values_clear_integer_boundaries(name, sql, sf_dir):
     if sql is None:

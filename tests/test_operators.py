@@ -1297,3 +1297,115 @@ def test_pq_index_refresh_noop_when_healthy(spark, tmp_path):
     assert r["refreshed"] is False
     assert r["recall_after"] == r["recall_before"] >= 0.5
     assert sorted(os.listdir(f"{idx}/codes/batch=base")) == files_before
+
+
+def test_perplexity_band_filter_planted(spark, tmp_path):
+    """Two-sided LM band: in a 20-doc corpus the memorized-boilerplate
+    doc (one bigram repeated, the LM's most predictable transitions)
+    must land at rank 0 and be DROPPED, the all-unique-gibberish doc
+    must land at the top rank and be DROPPED, and exactly 18/20 middle
+    docs are kept (band = ranks 1..18 at N=20 with the 5%/95% ppm
+    bounds)."""
+    from log_analysis_system_spark.queries.text_analysis import (
+        q_perplexity_band_filter,
+    )
+
+    rows = [(0, " ".join(["la la"] * 20), "en", "s0", 0)]  # boilerplate
+    for i in range(1, 19):  # middle: shared vocab, varied transitions
+        rows.append(
+            (i, f"common{i % 3} middle tok{i} common{(i + 1) % 3} end",
+             "en", "s1", 0)
+        )
+    rows.append((19, " ".join(f"zz{j}q" for j in range(12)), "en", "s2", 0))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_perplexity_band_filter(spark, d).collect()}
+    assert len(got) == 20
+    assert got[0]["rnk"] == 0 and not got[0]["keep"]
+    assert got[19]["rnk"] == 19 and not got[19]["keep"]
+    assert sum(1 for r in got.values() if r["keep"]) == 18
+
+
+def test_dsir_importance_resample_planted(spark, tmp_path):
+    """DSIR pin: raw docs written in the TARGET slice's vocabulary must
+    out-rank raw docs with disjoint vocabulary, and exactly the top 25%
+    of the 8-doc pool (rnk < 2) is selected. Target docs are never in
+    the output."""
+    from log_analysis_system_spark.queries.training_prep import (
+        q_dsir_importance_resample,
+    )
+
+    tvoc = " ".join(f"t{i}" for i in range(10))
+    rows = [
+        (100, tvoc, "en", "src2", 0),            # target slice
+        (101, tvoc, "en", "src3", 0),
+        (1, tvoc, "en", "src5", 0),              # target-like raw
+        (2, " ".join(f"t{i}" for i in range(5)), "en", "src6", 0),
+    ]
+    for i in range(3, 9):                        # 6 disjoint-vocab raw docs
+        rows.append((i, " ".join(f"j{i}_{k}" for k in range(10)),
+                     "en", "src7", 0))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_dsir_importance_resample(spark, d).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}   # raw pool only
+    assert got[1]["rnk"] == 0 and got[1]["selected"]
+    assert got[2]["rnk"] == 1 and got[2]["selected"]
+    assert sum(1 for r in got.values() if r["selected"]) == 2
+    assert all(
+        got[i]["weight_micro"] < got[2]["weight_micro"] for i in range(3, 9)
+    )
+
+
+def test_ann_sq8_recall_verdict(spark):
+    """SQ8 flat scalar quantization: verdict row covers every query and
+    clears the 0.7 gate (measured recall is 50/50 exact at every SF —
+    8-bit/dim + exact re-rank recovers the true ranking; the gate
+    guards the affine quantization map)."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["ann_sq8_topk"](spark, SF_DIR).collect()
+    assert len(row) == 1
+    assert row[0]["n_queries"] == 10 and bool(row[0]["recall_ok"])
+
+
+def test_excess_loss_mixture_weights_planted(spark, tmp_path):
+    """DoReMi-style reweighting pin: the source whose transitions the
+    corpus LM fits worst (unique gibberish → every bigram is a one-off)
+    must show positive excess and weight_ppm ABOVE its token share; the
+    boilerplate source (one repeated bigram → best-fit) gets zero excess
+    and weight_ppm at-or-below share; ppm columns each sum to ~1e6."""
+    from log_analysis_system_spark.queries.training_prep import (
+        q_excess_loss_mixture_weights,
+    )
+
+    rows = []
+    for i in range(5):  # boilerplate source: the LM memorizes "la la"
+        rows.append((i, " ".join(["la la"] * 10), "en", "easy", 0))
+    for i in range(5, 10):  # gibberish source: all transitions unique
+        rows.append((i, " ".join(f"g{i}_{k}" for k in range(20)),
+                     "en", "hard", 0))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["source"]: r for r in
+           q_excess_loss_mixture_weights(spark, d).collect()}
+    assert set(got) == {"easy", "hard"}
+    assert got["hard"]["excess_micro"] > 0
+    assert got["hard"]["weight_ppm"] > got["hard"]["share_ppm"]
+    assert got["easy"]["excess_micro"] == 0
+    assert got["easy"]["weight_ppm"] <= got["easy"]["share_ppm"]
+    for col in ("share_ppm", "weight_ppm"):
+        assert abs(sum(r[col] for r in got.values()) - 1_000_000) <= 2
