@@ -126,6 +126,123 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher rule constants (Rae et al. 2021, table A1 — public method),
+# token-level adaptation for a lines-free schema. All thresholds compare
+# as exact integer cross-products (no ratios materialized).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3       # mean word chars in [3, 10]
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_MAX_PPM = 100_000   # words containing '#'/'...' <= 10%
+GOPHER_ALPHA_MIN_PPM = 800_000    # words containing a letter >= 80%
+GOPHER_MIN_STOP_HITS = 2          # >= 2 distinct function words
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(length(array_to_string(toks, '')) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(toks,
+                    t -> contains(t, '#') OR contains(t, '...')))
+                AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                AS BIGINT) AS n_alpha_words,
+           CAST(len(list_distinct(list_filter(toks,
+                    t -> t IN {_STOP_IN_SQL}))) AS BIGINT) AS n_stop_distinct
+    FROM w
+)
+SELECT doc_id, n_words,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AS BOOLEAN) AS rule_word_count,
+       CAST(n_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+            AND n_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+            AS BOOLEAN) AS rule_mean_word_len,
+       CAST(n_symbol * 1000000 <= {GOPHER_SYMBOL_MAX_PPM} * n_words
+            AS BOOLEAN) AS rule_symbol_ratio,
+       CAST(n_alpha_words * 1000000 >= {GOPHER_ALPHA_MIN_PPM} * n_words
+            AS BOOLEAN) AS rule_alpha_words,
+       CAST(n_stop_distinct >= {GOPHER_MIN_STOP_HITS} AS BOOLEAN)
+           AS rule_stopwords,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND n_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+            AND n_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+            AND n_symbol * 1000000 <= {GOPHER_SYMBOL_MAX_PPM} * n_words
+            AND n_alpha_words * 1000000 >= {GOPHER_ALPHA_MIN_PPM} * n_words
+            AND n_stop_distinct >= {GOPHER_MIN_STOP_HITS}
+            AS BOOLEAN) AS pass
+FROM feat
+""",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality screen (Rae et al. 2021 — public),
+    emitting PER-RULE verdicts rather than a blended score (the
+    complement of `quality_score`: a curation dashboard needs to know
+    WHICH rule kills a doc, because each rule has a different fix —
+    word-count failures are chunking artifacts, symbol-ratio failures
+    are markup, stopword failures are non-prose). Rules, adapted
+    token-level for a lines-free schema: word count in
+    [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}]; mean word length in
+    [{GOPHER_MIN_MEAN_LEN}, {GOPHER_MAX_MEAN_LEN}] chars; words carrying
+    '#'/'...' <= 10%; words containing a letter >= 80%; >= 2 distinct
+    function words. Every threshold compares integer cross-products
+    (``n * 1e6 <= ppm * total``) — no ratio is ever materialized, so
+    verdicts are bit-deterministic.
+
+    Scale: one zero-shuffle projection per doc (array higher-order
+    functions over the token split) — no explode, no shuffle at all
+    except the parquet scan; the cheapest possible full-corpus screen
+    and the natural FIRST stage before any LM- or embedding-based
+    filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.array_join(toks, "")).cast("long").alias("n_chars"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.contains("#") | t.contains("..."),
+            )
+        ).cast("long").alias("n_symbol"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long").alias("n_alpha_words"),
+        F.size(
+            F.array_distinct(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+        ).cast("long").alias("n_stop_distinct"),
+    )
+    r_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_len = (
+        F.col("n_chars") >= GOPHER_MIN_MEAN_LEN * F.col("n_words")
+    ) & (F.col("n_chars") <= GOPHER_MAX_MEAN_LEN * F.col("n_words"))
+    r_sym = (
+        F.col("n_symbol") * 1_000_000
+        <= GOPHER_SYMBOL_MAX_PPM * F.col("n_words")
+    )
+    r_alpha = (
+        F.col("n_alpha_words") * 1_000_000
+        >= GOPHER_ALPHA_MIN_PPM * F.col("n_words")
+    )
+    r_stop = F.col("n_stop_distinct") >= GOPHER_MIN_STOP_HITS
+    return feat.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("rule_word_count"),
+        r_len.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_len & r_sym & r_alpha & r_stop).alias("pass"),
+    )
+
+
 @query(
     "doc_fingerprint",
     oracle="""

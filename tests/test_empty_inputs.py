@@ -75,6 +75,7 @@ EMPTY_SAFE_QUERIES = [
     "dsir_importance_resample",
     "ann_sq8_topk",
     "excess_loss_mixture_weights",
+    "gopher_quality_rules",
 ]
 
 

@@ -1409,3 +1409,48 @@ def test_excess_loss_mixture_weights_planted(spark, tmp_path):
     assert got["easy"]["weight_ppm"] <= got["easy"]["share_ppm"]
     for col in ("share_ppm", "weight_ppm"):
         assert abs(sum(r[col] for r in got.values()) - 1_000_000) <= 2
+
+
+def test_gopher_quality_rules_planted(spark, tmp_path):
+    """Each Gopher rule must fire on exactly its planted violator: a
+    9-word doc (word count), a doc of 1-char words (mean length), a
+    hashtag-heavy doc (symbol ratio), a digits-only doc (alpha words),
+    a no-function-words doc (stopwords) — and the one clean doc passes
+    all five."""
+    from log_analysis_system_spark.queries.text_analysis import (
+        q_gopher_quality_rules,
+    )
+
+    good = ("the cat is on a mat and it sat there for a while watching "
+            + " ".join(f"bird{i}" for i in range(40)))
+    rows = [
+        (1, good, "en", "s", 0),                                # clean
+        (2, "the cat is on a mat for it now", "en", "s", 0),    # 9 words
+        (3, "the a " + " ".join(["x"] * 60), "en", "s", 0),     # mean len < 3
+        (4, "the a " + " ".join(f"#tag{i}" for i in range(58)), "en", "s", 0),
+        (5, "the a " + " ".join(str(i) for i in range(58)), "en", "s", 0),
+        (6, " ".join(f"word{i} stuff{i}" for i in range(30)), "en", "s", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_gopher_quality_rules(spark, d).collect()}
+    assert got[1]["pass"] and all(
+        got[1][c] for c in ("rule_word_count", "rule_mean_word_len",
+                            "rule_symbol_ratio", "rule_alpha_words",
+                            "rule_stopwords")
+    )
+    assert not got[2]["rule_word_count"] and not got[2]["pass"]
+    assert not got[3]["rule_mean_word_len"] and not got[3]["pass"]
+    assert not got[4]["rule_symbol_ratio"] and not got[4]["pass"]
+    assert not got[5]["rule_alpha_words"] and not got[5]["pass"]
+    assert not got[6]["rule_stopwords"] and not got[6]["pass"]
+    # the violators fail ONLY their own rule (word-count doc aside, all
+    # are sized to pass the other gates)
+    assert got[3]["rule_word_count"] and got[3]["rule_symbol_ratio"]
+    assert got[4]["rule_word_count"] and got[4]["rule_mean_word_len"]
+    assert got[5]["rule_symbol_ratio"] and got[5]["rule_stopwords"]
+    assert got[6]["rule_word_count"] and got[6]["rule_alpha_words"]
