@@ -453,3 +453,86 @@ def q_split_leak_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_leak"),
     )
+
+
+# -------------------------------------------- component-aware split
+
+
+def _leak_free_split_oracle() -> str:
+    """Composed with the dedup_components oracle (registered by a module
+    loaded later) — passed to @query as a callable, resolved by
+    load_all."""
+    from . import ORACLES
+
+    comp = ORACLES["dedup_components"].strip().rstrip(";")
+    return f"""
+WITH comp AS ({comp}),
+lab AS (
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+    SELECT doc_id, component_id,
+           CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket
+    FROM lab
+)
+SELECT doc_id, component_id,
+       CASE WHEN bucket < {VAL_PCT} THEN 'val'
+            WHEN bucket < {VAL_PCT + TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+@query("leak_free_split", oracle=_leak_free_split_oracle)
+def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-aware train/val/test split — the CONSTRUCTIVE fix for
+    what `split_leak_audit` measures: `train_val_test_split` hashes the
+    DOCUMENT key, so two near-duplicate documents can land in different
+    splits and leak; this query hashes the near-dup COMPONENT id
+    (connected components over the verified MinHash pair graph, the
+    `dedup_components` clusters; singletons are their own component), so
+    an entire duplicate cluster moves as one unit and cross-split
+    near-dup leakage is zero BY CONSTRUCTION, not by post-hoc scrubbing.
+    Same md5-bucket convention as the doc-key split, so the two are
+    drop-in interchangeable and equally append-stable: growing the
+    corpus never moves an existing component between splits (new
+    members of an existing cluster follow their cluster's split).
+
+    Scale: inherits the banded-LSH pair graph + min-label fixpoint plan
+    of `dedup_components` (slim (doc, label) rows per round); the split
+    itself adds one left join and a pure projection — no new shuffle
+    class."""
+    from .dedup import q_dedup_components
+
+    comp = q_dedup_components(spark, sf_dir).select(
+        "doc_id", "component_id"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "component_id", F.coalesce("component_id", F.col("doc_id"))
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("component_id").cast("string").cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < VAL_PCT, "val")
+        .when(bucket < VAL_PCT + TEST_PCT, "test")
+        .otherwise("train")
+    )
+    return lab.select("doc_id", "component_id", split.alias("split"))

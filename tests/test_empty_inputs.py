@@ -76,6 +76,7 @@ EMPTY_SAFE_QUERIES = [
     "ann_sq8_topk",
     "excess_loss_mixture_weights",
     "gopher_quality_rules",
+    "leak_free_split",
 ]
 
 
