@@ -2189,3 +2189,48 @@ def q_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("toks") - F.size(kept)).cast("long").alias("cut_tokens"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
+
+
+def _decon_source_oracle() -> str:
+    return f"""
+WITH {_decon_merged_cte()},
+per_doc AS (
+    SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cont
+    FROM merged GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE coalesce(p.cont, 0) > 0) AS BIGINT)
+           AS contaminated_docs,
+       CAST(sum(len(d.w)) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(p.cont, 0)) AS BIGINT) AS contaminated_tokens,
+       CAST(sum(coalesce(p.cont, 0)) * 1000000 // sum(len(d.w)) AS BIGINT)
+           AS contaminated_ppm
+FROM d LEFT JOIN per_doc p USING (doc_id)
+WHERE NOT d.is_eval
+GROUP BY d.source
+"""
+
+
+@query("contamination_by_source", oracle=_decon_source_oracle)
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE benchmark-contamination rollup — the dashboard number
+    that decides which sources need crawl-exclusion or re-scraping
+    (the cross-set sibling of `corpus_dup_profile`'s self-dup profile):
+    per training source, doc and token volume, how many docs carry any
+    verbatim eval span, and the contaminated token share in integer ppm.
+    Pure rollup over the `decontaminate_spans` per-doc accounting — one
+    extra |sources|-row hash-agg on the same plan."""
+    per_doc = q_decontaminate_spans(spark, sf_dir)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("contaminated_tokens") > 0).cast("long")).alias(
+            "contaminated_docs"
+        ),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("contaminated_tokens").alias("contaminated_tokens"),
+        F.expr(
+            "CAST(sum(contaminated_tokens) * 1000000 div sum(n_tokens) "
+            "AS BIGINT)"
+        ).alias("contaminated_ppm"),
+    )

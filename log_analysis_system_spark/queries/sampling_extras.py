@@ -536,3 +536,59 @@ def q_leak_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
     )
     return lab.select("doc_id", "component_id", split.alias("split"))
+
+
+# -------------------------------------------- deterministic epoch shuffle
+
+EPOCH_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_manifest",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+    FROM keyed
+)
+SELECT doc_id, pos,
+       CAST(pos % {EPOCH_SHARDS} AS BIGINT) AS shard
+FROM ranked
+""",
+)
+def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: the global training-data order for one
+    epoch as a MANIFEST (doc_id -> position, shard) rather than a
+    materialized reshuffled copy of the corpus. Order = global rank of
+    ``md5(doc_id || ':epoch0')`` — a deterministic pseudo-random
+    permutation, so every re-run (and every straggler retry) sees the
+    byte-identical order, unlike ``orderBy(rand())``; the next epoch is
+    the same manifest with a different epoch tag. Shard = position mod
+    {EPOCH_SHARDS}, giving each data-loader rank an interleaved,
+    unbiased slice of the permutation.
+
+    Scale: the permutation is `operators/sampling.global_rank` over the
+    slim (doc_id, key) projection — range partition + per-partition
+    offsets, two bounded shuffles, no single-partition sort, and the
+    corpus text itself never moves (loaders fetch by manifest order)."""
+    from ..operators.sampling import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":epoch0"))
+            .cast("binary")
+        ).alias("k"),
+    )
+    ranked = global_rank(
+        keyed, [F.asc("k"), F.asc("doc_id")], rank_col="pos"
+    ).withColumn("pos", F.col("pos").cast("long"))
+    return ranked.select(
+        "doc_id", "pos", (F.col("pos") % EPOCH_SHARDS).cast("long").alias("shard")
+    )

@@ -77,6 +77,8 @@ EMPTY_SAFE_QUERIES = [
     "excess_loss_mixture_weights",
     "gopher_quality_rules",
     "leak_free_split",
+    "contamination_by_source",
+    "epoch_shuffle_manifest",
 ]
 
 

@@ -1502,3 +1502,68 @@ def test_leak_free_split_components_move_together(spark):
         else ("test" if b < VAL_PCT + TEST_PCT else "train")
     )
     assert sing["split"] == want
+
+
+def test_contamination_by_source_rollup(spark, tmp_path):
+    """Source rollup of the decon accounting: the source hosting planted
+    leaks reports exactly its doc/token tallies; clean sources report
+    zeros (present, not dropped); eval sources never appear."""
+    from log_analysis_system_spark.queries.dedup import (
+        SPAN_MIN_TOKENS,
+        q_contamination_by_source,
+    )
+
+    ev = [f"e{i}" for i in range(40)]
+    passage = ev[5:5 + SPAN_MIN_TOKENS]
+    fill = lambda tag, n: [f"{tag}{i}" for i in range(n)]
+    rows = [(100, " ".join(ev), "en", "src0", 0)]
+    # dirty source: 2 docs, one leaked (32 tokens, 12 contaminated)
+    rows.append((1, " ".join(fill("a", 10) + passage + fill("b", 10)),
+                 "en", "dirty", 0))
+    rows.append((2, " ".join(fill("c", 20)), "en", "dirty", 0))
+    # clean source: 5 docs (also keeps the eval slice under the
+    # DECON_MAX_EVAL_FRAC guard)
+    for i in range(3, 8):
+        rows.append((i, " ".join(fill(f"z{i}_", 25)), "en", "clean", 0))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["source"]: r for r in
+           q_contamination_by_source(spark, d).collect()}
+    assert set(got) == {"dirty", "clean"}
+    dd = got["dirty"]
+    assert (dd["n_docs"], dd["contaminated_docs"]) == (2, 1)
+    assert (dd["n_tokens"], dd["contaminated_tokens"]) == (52, 12)
+    assert dd["contaminated_ppm"] == 12 * 1_000_000 // 52
+    cc = got["clean"]
+    assert cc["n_docs"] == 5
+    assert (cc["contaminated_docs"], cc["contaminated_tokens"],
+            cc["contaminated_ppm"]) == (0, 0, 0)
+
+
+def test_epoch_shuffle_manifest_properties(spark):
+    """The epoch shuffle is a PERMUTATION (positions are exactly
+    0..N-1), deterministic across invocations, genuinely shuffled
+    (not id order), and shard-balanced to within one element."""
+    from collections import Counter
+
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()  # before the direct module import: sampling_extras has
+    # module-level oracles composed from dedup's registry entries
+    from log_analysis_system_spark.queries.sampling_extras import (
+        EPOCH_SHARDS,
+    )
+    a = QUERIES["epoch_shuffle_manifest"](spark, SF_DIR).collect()
+    b = QUERIES["epoch_shuffle_manifest"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n = len(a)
+    assert sorted(r["pos"] for r in a) == list(range(n))
+    by_pos = sorted(a, key=lambda r: r["pos"])
+    assert [r["doc_id"] for r in by_pos] != sorted(r["doc_id"] for r in a)
+    shards = Counter(r["shard"] for r in a)
+    assert len(shards) == EPOCH_SHARDS
+    assert max(shards.values()) - min(shards.values()) <= 1
