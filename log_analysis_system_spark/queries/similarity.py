@@ -2297,6 +2297,167 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------- persisted IVF-PQ index (build/serve)
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Index-build half of the IVF-PQ lifecycle: train the coarse
+    quantizer, train residual-PQ codebooks, and persist centroids +
+    codebooks + the coded corpus PARTITIONED BY CELL — so the serve
+    path's probe reads only its cells' files (partition pruning is the
+    on-disk form of the cell equi-join, the `build_ivf_index` layout
+    applied to 4x smaller rows: codes instead of raw vectors, plus the
+    full-precision columns for re-rank). Rebuild = overwrite (derived
+    data)."""
+    vecs = _quantized(spark, sf_dir)
+    cents = train_ivf_centroids(vecs)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = _ivf_assign_top1(vecs, cents)
+    resid = (
+        vecs.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("re"),
+            "e",
+            "nrm",
+        )
+    )
+    cb = train_pq_codebooks(resid.select("vec_id", F.col("re").alias("e")))
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    cb_rows = cb.collect()
+    if not cb_rows:
+        resid.select(
+            "cell_id",
+            "vec_id",
+            F.expr("CAST(array() AS array<int>)").alias("codes"),
+            "e",
+            "nrm",
+        ).write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{index_dir}/codes"
+        )
+        return
+    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
+    (
+        resid.withColumn("codes", F.expr(_pq_codes_expr(cb_sql, "re")))
+        .select("cell_id", "vec_id", "codes", "e", "nrm")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    n_probe: int = N_PROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Serve half: answer ANN queries from the PERSISTED IVF-PQ index
+    only — no training, no corpus rescan. Probe cells come from the
+    broadcast centroid file; the per-(query, cell) residual ADC lookup
+    tables are built in-plan from the stored codebooks (the same
+    bounded broadcast as the inline `ann_ivfpq_topk`); candidate codes
+    come from a partition-pruned read (``cell_id IN probe-set`` reaches
+    the parquet source as a partition filter); re-rank reads the stored
+    full-precision columns. queries_df: (vec_id, e) quantized query
+    vectors."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
+    q_rows = queries_df.select("vec_id", "e").collect()
+    empty = spark.createDataFrame(
+        [], "query_id bigint, neighbor_id bigint, cosine double, rnk bigint"
+    )
+    if not cb_rows or not q_rows:
+        return empty
+    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
+    qv = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["e"]]) for r in q_rows],
+        "query_id bigint, e array<bigint>",
+    ).withColumn("nrm", _norm("e"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cell_id"))
+    probes = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "cell_id",
+            "e",
+            "ce",
+            F.round(
+                _dot("e", "ce").cast("double")
+                / (
+                    F.sqrt(F.col("nrm").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                ),
+                6,
+            ).alias("aff"),
+        )
+        .withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= n_probe)
+        .withColumn("qres", F.expr("zip_with(e, ce, (x, y) -> x - y)"))
+        .select(
+            "query_id",
+            "cell_id",
+            F.expr(_pq_lut_expr(cb_sql, "qres")).alias("lut"),
+        )
+    )
+    probe_cells = sorted({r["cell_id"] for r in probes.select("cell_id").collect()})
+    store = spark.read.parquet(f"{index_dir}/codes").where(
+        F.col("cell_id").isin(probe_cells) if probe_cells else F.lit(False)
+    )
+    adist_expr = (
+        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> acc + element_at(element_at(lut, j + 1), "
+        f"element_at(codes, j + 1) + 1))"
+    )
+    scored = (
+        store.join(F.broadcast(probes), "cell_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", F.expr(adist_expr).alias("adist"))
+    )
+    pool = grouped_topn(
+        scored,
+        ["query_id"],
+        [F.asc("adist"), F.asc("vec_id")],
+        PQ_CAND,
+        keep_rank=False,
+    ).select("query_id", "vec_id")
+    nbr = store.select(
+        "vec_id", F.col("e").alias("ne"), F.col("nrm").alias("nn")
+    )
+    qfull = qv.select(
+        "query_id", F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    rer = (
+        F.broadcast(pool)
+        .join(nbr, "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot("qe", "ne").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return grouped_topn(
+        rer,
+        ["query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        top_k,
+        rank_col="rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
 # ---------------------------------------------- SQ8 scalar quantization
 
 SQ_LEVELS = 255      # 8-bit codes: 0..255 per dimension

@@ -1567,3 +1567,52 @@ def test_epoch_shuffle_manifest_properties(spark):
     shards = Counter(r["shard"] for r in a)
     assert len(shards) == EPOCH_SHARDS
     assert max(shards.values()) - min(shards.values()) <= 1
+
+
+def test_ivfpq_index_build_and_serve(spark, tmp_path):
+    """Persisted IVF-PQ lifecycle: serving the fixed query set from the
+    index alone (no retraining, no corpus rescan) must reproduce the
+    inline composition's quality exactly — recall@5 vs brute truth is
+    the same 34/50 the inline ann_ivfpq_topk measures, deterministic —
+    and the candidate read must be partition-PRUNED to the probed
+    cells."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.similarity import (
+        N_QUERIES,
+        _quantized,
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    load_all()
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(spark, SF_DIR, idx)
+    vecs = _quantized(spark, SF_DIR)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e")
+
+    served = search_ivfpq_index(spark, idx, queries)
+    rows = served.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(range(N_QUERIES))
+    assert all(len(v) == 5 for v in got.values())
+
+    truth = QUERIES["ann_brute_topk"](spark, SF_DIR).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    hits = sum(1 for t in truth if t["neighbor_id"] in got[t["query_id"]])
+    assert (hits, len(truth)) == (34, 50)  # == inline ann_ivfpq_topk
+
+    # determinism: a second serve is byte-identical
+    again = search_ivfpq_index(spark, idx, queries).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+    # the store read is partition-pruned to probed cells
+    store = spark.read.parquet(f"{idx}/codes").where(
+        F.col("cell_id").isin([0, 32])
+    )
+    plan = store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
