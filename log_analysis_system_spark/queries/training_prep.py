@@ -1023,3 +1023,171 @@ def q_excess_loss_mixture_weights(
             "weight_ppm"
         ),
     )
+
+
+# ------------------------------- linear quality discriminator (trained)
+
+QD_ROUNDS = 8
+QD_LR_DIV = 4_000_000   # step = sign(g) * ((|g| div N) div LR_DIV)
+QD_THRESH_NANO = 500_000_000  # predict target when score >= 0.5 (nano)
+
+# Shared integer milli-features (all in [0, 1000]; bias fixed at 1000):
+# capped length, stopword rate, alpha-word rate, capped mean word length.
+_QD_FEAT_SQL = """
+SELECT doc_id, source,
+       source IN {targets} AS y,
+       CAST(1000 AS BIGINT) AS x0,
+       CAST(least(len(toks), 200) * 5 AS BIGINT) AS x1,
+       CAST(len(list_filter(toks, t -> t IN {stops})) * 1000 // len(toks)
+            AS BIGINT) AS x2,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+            * 1000 // len(toks) AS BIGINT) AS x3,
+       CAST(least(length(array_to_string(toks, '')) * 100 // len(toks),
+                  1000) AS BIGINT) AS x4
+FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def _qd_oracle() -> str:
+    from .text_analysis import _STOP_IN_SQL
+
+    feat = _QD_FEAT_SQL.format(targets=_dsir_in_sql(), stops=_STOP_IN_SQL)
+    # sign-safe double floor-division of the gradient sum: both engines
+    # divide a NON-NEGATIVE magnitude, so trunc-vs-floor never differs.
+    upd = (
+        "CASE WHEN {s} >= 0 THEN ((({s}) // n) // " + str(QD_LR_DIV) + ") "
+        "ELSE -((((-({s})) // n) // " + str(QD_LR_DIV) + ")) END"
+    )
+    ctes = [
+        f"feat AS MATERIALIZED ({feat})",
+        "n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat)",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, "
+        "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, "
+        "CAST(0 AS BIGINT) AS w4)",
+    ]
+    for t in range(QD_ROUNDS):
+        ctes.append(
+            f"g{t} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"sum(f.x{j} * (f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2 "
+                f"+ f.x3 * w.w3 + f.x4 * w.w4 "
+                f"- CASE WHEN f.y THEN 1000000000 ELSE 0 END)) AS s{j}"
+                for j in range(5)
+            )
+            + f" FROM feat f CROSS JOIN w{t} w)"
+        )
+        ctes.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"w.w{j} - ({upd.format(s=f'g.s{j}')}) AS w{j}"
+                for j in range(5)
+            )
+            + f" FROM w{t} w CROSS JOIN g{t} g CROSS JOIN n1)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT f.doc_id, f.source, f.y AS is_target,
+       CAST(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3
+            + f.x4 * w.w4 AS BIGINT) AS score_nano,
+       CAST(f.x0 * w.w0 + f.x1 * w.w1 + f.x2 * w.w2 + f.x3 * w.w3
+            + f.x4 * w.w4 >= {QD_THRESH_NANO} AS BOOLEAN) AS predicted
+FROM feat f CROSS JOIN w{QD_ROUNDS} w
+"""
+
+
+def _qd_features(docs: DataFrame) -> DataFrame:
+    from .text_analysis import _EN_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).alias("y"),
+        F.lit(1000).cast("long").alias("x0"),
+        (F.least(F.size(toks), F.lit(200)) * 5).cast("long").alias("x1"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), t -> t IN ({stops}))) "
+            f"* 1000 div size(split(text, ' ')) AS BIGINT)"
+        ).alias("x2"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t rlike '[A-Za-z]')) "
+            "* 1000 div size(split(text, ' ')) AS BIGINT)"
+        ).alias("x3"),
+        F.expr(
+            "CAST(least(length(array_join(split(text, ' '), '')) * 100 "
+            "div size(split(text, ' ')), 1000) AS BIGINT)"
+        ).alias("x4"),
+    )
+
+
+def train_quality_discriminator(
+    feat: DataFrame, rounds: int = QD_ROUNDS, lr_div: int = QD_LR_DIV
+) -> list[int]:
+    """Train the 5-weight linear discriminator by EXACT integer batch
+    gradient descent: per round one 5-scalar aggregate (the bounded
+    per-round collect of the train_pq/train_ivf pattern), update
+    computed in exact Python ints. The linear-probability link (no
+    sigmoid) is the determinism trade: every gradient is a bigint sum
+    of err * feature products, so training is bit-identical across
+    engines and partitionings — ln/exp never enter. Divisions run on
+    NON-NEGATIVE magnitudes only (sign-split), so trunc-vs-floor
+    semantics can never diverge between engines. Returns the weight
+    vector (nano-score per milli-feature units)."""
+    cached = feat.select("y", "x0", "x1", "x2", "x3", "x4").localCheckpoint(
+        eager=False
+    )
+    n = cached.count()
+    w = [0] * 5
+    if n == 0:
+        return w
+    for _ in range(rounds):
+        z = " + ".join(f"x{j} * {w[j]}L" for j in range(5))
+        err = f"({z} - CASE WHEN y THEN 1000000000L ELSE 0L END)"
+        row = cached.select(
+            *[
+                F.expr(f"sum(x{j} * {err})").alias(f"s{j}")
+                for j in range(5)
+            ]
+        ).first()
+        for j in range(5):
+            s = int(row[f"s{j}"] or 0)
+            mag = (abs(s) // n) // lr_div
+            w[j] -= mag if s >= 0 else -mag
+    return w
+
+
+@query("quality_discriminator", oracle=_qd_oracle)
+def q_quality_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier — the CCNet/LLaMA-style
+    target-vs-raw discriminator (score docs by how much they look like
+    a curated reference slice), as a linear model trained with exact
+    integer gradient descent ({QD_ROUNDS} rounds, milli-unit rule
+    features, nano-unit scores). The linear-probability link replaces
+    fastText's logistic loss so that training, scoring, and the
+    decision boundary are all bigint arithmetic — bit-deterministic and
+    oracle-checkable (the DuckDB twin unrolls the {QD_ROUNDS} rounds as
+    MATERIALIZED CTEs, the k-means/unigram-LM pattern).
+
+    On the synthetic corpus the target sources are statistically
+    indistinguishable from the rest, so the learned boundary sits near
+    chance and predicts no positives — the honest outcome;
+    tests/test_operators.py plants a separable fixture and pins perfect
+    separation plus the exact weight vector. Scale: one feature
+    projection (zero-shuffle) + {QD_ROUNDS} x one 5-scalar aggregate;
+    the model is 5 ints; scoring is a codegen projection with literal
+    weights."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat = _qd_features(docs).localCheckpoint(eager=False)
+    w = train_quality_discriminator(feat)
+    score = " + ".join(f"x{j} * {w[j]}L" for j in range(5))
+    return feat.select(
+        "doc_id",
+        "source",
+        F.col("y").alias("is_target"),
+        F.expr(f"CAST({score} AS BIGINT)").alias("score_nano"),
+        F.expr(f"CAST({score} >= {QD_THRESH_NANO} AS BOOLEAN)").alias(
+            "predicted"
+        ),
+    )

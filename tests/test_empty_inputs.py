@@ -79,6 +79,7 @@ EMPTY_SAFE_QUERIES = [
     "leak_free_split",
     "contamination_by_source",
     "epoch_shuffle_manifest",
+    "quality_discriminator",
 ]
 
 

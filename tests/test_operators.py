@@ -1616,3 +1616,59 @@ def test_ivfpq_index_build_and_serve(spark, tmp_path):
     )
     plan = store._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_quality_discriminator_planted_separation(spark, tmp_path):
+    """Trained-classifier pin vs a PURE-PYTHON reference: on a planted
+    separable fixture (target docs long/stopword/alpha-rich vs short
+    digit-only raw docs) the integer-GD discriminator must separate
+    perfectly at the 0.5 boundary, and every score must equal the
+    reference implementation's exact integers bit-for-bit."""
+    from log_analysis_system_spark.queries.training_prep import (
+        QD_LR_DIV,
+        QD_ROUNDS,
+        QD_THRESH_NANO,
+        q_quality_discriminator,
+    )
+
+    # target docs: 150 words = 30x'the' + 105x5-char + 15x4-char alpha
+    t_text = " ".join(["the"] * 30 + ["abcde"] * 105 + ["abcd"] * 15)
+    # raw docs: 20 digit words, 50 chars
+    r_text = " ".join(["12"] * 10 + ["123"] * 10)
+    rows = [(i, t_text, "en", "src2" if i % 2 else "src3", 0)
+            for i in range(10)]
+    rows += [(i, r_text, "en", "src7", 0) for i in range(10, 50)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # independent reference: exact integer batch GD on the known features
+    feats = [(1, [1000, 750, 200, 1000, 450])] * 10 + [
+        (0, [1000, 100, 0, 0, 250])
+    ] * 40
+    n = len(feats)
+    w = [0] * 5
+    for _ in range(QD_ROUNDS):
+        g = [0] * 5
+        for y, x in feats:
+            z = sum(x[j] * w[j] for j in range(5))
+            err = z - y * 10**9
+            for j in range(5):
+                g[j] += x[j] * err
+        for j in range(5):
+            mag = (abs(g[j]) // n) // QD_LR_DIV
+            w[j] -= mag if g[j] >= 0 else -mag
+    exp_t = sum(a * b for a, b in zip([1000, 750, 200, 1000, 450], w))
+    exp_r = sum(a * b for a, b in zip([1000, 100, 0, 0, 250], w))
+    assert exp_t >= QD_THRESH_NANO > exp_r  # the fixture separates
+
+    got = {r["doc_id"]: r for r in
+           q_quality_discriminator(spark, d).collect()}
+    for i in range(10):
+        assert got[i]["is_target"] and got[i]["predicted"]
+        assert got[i]["score_nano"] == exp_t
+    for i in range(10, 50):
+        assert not got[i]["is_target"] and not got[i]["predicted"]
+        assert got[i]["score_nano"] == exp_r
