@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "decontaminate_scrub",
     "ann_ivfpq_topk",
     "pq_index_refresh",
+    # round-6 post-battery additions (pins in the BASELINE.md addendum)
+    "ann_sq8_topk",
+    "dsir_importance_resample",
+    "perplexity_band_filter",
+    "quality_discriminator",
+    "leak_free_split",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

@@ -153,3 +153,52 @@ def curate_doc_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def gopher_rules_expr(text_col: str = "text") -> F.Column:
+    """Streaming twin of the batch `gopher_quality_rules` screen: the
+    five Gopher rule verdicts + their conjunction as ONE stateless
+    struct projection (rules are per-row facts, so the stream operator
+    is a pure map — no state, no watermark; thresholds and integer
+    cross-product comparisons are imported from the batch query so the
+    two tiers can never drift apart). Attach with
+    ``.withColumn("rules", gopher_rules_expr())`` before the stateful
+    curation stage and gate on ``rules.pass``."""
+    from ..queries.text_analysis import (
+        _EN_STOPWORDS,
+        GOPHER_ALPHA_MIN_PPM,
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_SYMBOL_MAX_PPM,
+    )
+
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.array_join(toks, "")).cast("long")
+    n_symbol = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    ).cast("long")
+    r_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_len = (n_chars >= GOPHER_MIN_MEAN_LEN * n_words) & (
+        n_chars <= GOPHER_MAX_MEAN_LEN * n_words
+    )
+    r_sym = n_symbol * 1_000_000 <= GOPHER_SYMBOL_MAX_PPM * n_words
+    r_alpha = n_alpha * 1_000_000 >= GOPHER_ALPHA_MIN_PPM * n_words
+    r_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return F.struct(
+        r_wc.alias("rule_word_count"),
+        r_len.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_alpha.alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        (r_wc & r_len & r_sym & r_alpha & r_stop).alias("pass"),
+    )
