@@ -2595,6 +2595,143 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- dimension-truncation (MRL) audit
+
+MRL_DIMS = (16, 32, 64)   # prefix lengths audited (64 = full = recall 1.0)
+
+
+@query(
+    "matryoshka_recall_audit",
+    oracle=f"""
+WITH {_FLAT_CTE},
+tdots AS (
+    SELECT k.k, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           sum(CASE WHEN a.i <= k.k THEN a.v * b.v ELSE 0 END) AS dot,
+           sum(CASE WHEN a.i <= k.k THEN a.v * a.v ELSE 0 END) AS qn,
+           sum(CASE WHEN a.i <= k.k THEN b.v * b.v ELSE 0 END) AS nn
+    FROM flat a
+    JOIN flat b ON a.i = b.i AND a.vec_id < {N_QUERIES}
+                AND a.vec_id <> b.vec_id
+    CROSS JOIN (SELECT unnest(ARRAY{list(MRL_DIMS)}) AS k) k
+    GROUP BY 1, 2, 3
+),
+tranked AS (
+    SELECT k, query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY k, query_id
+               ORDER BY round(CAST(dot AS DOUBLE)
+                              / (sqrt(CAST(qn AS DOUBLE))
+                                 * sqrt(CAST(nn AS DOUBLE))), 6) DESC,
+                        neighbor_id) AS rnk
+    FROM tdots
+),
+truth AS (
+    SELECT query_id, neighbor_id FROM tranked
+    WHERE k = {N_DIMS} AND rnk <= {TOP_K}
+),
+hits AS (
+    SELECT t.k,
+           CAST(count(*) FILTER (WHERE r.rnk IS NOT NULL) AS BIGINT) AS hit,
+           CAST(count(*) AS BIGINT) AS total
+    FROM (SELECT k.k, tr.query_id, tr.neighbor_id
+          FROM truth tr
+          CROSS JOIN (SELECT unnest(ARRAY{list(MRL_DIMS)}) AS k) k) t
+    LEFT JOIN (SELECT k, query_id, neighbor_id, rnk FROM tranked
+               WHERE rnk <= {TOP_K}) r
+      ON r.k = t.k AND r.query_id = t.query_id
+     AND r.neighbor_id = t.neighbor_id
+    GROUP BY t.k
+)
+SELECT k AS dims, hit AS hits, total,
+       CAST(hit * 1000000 // total AS BIGINT) AS recall_ppm
+FROM hits
+""",
+)
+def q_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval audit (the Matryoshka question —
+    Kusupati et al. 2022, public): if the index stored only the first k
+    of {N_DIMS} embedding dims, what fraction of the full-dimension
+    top-{TOP_K} would prefix-k cosine search still retrieve? One row
+    per k in {MRL_DIMS} with EXACT integer hits/total and recall in ppm
+    — a full value-hash oracle (no trained state, unlike the
+    PQ/IVF verdict rows), so the entire ranking pipeline is
+    hash-checked at every k. This is the measurement that decides
+    whether a 4x cheaper truncated index is safe to serve, the same
+    storage-vs-recall decision SQ8/PQ make by quantization.
+
+    Determinism: prefix dot products and norms are exact bigints
+    (slice + zip_with fold); one double division + round(6) per pair at
+    the ranking edge; asc-id ties. Scale: the pairwise kernel is the
+    brute audit-tier shape (bounded query set broadcast against the
+    corpus — the same contract as `ann_brute_topk`/`lsh_recall_audit`);
+    per-k work shares the single corpus scan via the unpivoted k
+    column."""
+    vecs = _quantized(spark, sf_dir)
+    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    ks = spark.createDataFrame([(k,) for k in MRL_DIMS], "k int")
+    pairs = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+        .crossJoin(F.broadcast(qv))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(slice(qe, 1, k), slice(ne, 1, k), "
+                "(x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(slice(qe, 1, k), CAST(0 AS BIGINT), "
+                "(a, v) -> a + v * v)"
+            ).alias("qn"),
+            F.expr(
+                "aggregate(slice(ne, 1, k), CAST(0 AS BIGINT), "
+                "(a, v) -> a + v * v)"
+            ).alias("nn"),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    ranked = grouped_topn(
+        pairs.select("k", "query_id", "neighbor_id", "cosine"),
+        ["k", "query_id"],
+        [F.desc("cosine"), F.asc("neighbor_id")],
+        TOP_K,
+        keep_rank=False,
+    )
+    truth = ranked.where(F.col("k") == N_DIMS).select(
+        "query_id", "neighbor_id"
+    )
+    marked = (
+        truth.crossJoin(F.broadcast(ks))
+        .join(
+            ranked.select("k", "query_id", "neighbor_id", F.lit(1).alias("hit")),
+            ["k", "query_id", "neighbor_id"],
+            "left",
+        )
+    )
+    return marked.groupBy(F.col("k").cast("long").alias("dims")).agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.expr(
+            "CAST(sum(coalesce(hit, 0)) * 1000000 div count(1) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 # ------------------------------------------- hybrid retrieval (RRF fusion)
 
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant

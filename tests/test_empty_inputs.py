@@ -80,6 +80,7 @@ EMPTY_SAFE_QUERIES = [
     "contamination_by_source",
     "epoch_shuffle_manifest",
     "quality_discriminator",
+    "matryoshka_recall_audit",
 ]
 
 

@@ -1672,3 +1672,30 @@ def test_quality_discriminator_planted_separation(spark, tmp_path):
     for i in range(10, 50):
         assert not got[i]["is_target"] and not got[i]["predicted"]
         assert got[i]["score_nano"] == exp_r
+
+
+def test_matryoshka_recall_audit_invariants(spark):
+    """Truncation audit invariants: the full-dimension row is a perfect
+    1.0 by construction (it IS the truth), recall is monotonically
+    non-decreasing in prefix length, and totals equal N_QUERIES*TOP_K."""
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.similarity import (
+        MRL_DIMS,
+        N_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    load_all()
+    rows = {
+        r["dims"]: r
+        for r in QUERIES["matryoshka_recall_audit"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(MRL_DIMS)
+    full = rows[N_DIMS]
+    assert (full["hits"], full["total"], full["recall_ppm"]) == (
+        N_QUERIES * TOP_K, N_QUERIES * TOP_K, 1_000_000,
+    )
+    ordered = [rows[k]["recall_ppm"] for k in sorted(rows)]
+    assert ordered == sorted(ordered)
+    assert all(rows[k]["total"] == N_QUERIES * TOP_K for k in rows)
