@@ -685,3 +685,101 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("header_c").alias("header_total_c"),
         F.sum("line_total_c").alias("detail_total_c"),
     )
+
+
+# ------------------------------------------ robust (MAD) outlier days
+
+MAD_K = 3  # flag when |x - median| > K * MAD (the classic robust z ~ 3)
+
+
+@query(
+    "mad_outlier_days",
+    oracle=f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM orders GROUP BY 1
+),
+r1 AS (
+    SELECT day, revenue_c,
+           row_number() OVER (ORDER BY revenue_c, day) AS rn,
+           count(*) OVER () AS n
+    FROM daily
+),
+med AS (
+    SELECT max(revenue_c) AS m FROM r1 WHERE rn <= (n + 1) // 2
+),
+dev AS (
+    SELECT day, revenue_c, abs(revenue_c - med.m) AS d, med.m
+    FROM daily CROSS JOIN med
+),
+r2 AS (
+    SELECT d, row_number() OVER (ORDER BY d, day) AS rn, count(*) OVER () AS n
+    FROM dev
+),
+mad AS (SELECT max(d) AS mad FROM r2 WHERE rn <= (n + 1) // 2)
+SELECT dev.day, dev.revenue_c,
+       CAST(dev.m AS BIGINT) AS median_c,
+       CAST(dev.d AS BIGINT) AS abs_dev_c,
+       CAST(mad.mad AS BIGINT) AS mad_c,
+       CAST(dev.d > {MAD_K} * mad.mad AS BOOLEAN) AS is_outlier
+FROM dev CROSS JOIN mad
+""",
+)
+def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on the daily revenue series:
+    median/MAD instead of mean/stddev, so a single broken day cannot
+    inflate its own detection threshold (the breakdown-point argument
+    that makes MAD the standard DQ monitor statistic). A day is flagged
+    when |revenue - median| > {MAD_K} * MAD.
+
+    Exactness recipe: the median is the DISCRETE order statistic (the
+    ((n+1) div 2)-th smallest, ties broken by day) computed via
+    `global_rank` — no interpolation, no float percentile, so both
+    engines agree on the exact cents value; MAD is the same statistic
+    over integer absolute deviations; the flag compares bigints.
+
+    Scale: day-grain aggregate (bounded by calendar span, not corpus),
+    two global_rank passes over the slim (value, day) projection + two
+    1-row broadcast scalars — never a single-partition window over
+    data-sized input."""
+    from ..operators.sampling import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("revenue_c")
+    )
+    r1 = global_rank(
+        daily, [F.asc("revenue_c"), F.asc("day")], rank_col="rn"
+    )
+    n1 = daily.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        r1.crossJoin(F.broadcast(n1))
+        .where(F.col("rn") + 1 <= (F.col("n") + 1) / 2)
+        .agg(F.max("revenue_c").alias("m"))
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "revenue_c",
+        F.col("m"),
+        F.abs(F.col("revenue_c") - F.col("m")).alias("d"),
+    )
+    r2 = global_rank(
+        dev.select("day", "d"), [F.asc("d"), F.asc("day")], rank_col="rn"
+    )
+    mad = (
+        r2.crossJoin(F.broadcast(n1))
+        .where(F.col("rn") + 1 <= (F.col("n") + 1) / 2)
+        .agg(F.max("d").alias("mad"))
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "revenue_c",
+        F.col("m").cast("long").alias("median_c"),
+        F.col("d").cast("long").alias("abs_dev_c"),
+        F.col("mad").cast("long").alias("mad_c"),
+        (F.col("d") > MAD_K * F.col("mad")).alias("is_outlier"),
+    )

@@ -81,6 +81,7 @@ EMPTY_SAFE_QUERIES = [
     "epoch_shuffle_manifest",
     "quality_discriminator",
     "matryoshka_recall_audit",
+    "mad_outlier_days",
 ]
 
 

@@ -1699,3 +1699,44 @@ def test_matryoshka_recall_audit_invariants(spark):
     ordered = [rows[k]["recall_ppm"] for k in sorted(rows)]
     assert ordered == sorted(ordered)
     assert all(rows[k]["total"] == N_QUERIES * TOP_K for k in rows)
+
+
+def test_mad_outlier_days_planted(spark, tmp_path):
+    """MAD robustness pin: with 9 ordinary days and one 100x spike, the
+    spike must be the only flagged day, and — the breakdown-point
+    property mean/stddev lacks — the median/MAD must be computed from
+    the ordinary days, unmoved by the spike."""
+    import datetime
+
+    from log_analysis_system_spark.queries.data_quality import (
+        q_mad_outlier_days,
+    )
+
+    rows = []
+    oid = 0
+    for d in range(9):  # days 1..9: totals 100.00 + d (cents 10000+100d)
+        rows.append(
+            (oid, 1, "O", float(100 + d), datetime.date(2024, 1, 1 + d),
+             "1-URGENT", "c", 0, "x")
+        )
+        oid += 1
+    rows.append(
+        (oid, 1, "O", 10000.0, datetime.date(2024, 1, 10),
+         "1-URGENT", "c", 0, "x")
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string, "
+        "o_clerk string, o_shippriority long, o_comment string",
+    ).write.parquet(f"{d}/orders.parquet")
+
+    got = {r["day"]: r for r in q_mad_outlier_days(spark, d).collect()}
+    assert len(got) == 10
+    spike = got[datetime.date(2024, 1, 10)]
+    assert spike["is_outlier"] and spike["revenue_c"] == 1_000_000
+    # median = 5th smallest of 10 = day 5's 10400c; MAD from ordinary days
+    assert spike["median_c"] == 10_400
+    assert spike["mad_c"] == 200
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
