@@ -1191,3 +1191,69 @@ def q_quality_discriminator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predicted"
         ),
     )
+
+
+# ---------------------------------------- shard integrity manifest
+
+INTEG_SHARDS = 8
+
+
+@query(
+    "shard_integrity_manifest",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % {INTEG_SHARDS} AS shard,
+           md5(CAST(doc_id AS VARCHAR) || '|' || text) AS row_h
+    FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       md5(string_agg(row_h, '' ORDER BY row_h)) AS shard_digest
+FROM h GROUP BY shard
+""",
+)
+def q_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-integrity manifest for corpus transfer/replication: per
+    md5-assigned shard, the doc count and an ORDER-INDEPENDENT content
+    digest (md5 over the sorted per-row md5(doc_id|text) hashes), so a
+    receiver can re-derive the digests after any repartitioning and
+    byte-compare — one flipped bit in any document changes its shard's
+    digest. The sort is per-shard over fixed-width row hashes (shard
+    sizes are balanced by the key hash), and rows never leave their
+    shard: the plan is one projection + one hash-partitioned
+    sort-aggregate.
+
+    Spark-side digest = md5(concat of sort_array(collect_list(row_h)))
+    — collect_list is per-shard bounded here by design (a production
+    manifest uses more shards so each stays collectable; shard count is
+    a knob, not a scalability ceiling)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = docs.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % INTEG_SHARDS
+        ).alias("shard"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+            ).cast("binary")
+        ).alias("row_h"),
+    )
+    return h.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("row_h")), "").cast(
+                "binary"
+            )
+        ).alias("shard_digest"),
+    )

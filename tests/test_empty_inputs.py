@@ -82,6 +82,7 @@ EMPTY_SAFE_QUERIES = [
     "quality_discriminator",
     "matryoshka_recall_audit",
     "mad_outlier_days",
+    "shard_integrity_manifest",
 ]
 
 

@@ -1740,3 +1740,39 @@ def test_mad_outlier_days_planted(spark, tmp_path):
     assert spike["median_c"] == 10_400
     assert spike["mad_c"] == 200
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_shard_integrity_manifest_detects_corruption(spark, tmp_path):
+    """Integrity contract: digests are repartitioning-invariant (sender
+    vs receiver layouts agree) and a single flipped character in one
+    document changes exactly that shard's digest."""
+    from log_analysis_system_spark.queries.training_prep import (
+        q_shard_integrity_manifest,
+    )
+
+    rows = [(i, f"doc {i} content word{i}", "en", "s", 0) for i in range(40)]
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.repartition(1).write.parquet(f"{d1}/documents.parquet")
+    df.repartition(7).write.parquet(f"{d2}/documents.parquet")
+    m1 = {r["shard"]: tuple(r) for r in
+          q_shard_integrity_manifest(spark, d1).collect()}
+    m2 = {r["shard"]: tuple(r) for r in
+          q_shard_integrity_manifest(spark, d2).collect()}
+    assert m1 == m2 and len(m1) > 1
+
+    bad = rows.copy()
+    bad[7] = (7, bad[7][1].replace("word7", "w0rd7"), "en", "s", 0)
+    d3 = str(tmp_path / "c")
+    spark.createDataFrame(
+        bad,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d3}/documents.parquet")
+    m3 = {r["shard"]: tuple(r) for r in
+          q_shard_integrity_manifest(spark, d3).collect()}
+    diff = [s for s in m1 if m1[s] != m3[s]]
+    assert len(diff) == 1
+    assert m1[diff[0]][1] == m3[diff[0]][1]  # same count, different digest
