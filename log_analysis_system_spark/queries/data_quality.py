@@ -783,3 +783,66 @@ def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("long").alias("mad_c"),
         (F.col("d") > MAD_K * F.col("mad")).alias("is_outlier"),
     )
+
+
+# ------------------------------------- entity resolution (blocked fuzzy)
+
+ER_MAX_DIST = 1   # unit-cost Levenshtein threshold within a block
+
+
+@query(
+    "fuzzy_customer_pairs",
+    oracle=f"""
+WITH c AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_DIST}
+""",
+)
+def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution, the classic blocked-fuzzy-match shape: find
+    probable duplicate CUSTOMER records by unit-cost Levenshtein
+    distance <= {ER_MAX_DIST} on the name — but only WITHIN a blocking
+    key (nation, market segment), which is what makes the quadratic
+    string-distance kernel tractable: candidate pairs are an equi-join
+    on the block key, never a corpus cross join, and per-block volume
+    is (corpus/blocks)^2 — the same candidate-bounding contract as the
+    LSH band join, with the block key as the "band". Both engines
+    implement standard unit-cost Levenshtein, so distances are exact
+    integers and the pair set hashes identically.
+
+    Scale: block key cardinality is the knob (add name-prefix or
+    phonetic buckets to subdivide hot blocks — exactly how production
+    ER systems handle skew); the edit-distance evaluation itself is a
+    codegen scalar inside the joined row."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .where(F.col("dist") <= ER_MAX_DIST)
+        .select("cust_a", "cust_b", "name_a", "name_b", "dist")
+    )

@@ -83,6 +83,7 @@ EMPTY_SAFE_QUERIES = [
     "matryoshka_recall_audit",
     "mad_outlier_days",
     "shard_integrity_manifest",
+    "fuzzy_customer_pairs",
 ]
 
 

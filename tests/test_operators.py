@@ -1776,3 +1776,32 @@ def test_shard_integrity_manifest_detects_corruption(spark, tmp_path):
     diff = [s for s in m1 if m1[s] != m3[s]]
     assert len(diff) == 1
     assert m1[diff[0]][1] == m3[diff[0]][1]  # same count, different digest
+
+
+def test_fuzzy_customer_pairs_blocking_semantics(spark, tmp_path):
+    """ER pin: within a block, names at distance <= 1 pair (exact dist
+    reported); distance-2 names do not; identical names in DIFFERENT
+    blocks (other nation or segment) never pair — blocking is the
+    candidate bound, not a soft preference."""
+    from log_analysis_system_spark.queries.data_quality import (
+        q_fuzzy_customer_pairs,
+    )
+
+    rows = [
+        (1, "Customer#0001", "a", 1, "p", 1.0, "BUILDING", "x"),
+        (2, "Customer#0002", "a", 1, "p", 1.0, "BUILDING", "x"),  # d1 -> pair
+        (3, "Customer#0033", "a", 1, "p", 1.0, "BUILDING", "x"),  # d2 -> no
+        (4, "Customer#0001", "a", 2, "p", 1.0, "BUILDING", "x"),  # other nation
+        (5, "Customer#0001", "a", 1, "p", 1.0, "MACHINERY", "x"),  # other seg
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_address string, c_nationkey long, "
+        "c_phone string, c_acctbal double, c_mktsegment string, "
+        "c_comment string",
+    ).write.parquet(f"{d}/customer.parquet")
+
+    got = {(r["cust_a"], r["cust_b"]): r["dist"]
+           for r in q_fuzzy_customer_pairs(spark, d).collect()}
+    assert got == {(1, 2): 1}
