@@ -1263,3 +1263,85 @@ def q_sequence_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# ------------------------------------- sequential patterns (top triples)
+
+TRIPLE_MIN_SUPPORT = 2  # distinct users that must exhibit the pattern
+TRIPLE_TOP = 20
+
+
+@query(
+    "frequent_event_triples",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type, 1) OVER w AS b,
+           lead(event_type, 2) OVER w AS c
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sup AS (
+    SELECT a, b, c,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE c IS NOT NULL
+    GROUP BY a, b, c
+)
+SELECT a, b, c, n_occurrences, n_users,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY n_users DESC, n_occurrences DESC, a, b, c) AS rnk
+    FROM sup WHERE n_users >= {TRIPLE_MIN_SUPPORT}
+) WHERE rnk <= {TRIPLE_TOP}
+""",
+)
+def q_frequent_event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, the contiguous length-3 tier: the
+    top-{TRIPLE_TOP} consecutive event-type TRIPLES ranked by
+    distinct-user support (then occurrences, then lexicographic) — the
+    step past `event_transitions`' first-order edges toward the path
+    motifs a funnel designer actually reads ("view → cart → pay" as one
+    unit). Support counted in distinct users so one bot looping a path
+    cannot promote it (the same robustness argument as
+    `bot_regularity_score`).
+
+    Scale: one per-user ordered window pass emits the triples
+    (lead x2, no self-joins — contiguous PrefixSpan-lite); support is a
+    hash-agg on the triple; the final top-{TRIPLE_TOP} is a
+    TakeOrderedAndProject heap, never a global sort."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("c").isNotNull())
+    sup = s.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).where(F.col("n_users") >= TRIPLE_MIN_SUPPORT)
+    top = (
+        sup.orderBy(
+            F.desc("n_users"), F.desc("n_occurrences"),
+            F.asc("a"), F.asc("b"), F.asc("c"),
+        )
+        .limit(TRIPLE_TOP)
+    )
+    from ..operators.sampling import global_rank
+
+    return global_rank(
+        top,
+        [F.desc("n_users"), F.desc("n_occurrences"),
+         F.asc("a"), F.asc("b"), F.asc("c")],
+        rank_col="rnk",
+    ).select(
+        "a", "b", "c", "n_occurrences", "n_users",
+        (F.col("rnk") + 1).cast("long").alias("rnk"),
+    )

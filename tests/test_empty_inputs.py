@@ -84,6 +84,7 @@ EMPTY_SAFE_QUERIES = [
     "mad_outlier_days",
     "shard_integrity_manifest",
     "fuzzy_customer_pairs",
+    "frequent_event_triples",
 ]
 
 

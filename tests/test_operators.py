@@ -1805,3 +1805,50 @@ def test_fuzzy_customer_pairs_blocking_semantics(spark, tmp_path):
     got = {(r["cust_a"], r["cust_b"]): r["dist"]
            for r in q_fuzzy_customer_pairs(spark, d).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_frequent_event_triples_support_semantics(spark, tmp_path):
+    """Sequence-mining pin: a path shared by 3 users ranks above one a
+    single bot loops 50 times (distinct-user support, not occurrence
+    count, is the first key); sub-support patterns are excluded; ranks
+    are contiguous from 1."""
+    import datetime
+
+    from log_analysis_system_spark.queries.behavior import (
+        q_frequent_event_triples,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(user, seq, repeat=1):
+        nonlocal eid
+        for r in range(repeat):
+            for i, et in enumerate(seq):
+                rows.append(
+                    (eid, user,
+                     base + datetime.timedelta(seconds=eid),
+                     et, "s1", "p1", 1.0)
+                )
+                eid += 1
+
+    for u in (1, 2, 3):
+        add(u, ["view", "cart", "pay"])
+    add(9, ["spin", "spin", "spin"], repeat=50)   # bot loop: 1 user
+    add(4, ["x", "y", "z"])                       # support 1 -> excluded
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "session_id string, page_id string, value double",
+    ).write.parquet(f"{d}/events.parquet")
+
+    got = q_frequent_event_triples(spark, d).collect()
+    ranked = sorted(got, key=lambda r: r["rnk"])
+    assert (ranked[0]["a"], ranked[0]["b"], ranked[0]["c"]) == (
+        "view", "cart", "pay",
+    )
+    assert ranked[0]["n_users"] == 3
+    assert all((r["a"], r["b"], r["c"]) != ("x", "y", "z") for r in got)
+    assert [r["rnk"] for r in ranked] == list(range(1, len(got) + 1))
