@@ -1299,3 +1299,144 @@ def q_hll_intersection_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(HLL_INTER_TOL_PPM) * F.col("exact_union")
         ).alias("inter_within_tol"),
     )
+
+
+# ------------------------------------------- Bloom filter membership audit
+
+BLOOM_M = 4096   # filter bits
+BLOOM_K = 3      # hash positions per key (md5 hex slices -> exact ints)
+
+
+@query(
+    "bloom_membership_audit",
+    oracle=f"""
+WITH tw AS (
+    SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        WHERE source NOT IN ('src0', 'src1')
+    ) WHERE word <> ''
+),
+ew AS (
+    SELECT DISTINCT word FROM (
+        SELECT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            WHERE source IN ('src0', 'src1'))
+        UNION ALL
+        SELECT reverse(word) FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            WHERE source IN ('src0', 'src1'))
+    ) WHERE word <> ''
+),
+tpos AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(word), 1 + i * 4, 4)) AS BIGINT)
+               % {BLOOM_M} AS p
+    FROM tw CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+),
+probe AS (
+    SELECT e.word,
+           CAST(('0x' || substr(md5(e.word), 1 + k.i * 4, 4)) AS BIGINT)
+               % {BLOOM_M} AS p
+    FROM ew e CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) k
+),
+hits AS (
+    SELECT pr.word,
+           CAST(count(*) FILTER (WHERE t.p IS NOT NULL) = {BLOOM_K}
+                AS BOOLEAN) AS bloom_hit
+    FROM probe pr LEFT JOIN tpos t ON t.p = pr.p
+    GROUP BY pr.word
+),
+truth AS (
+    SELECT h.word, h.bloom_hit, tw.word IS NOT NULL AS is_member
+    FROM hits h LEFT JOIN tw ON tw.word = h.word
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS true_members,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS bloom_hits,
+       CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       CAST(sum(CASE WHEN NOT bloom_hit AND is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_negatives,
+       CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+            * 1000000
+            // greatest(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS fpr_ppm
+FROM truth
+""",
+)
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, audited against exact truth (the
+    sketch-family protocol of `lsh_recall_audit`/`hll_*`): build a
+    {BLOOM_M}-bit / {BLOOM_K}-hash Bloom filter over the TRAIN
+    vocabulary, probe every EVAL-slice word, and report measured
+    hits / false positives / FPR in ppm — with the structural guarantee
+    pinned that FALSE NEGATIVES are impossible (a Bloom filter never
+    loses a member). This is the pre-filter a 100 TB anti-join uses to
+    skip shuffling keys that cannot match (Spark's own runtime bloom
+    pushdown, made inspectable).
+
+    Engine-exact recipe: hash positions are md5 hex slices cast to
+    ints (identical bytes both engines — the `dsir` bucket move, three
+    slices per key), the filter is the DISTINCT set of set positions
+    (at most {BLOOM_M} rows — a broadcastable relation standing in for
+    the packed bitset), and a probe hits iff all {BLOOM_K} of its
+    positions join. Counts and the ppm rate are exact integers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .training_prep import EVAL_SOURCES
+
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    words = docs.select(
+        is_eval.alias("ev"), F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    tw = words.where(~F.col("ev")).select("word").distinct()
+    # probe universe: eval words (mostly members) plus their reversals
+    # (mostly absent) — the audit needs non-member probes or the FPR has
+    # no denominator
+    ev_w = words.where(F.col("ev")).select("word")
+    ew = ev_w.unionByName(
+        ev_w.select(F.reverse("word").alias("word"))
+    ).where(F.col("word") != "").distinct()
+    ks = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    pos_expr = (
+        f"CAST(conv(substring(md5(CAST(word AS BINARY)), 1 + i * 4, 4), "
+        f"16, 10) AS BIGINT) % {BLOOM_M}"
+    )
+    tpos = (
+        tw.crossJoin(F.broadcast(ks))
+        .select(F.expr(pos_expr).alias("p"))
+        .distinct()
+    )
+    probe = ew.crossJoin(F.broadcast(ks)).select(
+        "word", F.expr(pos_expr).alias("p")
+    )
+    hits = (
+        probe.join(
+            F.broadcast(tpos.withColumn("set_bit", F.lit(1))), "p", "left"
+        )
+        .groupBy("word")
+        .agg(
+            (F.sum(F.coalesce("set_bit", F.lit(0))) == BLOOM_K).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    truth = hits.join(
+        tw.withColumn("is_member", F.lit(True)), "word", "left"
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("true_members"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("is_member")).cast("long")).alias(
+            "false_positives"
+        ),
+        F.sum((~F.col("bloom_hit") & F.col("is_member")).cast("long")).alias(
+            "false_negatives"
+        ),
+        F.expr(
+            "CAST(sum(CAST(bloom_hit AND NOT is_member AS BIGINT)) * 1000000 "
+            "div greatest(sum(CAST(NOT is_member AS BIGINT)), 1) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )

@@ -85,6 +85,7 @@ EMPTY_SAFE_QUERIES = [
     "shard_integrity_manifest",
     "fuzzy_customer_pairs",
     "frequent_event_triples",
+    "bloom_membership_audit",
 ]
 
 

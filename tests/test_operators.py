@@ -1852,3 +1852,30 @@ def test_frequent_event_triples_support_semantics(spark, tmp_path):
     assert ranked[0]["n_users"] == 3
     assert all((r["a"], r["b"], r["c"]) != ("x", "y", "z") for r in got)
     assert [r["rnk"] for r in ranked] == list(range(1, len(got) + 1))
+
+
+def test_bloom_membership_audit_properties(spark, tmp_path):
+    """Bloom structural pins: false negatives are IMPOSSIBLE (every
+    member probe hits), and a saturated filter (3000-word train vocab
+    against 4096 bits, ~89% fill) must show measurable false positives
+    on non-member probes — the sketch trades exactly this way."""
+    from log_analysis_system_spark.queries.olap_extras import (
+        q_bloom_membership_audit,
+    )
+
+    train_words = [f"tr{i}word" for i in range(3000)]
+    eval_words = train_words[:40] + [f"ev{i}only" for i in range(60)]
+    rows = [(1, " ".join(train_words), "en", "src5", 0),
+            (2, " ".join(eval_words), "en", "src0", 0)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    r = q_bloom_membership_audit(spark, d).collect()[0]
+    assert r["false_negatives"] == 0          # structural guarantee
+    assert r["true_members"] == 40
+    assert r["n_probes"] > 100                # words + reversals
+    assert r["false_positives"] > 0           # saturated filter must FP
+    assert r["fpr_ppm"] > 0
