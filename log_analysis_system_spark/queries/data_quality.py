@@ -846,3 +846,102 @@ def q_fuzzy_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= ER_MAX_DIST)
         .select("cust_a", "cust_b", "name_a", "name_b", "dist")
     )
+
+
+# --------------------------------------- cross-modal integrity checks
+
+EMB_DIMS_EXPECTED = 64
+
+
+@query(
+    "modality_integrity_checks",
+    oracle=f"""
+SELECT 'docs_without_embedding' AS check_name,
+       (SELECT count(*) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                          WHERE e.vec_id = d.doc_id)) AS n_violations
+UNION ALL
+SELECT 'embeddings_without_doc',
+       (SELECT count(*) FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d
+                          WHERE d.doc_id = e.vec_id))
+UNION ALL
+SELECT 'duplicate_vec_id',
+       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        (SELECT count(*) AS c FROM embeddings GROUP BY vec_id))
+UNION ALL
+SELECT 'wrong_dimension',
+       (SELECT count(*) FROM embeddings
+        WHERE len(embedding) <> {EMB_DIMS_EXPECTED})
+UNION ALL
+SELECT 'zero_vector',
+       (SELECT count(*) FROM embeddings
+        WHERE NOT EXISTS (SELECT 1 FROM (SELECT unnest(embedding) AS v)
+                          WHERE v <> 0))
+""",
+)
+def q_modality_integrity_checks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-MODAL referential integrity — the `dq_checks` contract
+    applied across the text/embedding join that every similarity and
+    hybrid-retrieval operator silently assumes: docs lacking an
+    embedding row (they vanish from ANN results without error),
+    orphaned embeddings, duplicate vector keys (they double-count in
+    recall audits), wrong dimensionality (breaks the subvector
+    slicers), and all-zero vectors (undefined cosine — a divide hazard
+    the norm-based rankers would hit first). Each row is
+    (check_name, n_violations); a consistent corpus is all-zeros, and
+    passing checks still emit their zero.
+
+    Scale shape: two key-only anti-joins, one hash-agg for key
+    uniqueness, and two zero-shuffle projections (dimension + zero-test
+    via exists over the array) — nothing wider than a bigint key ever
+    shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    no_emb = one(
+        "docs_without_embedding",
+        docs.join(emb, docs.doc_id == emb.vec_id, "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    no_doc = one(
+        "embeddings_without_doc",
+        emb.join(docs, emb.vec_id == docs.doc_id, "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    dup = one(
+        "duplicate_vec_id",
+        emb.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n")),
+    )
+    wrong_dim = one(
+        "wrong_dimension",
+        emb.where(F.size("embedding") != EMB_DIMS_EXPECTED).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    zero_vec = one(
+        "zero_vector",
+        emb.where(~F.expr("exists(embedding, v -> v <> 0)")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return (
+        no_emb.unionByName(no_doc)
+        .unionByName(dup)
+        .unionByName(wrong_dim)
+        .unionByName(zero_vec)
+    )

@@ -86,6 +86,7 @@ EMPTY_SAFE_QUERIES = [
     "fuzzy_customer_pairs",
     "frequent_event_triples",
     "bloom_membership_audit",
+    "modality_integrity_checks",
 ]
 
 

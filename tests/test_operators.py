@@ -1879,3 +1879,38 @@ def test_bloom_membership_audit_properties(spark, tmp_path):
     assert r["n_probes"] > 100                # words + reversals
     assert r["false_positives"] > 0           # saturated filter must FP
     assert r["fpr_ppm"] > 0
+
+
+def test_modality_integrity_checks_planted_violations(spark, tmp_path):
+    """Every cross-modal check fires on exactly its planted violation:
+    a doc with no embedding, an orphan embedding, a duplicated vec_id,
+    a 3-dim vector, and an all-zero vector."""
+    from log_analysis_system_spark.queries.data_quality import (
+        q_modality_integrity_checks,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 0) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    vec = [0.1] * 64
+    emb = [
+        (0, vec), (1, vec), (1, vec),          # dup vec_id 1; doc 3 missing
+        (9, vec),                              # orphan
+        (2, [0.1, 0.2, 0.3]),                  # wrong dim
+    ]
+    emb.append((3, [0.0] * 64))                # zero vector (doc 3 covered)
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = {r["check_name"]: r["n_violations"]
+           for r in q_modality_integrity_checks(spark, d).collect()}
+    assert got == {
+        "docs_without_embedding": 0,   # all 4 docs have some row
+        "embeddings_without_doc": 1,   # vec_id 9
+        "duplicate_vec_id": 1,         # one extra copy of vec_id 1
+        "wrong_dimension": 1,          # the 3-dim row
+        "zero_vector": 1,              # the all-zero row
+    }
