@@ -82,6 +82,13 @@ EXTRA_QUERIES = [
     "excess_loss_mixture_weights",
     "contamination_by_source",
     "epoch_shuffle_manifest",
+    "matryoshka_recall_audit",
+    "mad_outlier_days",
+    "shard_integrity_manifest",
+    "fuzzy_customer_pairs",
+    "frequent_event_triples",
+    "bloom_membership_audit",
+    "modality_integrity_checks",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.
