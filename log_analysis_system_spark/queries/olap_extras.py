@@ -1440,3 +1440,73 @@ def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div greatest(sum(CAST(NOT is_member AS BIGINT)), 1) AS BIGINT)"
         ).alias("fpr_ppm"),
     )
+
+
+# --------------------------------------------------- salted skew JOIN
+
+# Replication factor for the dimension side. At 100 TB this is sized to
+# the observed hot-key multiplicity (key_skew_profile measures it); 8
+# spreads a hot key over 8 reducers for an 8x tail-latency cut at an 8x
+# dim-replication cost.
+SKEW_JOIN_SALTS = 8
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(e.value * 1000000) AS BIGINT)) AS BIGINT)
+           AS value_micro
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe big x big JOIN by key salting — the join twin of A9's
+    salted aggregation (`skew_safe_event_totals`, ref
+    AreaTop3ProductSpark.java's random-prefix trick applied to joins).
+    A shuffle join hash-partitions on the join key, so one hot key
+    lands its entire row volume on ONE reducer; salting appends a
+    deterministic salt in [0, {S}) to the fact side and replicates the
+    dimension side {S} times (explode over sequence), so the join runs
+    on (key, salt) and every hot key is spread over {S} reducers. The
+    result is bit-identical to the plain join (the oracle) for ANY salt
+    assignment — each fact row still meets exactly one copy of its
+    dimension row. The salt is pmod(xxhash64(event_id), {S}): derived
+    from the fact PRIMARY KEY, not rand(), so retries/speculative tasks
+    recompute identical salts (rand() here silently corrupts results
+    under task retry).
+
+    The shuffle_hash hint forces the shuffle-join plan this technique
+    targets (tests gate: no BroadcastHashJoin, salt present in the join
+    keys); with a broadcastable dim you would broadcast instead and
+    salting would be pointless. Sums are per-row-floored integer micros
+    so the merge order never shows. AQE's skewJoin split handles
+    moderate skew automatically; explicit salting is for the
+    single-hot-key regime where one key exceeds what AQE can split
+    (AQE splits partitions, not keys co-resident in one hash bucket).
+    """
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("v_micro"),
+        F.pmod(F.xxhash64("event_id"), F.lit(SKEW_JOIN_SALTS)).alias("salt"),
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {SKEW_JOIN_SALTS - 1})"))
+        )
+    )
+    joined = ev.hint("shuffle_hash").join(
+        cust,
+        (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v_micro").alias("value_micro"),
+    )

@@ -87,6 +87,7 @@ EMPTY_SAFE_QUERIES = [
     "frequent_event_triples",
     "bloom_membership_audit",
     "modality_integrity_checks",
+    "salted_skew_join",
 ]
 
 

@@ -106,3 +106,58 @@ def test_minhash_lsh_no_forced_broadcast_on_skewed_corpus(spark):
         rows = out.collect()
         assert len(rows) == n * (n - 1) // 2, "full clique expected"
         assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+def test_salted_skew_join_parity_and_plan(spark, tmp_path):
+    """The salted join must (a) be row-identical to the plain join —
+    replication never duplicates or drops a fact row — and (b) compile
+    to a shuffle join keyed on (key, salt) with no broadcast: the plan
+    shape that actually spreads a hot key over SKEW_JOIN_SALTS reducers."""
+    import datetime
+
+    from log_analysis_system_spark.queries.olap_extras import (
+        SKEW_JOIN_SALTS,
+        q_salted_skew_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # hot key: user 1 owns 200 of 220 events; user 99 has no customer row
+    ev = [(i, base + datetime.timedelta(seconds=i),
+           1 if i < 200 else (99 if i % 2 else 7),
+           "click" if i % 3 else "buy", float(i) * 1.25, "{}")
+          for i in range(220)]
+    cust = [(1, "n", "a", 1, "p", 0.0, "BUILDING", "c"),
+            (7, "n", "a", 1, "p", 0.0, "MACHINERY", "c")]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_address string, c_nationkey long, "
+        "c_phone string, c_acctbal double, c_mktsegment string, "
+        "c_comment string",
+    ).write.parquet(f"{d}/customer.parquet")
+
+    out = q_salted_skew_join(spark, d)
+    got = {(r["segment"], r["event_type"]): (r["n_events"], r["value_micro"])
+           for r in out.collect()}
+
+    from collections import defaultdict
+    import math
+
+    exp: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0])
+    seg = {1: "BUILDING", 7: "MACHINERY"}
+    for _i, (_eid, _ts, uid, et, val, _p) in enumerate(ev):
+        if uid in seg:  # inner join: user 99 drops
+            exp[(seg[uid], et)][0] += 1
+            exp[(seg[uid], et)][1] += math.floor(val * 1_000_000)
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "salt" in plan
+    assert SKEW_JOIN_SALTS == 8  # doc constant pinned to the docstring
