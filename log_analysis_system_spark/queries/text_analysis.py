@@ -1939,3 +1939,156 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(DISTINCT g) * 1000000 div count(1) AS BIGINT)"
         ).alias("ttr_ppm"),
     )
+
+
+# ----------------------------------------- Kneser-Ney bigram LM scoring
+
+# Absolute discount D = 3/4, carried as the exact rational 3/4 so every
+# probability is a ratio of two bigints and the micro-nat floor sees the
+# identical double on both engines.
+KN_DISC_NUM = 3
+KN_DISC_DEN = 4
+
+_KN_CTES = """
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+    SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks)
+),
+tr AS (SELECT w1, w2 FROM bg WHERE doc_id % 2 = 0),
+sc AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 2 = 1),
+c12 AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2
+),
+c1 AS (
+    SELECT w1, CAST(sum(c) AS BIGINT) AS c,
+           CAST(count(*) AS BIGINT) AS n1p
+    FROM c12 GROUP BY 1
+),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS c FROM c12 GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12),
+kn_scored AS (
+    SELECT s.doc_id, cont.c AS cw2, c1.c AS ch, c1.n1p AS n1p,
+           c12.c AS cb, tt.t AS t
+    FROM sc s
+    LEFT JOIN cont ON cont.w2 = s.w2
+    LEFT JOIN c1 ON c1.w1 = s.w1
+    LEFT JOIN c12 ON c12.w1 = s.w1 AND c12.w2 = s.w2
+    CROSS JOIN tt
+)
+"""
+
+# Pre-floor micro-nat expression shared by the oracle and the boundary
+# audit (tests/test_micro_nat_boundary.py): exact-bigint numerator /
+# denominator, ONE double division, one ln.
+_KN_LL_SQL = f"""
+CASE WHEN cw2 IS NULL THEN NULL
+     WHEN ch IS NULL THEN
+          ln(CAST(cw2 AS DOUBLE) / CAST(t AS DOUBLE)) * {LM_SCALE}
+     ELSE ln(CAST(greatest({KN_DISC_DEN} * coalesce(cb, 0)
+                           - {KN_DISC_NUM}, 0) * t
+                  + {KN_DISC_NUM} * n1p * cw2 AS DOUBLE)
+             / CAST({KN_DISC_DEN} * ch * t AS DOUBLE)) * {LM_SCALE}
+END"""
+
+
+@query(
+    "kneser_ney_perplexity",
+    oracle=f"""
+WITH {_KN_CTES},
+ll AS (
+    SELECT doc_id, CAST(floor({_KN_LL_SQL}) AS BIGINT) AS ll_micro,
+           cw2 IS NULL AS oov
+    FROM kn_scored
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE NOT oov) AS BIGINT) AS n_scored,
+       CAST(count(*) FILTER (WHERE oov) AS BIGINT) AS n_oov,
+       CAST(coalesce(sum(ll_micro), 0) AS BIGINT) AS ll_micro_nats,
+       CASE WHEN count(*) FILTER (WHERE NOT oov) > 0
+            THEN round(-sum(ll_micro)
+                       / (count(*) FILTER (WHERE NOT oov)
+                          * {LM_SCALE}.0), 6)
+            ELSE NULL END AS xent_nats
+FROM ll GROUP BY doc_id
+""",
+)
+def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM with a TRUE held-out split — the
+    production upgrade over `bigram_lm_perplexity`'s in-sample add-one
+    model, and the smoothing family CCNet-style quality filters actually
+    train (KenLM default). Train on even doc_ids, score odd ones, so the
+    scorer meets genuinely unseen bigrams: seen mass is discounted by
+    D=3/4 and the freed mass backs off to the CONTINUATION distribution
+    (how many distinct histories precede w2 — "Francisco" is frequent but
+    follows only "San", so KN correctly scores it near-zero in novel
+    contexts, where a frequency-backoff model wildly overrates it).
+    Histories never seen in training back off to the continuation
+    distribution alone; words never seen as a continuation are reported
+    per-doc as n_oov instead of receiving a fake floor probability.
+
+    Determinism: with discount 3/4 every probability is an exact ratio of
+    two bigints — seen: (max(4*c12-3,0)*T + 3*N1+(w1,*)*N1+(*,w2)) /
+    (4*c1*T); unseen history: N1+(*,w2)/T — so both engines floor the ln
+    of the IDENTICAL double (micro-nat recipe; boundary clearance audited
+    in tests/test_micro_nat_boundary.py). Degenerate p=1 corpora hit the
+    structural-zero case (ln(1.0) is IEEE-exact).
+
+    Scale shape: the model tables (c12, c1+N1+, continuation counts, T)
+    are vocabulary-bounded aggregates of ONE pass over the train split;
+    scoring is three key-joins on the bigram stream with no window and no
+    data-sized sort. The joins carry no broadcast hint on purpose —
+    vocabulary grows with corpus size (Heaps' law), so the planner/AQE
+    picks the strategy (`pair_overlap_stats` documents the same stance).
+    Ref: the reference has no LM family at all; extension per SURVEY
+    §2.13."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) as w1, "
+                "element_at(w, i + 1) as w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tr = bg.where(F.col("doc_id") % 2 == 0)
+    sc = bg.where(F.col("doc_id") % 2 == 1)
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("cb").alias("ch"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("cw2"))
+    tt = c12.agg(F.count(F.lit(1)).alias("t"))
+    scored = (
+        sc.join(cont, "w2", "left")
+        .join(c1, "w1", "left")
+        .join(c12, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.expr(_KN_LL_SQL).alias("ll_raw"),
+            F.col("cw2").isNull().alias("oov"),
+        )
+        .select(
+            "doc_id",
+            F.floor("ll_raw").cast("long").alias("ll_micro"),
+            "oov",
+        )
+    )
+    n_ok = F.sum((~F.col("oov")).cast("long"))
+    return scored.groupBy("doc_id").agg(
+        n_ok.alias("n_scored"),
+        F.sum(F.col("oov").cast("long")).alias("n_oov"),
+        F.coalesce(F.sum("ll_micro"), F.lit(0)).alias("ll_micro_nats"),
+        F.when(
+            n_ok > 0,
+            F.round(-F.sum("ll_micro") / (n_ok * F.lit(float(LM_SCALE))), 6),
+        ).alias("xent_nats"),
+    )

@@ -88,6 +88,7 @@ EMPTY_SAFE_QUERIES = [
     "bloom_membership_audit",
     "modality_integrity_checks",
     "salted_skew_join",
+    "kneser_ney_perplexity",
 ]
 
 

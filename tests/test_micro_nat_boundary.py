@@ -215,3 +215,36 @@ def test_micro_nat_values_clear_integer_boundaries(name, sql, sf_dir):
         f"values is inside the {GUARD_BAND} guard band — the micro-nat "
         f"floor may disagree between JVM Math.log and libm log here"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_kneser_ney_micro_nat_boundary(sf_dir):
+    """Boundary clearance for the Kneser-Ney pre-floor values, on the
+    exact distinct (cw2, ch, n1p, cb, T) argument combos the oracle
+    scores. Structural zeros (p = 1 degenerate corpora) are allowed;
+    everything else must clear the guard band."""
+    from log_analysis_system_spark.queries.text_analysis import (
+        _KN_CTES,
+        _KN_LL_SQL,
+    )
+
+    ctes = _KN_CTES.replace(
+        "FROM documents", f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+WITH {ctes},
+args AS (
+    SELECT DISTINCT cw2, ch, n1p, cb, t FROM kn_scored
+    WHERE cw2 IS NOT NULL
+),
+x AS (SELECT {_KN_LL_SQL} AS x FROM args)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(abs(x - round(x))) FILTER (WHERE x <> 0) AS min_dist,
+       CAST(count(*) FILTER (WHERE x = round(x) AND x <> 0)
+            AS BIGINT) AS exact_nonzero
+FROM x
+"""
+    n, min_dist, exact_nonzero = duckdb.sql(sql).fetchone()
+    assert n > 0
+    assert exact_nonzero == 0
+    assert min_dist is not None and min_dist > GUARD_BAND

@@ -1914,3 +1914,49 @@ def test_modality_integrity_checks_planted_violations(spark, tmp_path):
         "wrong_dimension": 1,          # the 3-dim row
         "zero_vector": 1,              # the all-zero row
     }
+
+
+def test_kneser_ney_branch_semantics(spark, tmp_path):
+    """Each KN branch fires on its planted case: a seen bigram gets the
+    discounted+interpolated probability, an unseen history backs off to
+    the continuation distribution, a word never seen as a continuation
+    counts as OOV (no fake floor probability), and an all-OOV doc keeps
+    its row with NULL xent."""
+    import math
+
+    from log_analysis_system_spark.queries.text_analysis import (
+        q_kneser_ney_perplexity,
+    )
+
+    rows = [
+        (0, "a b a b a c", "en", "s", 0),   # train: ab:2 ba:2 ac:1
+        (2, "b c", "en", "s", 0),           # train: bc:1  -> T=4
+        (1, "a b x c a", "en", "s", 0),     # score: ab, bx, xc, ca
+        (3, "z z", "en", "s", 0),           # score: zz -> all OOV
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in
+           q_kneser_ney_perplexity(spark, d).collect()}
+
+    # model: c1[a]=(3,2) c1[b]=(3,2); cont: a:1 b:1 c:2; T=4
+    p_ab = (max(4 * 2 - 3, 0) * 4 + 3 * 2 * 1) / (4 * 3 * 4)  # seen
+    p_xc = 2 / 4                                # unseen history -> cont
+    p_ca = 1 / 4                                # unseen history -> cont
+    exp_ll = sum(
+        math.floor(math.log(p) * 1_000_000) for p in (p_ab, p_xc, p_ca)
+    )
+    r1 = got[1]
+    assert (r1["n_scored"], r1["n_oov"]) == (3, 1)   # bx is OOV (x no cont)
+    assert r1["ll_micro_nats"] == exp_ll
+    assert r1["xent_nats"] == round(-exp_ll / (3 * 1_000_000), 6)
+
+    r3 = got[3]
+    assert (r3["n_scored"], r3["n_oov"]) == (0, 1)
+    assert r3["ll_micro_nats"] == 0
+    assert r3["xent_nats"] is None
+    assert set(got) == {1, 3}  # train docs are not scored
