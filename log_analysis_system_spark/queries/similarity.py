@@ -3053,3 +3053,188 @@ def q_source_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("centroid_cosine"),
     )
+
+
+# ------------------------------- PCA top component (power iteration)
+
+PCA_ROUNDS = 6
+PCA_SV = 100_000   # iterate scale: max|v_j| == SV after every rescale
+PCA_QDIV = 1_000   # per-row projection shrink (keeps t_j * SV in bigint)
+
+# Sign-split integer division: both engines divide a NON-NEGATIVE
+# magnitude, so Spark `div` (trunc) and DuckDB `//` can never diverge.
+def _ssdiv(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num}) {{d}} ({den}) "
+        f"ELSE -((-({num})) {{d}} ({den})) END"
+    )
+
+
+# Anisotropy share at the output edge: exact-bigint inputs, one fixed
+# double expression (conversion/mul/div/round are all correctly rounded
+# IEEE ops, so identical operands + identical order = identical result —
+# unlike ln, no boundary audit is needed).
+_PCA_SHARE = (
+    f"round({PCA_QDIV * PCA_QDIV}.0 * CAST(sq AS DOUBLE) "
+    "/ (CAST(vvs AS DOUBLE) * CAST(trs AS DOUBLE)), 6)"
+)
+
+
+def _pca_oracle() -> str:
+    sd = lambda n, d: _ssdiv(n, d).format(d="//")
+    ctes = [
+        """
+pxq AS MATERIALIZED (
+    SELECT vec_id, CAST(i - 1 AS BIGINT) AS j,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS x
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+)""",
+        "pn AS (SELECT CAST(greatest(count(DISTINCT vec_id), 1) AS BIGINT)"
+        " AS n FROM pxq)",
+        "pmean AS (SELECT j, CAST(sum(x) AS BIGINT) AS s FROM pxq"
+        " GROUP BY j)",
+        f"""
+pxc AS MATERIALIZED (
+    SELECT q.vec_id, q.j, q.x - ({sd('m.s', 'pn.n')}) AS x
+    FROM pxq q JOIN pmean m ON m.j = q.j CROSS JOIN pn
+)""",
+        f"pv0 AS (SELECT DISTINCT j, CAST({PCA_SV} AS BIGINT) AS v"
+        " FROM pxq)",
+    ]
+    for r in range(1, PCA_ROUNDS + 1):
+        ctes.append(
+            f"""
+pq{r} AS MATERIALIZED (
+    SELECT c.vec_id,
+           ({sd('sum(c.x * v.v)', str(PCA_QDIV))}) AS q
+    FROM pxc c JOIN pv{r - 1} v ON v.j = c.j GROUP BY c.vec_id
+)"""
+        )
+        ctes.append(
+            f"pt{r} AS (SELECT c.j, CAST(sum(c.x * q.q) AS BIGINT) AS t "
+            f"FROM pxc c JOIN pq{r} q ON q.vec_id = c.vec_id GROUP BY c.j)"
+        )
+        ctes.append(
+            f"pmx{r} AS (SELECT CAST(greatest(max(abs(t)), 1) AS BIGINT)"
+            f" AS mx FROM pt{r})"
+        )
+        ctes.append(
+            f"pv{r} AS MATERIALIZED (SELECT t.j, "
+            f"({sd(f't.t * {PCA_SV}', 'mx.mx')}) AS v "
+            f"FROM pt{r} t CROSS JOIN pmx{r} mx)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+psq AS (SELECT CAST(coalesce(sum(q * q), 0) AS BIGINT) AS sq
+        FROM pq{PCA_ROUNDS}),
+pvv AS (SELECT CAST(coalesce(sum(v * v), 1) AS BIGINT) AS vvs
+        FROM pv{PCA_ROUNDS - 1}),
+ptr AS (SELECT CAST(coalesce(sum(x * x), 1) AS BIGINT) AS trs FROM pxc)
+SELECT v.j AS dim, CAST(v.v AS BIGINT) AS loading,
+       {_PCA_SHARE} AS var_share_top1
+FROM pv{PCA_ROUNDS} v CROSS JOIN psq CROSS JOIN pvv CROSS JOIN ptr
+"""
+
+
+@query("pca_top_component", oracle=_pca_oracle())
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION
+    run inside the engine — the eigen-decomposition class none of the
+    other iterative rows (Lloyd's, PageRank, EM, integer GD) exercises.
+    The loading vector is what OPQ-style rotations and embedding-space
+    whitening start from, and the emitted `var_share_top1` (fraction of
+    total variance on the top axis) is the standard anisotropy /
+    representation-collapse audit: contrastive embeddings whose share
+    drifts toward 1.0 have collapsed to a line and stop being useful for
+    semantic dedup or retrieval.
+
+    The covariance matrix is never materialized: each round computes
+    C·v via the Gram trick — q_i = x_i·v per row (a {D}-element fold),
+    then t_j = sum_i x_ij * q_i (one hash-agg over the flattened
+    (vec_id, dim, value) table) — so a round is two corpus-bounded
+    aggregates, no 64x64-per-row explode, no driver-side data. Only the
+    64-element iterate is collected per round (the bounded-collect
+    budget shared with the Lloyd's/PQ codebook loops).
+
+    Determinism: embeddings quantize to the module's exact integer
+    milli-units; the iterate is rescaled to max|v| = {SV} each round
+    with sign-split integer division (trunc/floor can never diverge);
+    the single output-edge double expression uses only correctly-rounded
+    IEEE ops on exact-bigint operands, so no ln-style boundary audit is
+    needed. Bigint headroom: |t_j·SV| <= N·800·(64·800·SV/{Q})·{SV}
+    stays under 2^63 to N ~ 20k vectors per PCA slice; larger corpora
+    raise PCA_QDIV (the docs' stratified-sample stance) rather than
+    overflowing silently.
+
+    Ref: no counterpart in the reference (no linear-algebra surface);
+    extension per SURVEY §2.13."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xq = emb.select(
+        "vec_id",
+        F.posexplode(F.expr(_QUANT)).alias("j", "x"),
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "x")
+
+    n_row = xq.agg(
+        F.greatest(F.countDistinct("vec_id"), F.lit(1)).alias("n")
+    )
+    mean = xq.groupBy("j").agg(F.sum("x").alias("s"))
+    sdiv = lambda n, d: F.expr(_ssdiv(n, d).format(d="div"))
+    xc = (
+        xq.join(F.broadcast(mean), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select("vec_id", "j", (F.col("x") - sdiv("s", "n")).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+
+    dims = [r["j"] for r in xc.select("j").distinct().collect()]
+    v = {j: PCA_SV for j in dims}
+    q_df = None
+    v_prev = dict(v)
+    for _ in range(PCA_ROUNDS):
+        v_prev = dict(v)
+        v_df = spark.createDataFrame(
+            [(j, v[j]) for j in dims] or [(0, 0)], "j long, v long"
+        )
+        q_df = (
+            xc.join(F.broadcast(v_df), "j")
+            .groupBy("vec_id")
+            .agg(sdiv("sum(x * v)", str(PCA_QDIV)).alias("q"))
+        )
+        t = {
+            r["j"]: r["t"]
+            for r in xc.join(q_df, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.expr("x * q")).alias("t"))
+            .collect()
+        }
+        mx = max((abs(t.get(j, 0)) for j in dims), default=1) or 1
+        for j in dims:
+            tj = t.get(j, 0)
+            mag = (abs(tj) * PCA_SV) // mx
+            v[j] = mag if tj >= 0 else -mag
+
+    out_v = spark.createDataFrame(
+        [(j, v[j]) for j in dims] or [(0, 0)], "dim long, loading long"
+    )
+    if not dims:
+        out_v = out_v.limit(0)
+        scalars = spark.createDataFrame(
+            [(0, 1, 1)], "sq long, vvs long, trs long"
+        )
+    else:
+        sq = q_df.agg(
+            F.coalesce(F.sum(F.expr("q * q")), F.lit(0)).alias("sq")
+        )
+        tr = xc.agg(
+            F.coalesce(F.sum(F.expr("x * x")), F.lit(1)).alias("trs")
+        )
+        vvs = sum(val * val for val in v_prev.values()) or 1
+        scalars = sq.crossJoin(tr).select(
+            "sq", F.lit(vvs).cast("long").alias("vvs"), "trs"
+        )
+    return out_v.crossJoin(F.broadcast(scalars)).select(
+        "dim", "loading", F.expr(_PCA_SHARE).alias("var_share_top1")
+    )

@@ -89,6 +89,7 @@ EMPTY_SAFE_QUERIES = [
     "modality_integrity_checks",
     "salted_skew_join",
     "kneser_ney_perplexity",
+    "pca_top_component",
 ]
 
 

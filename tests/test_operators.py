@@ -1960,3 +1960,33 @@ def test_kneser_ney_branch_semantics(spark, tmp_path):
     assert r3["ll_micro_nats"] == 0
     assert r3["xent_nats"] is None
     assert set(got) == {1, 3}  # train docs are not scored
+
+
+def test_pca_top_component_dominant_axis(spark, tmp_path):
+    """Power iteration must lock onto a planted dominant axis: dim 0
+    carries ~all the variance, so the top loading saturates at the
+    iterate scale on dim 0, every other dim stays near zero, and the
+    anisotropy share approaches 1."""
+    from log_analysis_system_spark.queries.similarity import (
+        PCA_SV,
+        q_pca_top_component,
+    )
+
+    rows = []
+    for k in range(40):
+        vec = [0.001 * ((k + j) % 3) for j in range(64)]  # tiny noise
+        vec[0] = 0.3 if k % 2 == 0 else -0.3              # dominant axis
+        rows.append((k, vec))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    out = {r["dim"]: r for r in q_pca_top_component(spark, d).collect()}
+    assert len(out) == 64
+    assert abs(out[0]["loading"]) == PCA_SV          # saturated top axis
+    for j in range(1, 64):
+        assert abs(out[j]["loading"]) < PCA_SV // 20  # everything else ~0
+    share = out[0]["var_share_top1"]
+    assert share == out[5]["var_share_top1"]          # constant column
+    assert share > 0.99
