@@ -640,3 +640,71 @@ def tokenize_with_bpe_index(
             F.sum("oov").alias("n_oov_words"),
         )
     )
+
+
+_FERTILITY_TAIL = f"""
+, docw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens,
+       CAST(sum(len(v.syms)) * 1000000 // count(*) AS BIGINT)
+           AS fertility_ppm,
+       CAST(sum(length(d.word)) * 1000000 // sum(len(v.syms)) AS BIGINT)
+           AS chars_per_token_ppm
+FROM docw d
+JOIN v{N_MERGES} v USING (word)
+WHERE d.word <> ''
+GROUP BY d.source
+"""
+
+
+@query(
+    "tokenizer_fertility_audit",
+    oracle=_train_ctes(N_MERGES) + _FERTILITY_TAIL,
+)
+def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY audit over the trained BPE vocab:
+    tokens-per-word and chars-per-token, the two numbers that decide
+    whether a tokenizer is fair to a source (high fertility = that
+    source pays more compute per word and effectively shrinks its
+    context window — the standard multilingual-tokenizer acceptance
+    metric). Both ratios are exact bigint ppm (floor division on exact
+    sums), so no float crosses the engine boundary.
+
+    Scale shape: identical to `bpe_tokenize` — the source label rides
+    the explode (no doc->source join at all), one vocab-map join against
+    the exploded corpus, then a source-bounded hash-agg; the corpus is
+    segmented zero times (the vocab map already carries each word's
+    trained segmentation length). The map broadcast carries
+    `bpe_tokenize`'s shipped-vocabulary stance (bounded artifact;
+    open-vocabulary deployments drop the hint, cf.
+    `tokenize_with_bpe_index(broadcast_vocab=False)`). The unigram twin
+    of this audit is `unigram_lm_segment_stats`; this row adds the
+    chars-per-token compression rate that decides storage/compute cost."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, final = train_bpe(word_vocab(docs), N_MERGES)
+    doc_words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    m = final.select(
+        "word",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("n_chr"),
+    )
+    return (
+        doc_words.join(F.broadcast(m), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chr").alias("n_chars"),
+            F.sum("n_syms").alias("n_tokens"),
+            F.expr(
+                "CAST(sum(n_syms) * 1000000 div count(1) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(sum(n_chr) * 1000000 div sum(n_syms) AS BIGINT)"
+            ).alias("chars_per_token_ppm"),
+        )
+    )

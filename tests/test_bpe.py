@@ -300,3 +300,47 @@ def test_bpe_index_build_and_serve(spark, tmp_path):
         2: expect("widest widest"),
     }
     assert got[1][2] == 3  # the three OOV words really took the replay path
+
+
+def test_tokenizer_fertility_audit_exact_counts(spark, tmp_path):
+    """Fertility on a hand-computable corpus: with zero merges possible
+    beyond the planted repetition, per-source token counts follow the
+    trained segmentation exactly and the ppm ratios are exact floor
+    divisions."""
+    from log_analysis_system_spark.queries.bpe import (
+        q_tokenizer_fertility_audit,
+    )
+
+    # Long multi-char words so 12 merge rounds never run dry. Exact
+    # expectations derive from the SAME train_bpe call the query makes,
+    # so this pins the AUDIT WIRING (sums, ratios, grouping), not the
+    # merge order.
+    rows = [
+        (0, "abcdefghi abcdefghi jklmnopqr", "en", "srcA", 0),
+        (1, "stuvwxyz stuvwxyz", "en", "srcB", 0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    from log_analysis_system_spark.queries.bpe import (
+        N_MERGES,
+        train_bpe,
+        word_vocab,
+    )
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    _, final = train_bpe(word_vocab(docs), N_MERGES)
+    syms = {r["word"]: len(r["syms"]) for r in final.collect()}
+
+    got = {r["source"]: r for r in
+           q_tokenizer_fertility_audit(spark, d).collect()}
+    a, b = got["srcA"], got["srcB"]
+    assert (a["n_words"], a["n_chars"]) == (3, 27)
+    assert a["n_tokens"] == 2 * syms["abcdefghi"] + syms["jklmnopqr"]
+    assert a["fertility_ppm"] == a["n_tokens"] * 1_000_000 // 3
+    assert a["chars_per_token_ppm"] == 27 * 1_000_000 // a["n_tokens"]
+    assert (b["n_words"], b["n_chars"]) == (2, 16)
+    assert b["n_tokens"] == 2 * syms["stuvwxyz"]

@@ -91,6 +91,9 @@ EMPTY_SAFE_QUERIES = [
     "kneser_ney_perplexity",
     "pca_top_component",
 ]
+# NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
+# first, and train_bpe raises on a corpus with no mergeable pairs (the
+# documented bpe_vocab_train contract) — an empty corpus hits that gate.
 
 
 @pytest.fixture(scope="module")
