@@ -3238,3 +3238,130 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_v.crossJoin(F.broadcast(scalars)).select(
         "dim", "loading", F.expr(_PCA_SHARE).alias("var_share_top1")
     )
+
+
+# ------------------------- Johnson-Lindenstrauss projection audit
+
+JL_K = 16          # target dimensionality (64 -> 16 = 4x smaller index)
+JL_AUDIT_VECS = 20  # audit slice: first 20 vec_ids -> 190 exact pairs
+
+# ±1 Rademacher signs from the module's md5 coefficient family, salted
+# 'jl' so the JL matrix is independent of the LSH planes.
+_JL_SIGN_CTE = f"""
+jlsigns AS (
+    SELECT k, d,
+           CASE WHEN CAST(('0x' || substr(md5('jl,' || CAST(k AS VARCHAR)
+                          || ',' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 2 = 0 THEN 1 ELSE -1 END AS sgn
+    FROM range({JL_K}) t1(k), range({N_DIMS}) t2(d)
+)
+"""
+
+
+@query(
+    "jl_projection_audit",
+    oracle=f"""
+WITH {_FLAT_CTE},
+{_JL_SIGN_CTE.strip()},
+aud AS (SELECT vec_id, i, v FROM flat WHERE vec_id < {JL_AUDIT_VECS}),
+proj AS (
+    SELECT a.vec_id, s.k, CAST(sum(s.sgn * a.v) AS BIGINT) AS y
+    FROM aud a JOIN jlsigns s ON s.d = a.i - 1
+    GROUP BY 1, 2
+),
+d2o AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2_orig
+    FROM aud a JOIN aud b ON b.i = a.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+d2p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS d2_proj
+    FROM proj a JOIN proj b ON b.k = a.k AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT o.vec_a, o.vec_b, o.d2_orig, p.d2_proj,
+       CASE WHEN o.d2_orig = 0 THEN NULL
+            ELSE CAST(p.d2_proj * 1000000 // ({JL_K} * o.d2_orig)
+                      AS BIGINT) END AS distortion_ppm
+FROM d2o o JOIN d2p p ON p.vec_a = o.vec_a AND p.vec_b = o.vec_b
+""",
+)
+def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 (Rademacher) projection 64 -> {K} dims
+    with an EXACT pairwise distortion audit — the go/no-go measurement
+    before serving a 4x-smaller projected index (the dense-random-matrix
+    complement to `matryoshka_recall_audit`'s prefix truncation: JL
+    preserves distances for embeddings whose information is NOT
+    front-loaded). For ±1 signs E||Rx||^2 = K ||x||^2, so
+    `distortion_ppm` = 1e6 * d2_proj / (K * d2_orig) concentrates at
+    1e6; its spread over the audit pairs is the empirical epsilon.
+
+    Everything is exact integer arithmetic on the module's milli-unit
+    quantization: the sign matrix is md5-derived (salted 'jl', disjoint
+    from the LSH planes) so both engines share it bit-for-bit; squared
+    distances and the ppm ratio are bigint with a NULL guard for
+    identical vectors (0/0). At scale the same projection expression is
+    the corpus-wide map producing the sketch table (zero shuffles, K
+    sums per row); the audit itself runs on the bounded first-{V} slice
+    (190 pairs), the `lsh_recall_audit` sampling stance."""
+    vecs = _quantized(spark, sf_dir).where(F.col("vec_id") < JL_AUDIT_VECS)
+    flat = vecs.select(
+        "vec_id", F.posexplode("e").alias("d", "v")
+    )
+    signs = (
+        spark.range(JL_K)
+        .select(F.col("id").alias("k"))
+        .crossJoin(spark.range(N_DIMS).select(F.col("id").alias("d")))
+        .select(
+            "k",
+            "d",
+            F.expr(
+                "CASE WHEN CAST(conv(substring(md5(CAST('jl,' || k || ',' "
+                "|| d AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 = 0 "
+                "THEN 1 ELSE -1 END"
+            ).alias("sgn"),
+        )
+    )
+    proj = (
+        flat.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.expr("sgn * v")).alias("y"))
+    )
+    fa, fb = flat.alias("a"), flat.alias("b")
+    d2o = (
+        fa.join(
+            fb,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.sum(F.expr("(a.v - b.v) * (a.v - b.v)")).alias("d2_orig"))
+    )
+    pa, pb = proj.alias("a"), proj.alias("b")
+    d2p = (
+        pa.join(
+            pb,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(F.sum(F.expr("(a.y - b.y) * (a.y - b.y)")).alias("d2_proj"))
+    )
+    return d2o.join(d2p, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        "d2_orig",
+        "d2_proj",
+        F.expr(
+            f"CASE WHEN d2_orig = 0 THEN NULL ELSE "
+            f"CAST(d2_proj * 1000000 div ({JL_K} * d2_orig) AS BIGINT) END"
+        ).alias("distortion_ppm"),
+    )

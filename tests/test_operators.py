@@ -1990,3 +1990,31 @@ def test_pca_top_component_dominant_axis(spark, tmp_path):
     share = out[0]["var_share_top1"]
     assert share == out[5]["var_share_top1"]          # constant column
     assert share > 0.99
+
+
+def test_jl_projection_distortion_invariants(spark, tmp_path):
+    """JL structural pins that hold for ANY ±1 sign matrix: a pair
+    differing in exactly one dim has distortion EXACTLY 1e6 ppm
+    ((±diff)^2 sums to K·diff^2), and an identical pair reports NULL
+    (0/0 guarded), never a fake zero."""
+    from log_analysis_system_spark.queries.similarity import (
+        q_jl_projection_audit,
+    )
+
+    base = [0.1] * 64
+    v1 = list(base)
+    v1[7] = 0.3                      # single-dim difference vs base
+    rows = [(0, base), (1, v1), (2, list(base))]  # 2 == duplicate of 0
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    got = {(r["vec_a"], r["vec_b"]): r
+           for r in q_jl_projection_audit(spark, d).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)]["distortion_ppm"] == 1_000_000
+    assert got[(1, 2)]["distortion_ppm"] == 1_000_000
+    dup = got[(0, 2)]
+    assert dup["d2_orig"] == 0 and dup["d2_proj"] == 0
+    assert dup["distortion_ppm"] is None
