@@ -1048,7 +1048,11 @@ FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
 """
 
 
-def _qd_oracle() -> str:
+def _qd_train_cte_list() -> list[str]:
+    """The unrolled integer-GD training recurrence (feat, n1, w0..w{R})
+    as a CTE list — shared by the `quality_discriminator` oracle and the
+    `dataset_cartography` oracle, so both scoring paths provably train
+    the identical model."""
     from .text_analysis import _STOP_IN_SQL
 
     feat = _QD_FEAT_SQL.format(targets=_dsir_in_sql(), stops=_STOP_IN_SQL)
@@ -1084,7 +1088,11 @@ def _qd_oracle() -> str:
             )
             + f" FROM w{t} w CROSS JOIN g{t} g CROSS JOIN n1)"
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _qd_oracle() -> str:
+    body = ",\n".join(_qd_train_cte_list())
     return f"""
 WITH {body}
 SELECT f.doc_id, f.source, f.y AS is_target,
@@ -1135,13 +1143,24 @@ def train_quality_discriminator(
     NON-NEGATIVE magnitudes only (sign-split), so trunc-vs-floor
     semantics can never diverge between engines. Returns the weight
     vector (nano-score per milli-feature units)."""
+    return train_quality_discriminator_history(feat, rounds, lr_div)[-1]
+
+
+def train_quality_discriminator_history(
+    feat: DataFrame, rounds: int = QD_ROUNDS, lr_div: int = QD_LR_DIV
+) -> list[list[int]]:
+    """Same training loop, returning the weight vector AFTER EVERY round
+    (the training-dynamics record `dataset_cartography` consumes).
+    Element [r] is the weight vector after round r+1; the last element
+    is what `train_quality_discriminator` returns."""
     cached = feat.select("y", "x0", "x1", "x2", "x3", "x4").localCheckpoint(
         eager=False
     )
     n = cached.count()
     w = [0] * 5
     if n == 0:
-        return w
+        return [list(w) for _ in range(rounds)]
+    snaps: list[list[int]] = []
     for _ in range(rounds):
         z = " + ".join(f"x{j} * {w[j]}L" for j in range(5))
         err = f"({z} - CASE WHEN y THEN 1000000000L ELSE 0L END)"
@@ -1155,7 +1174,8 @@ def train_quality_discriminator(
             s = int(row[f"s{j}"] or 0)
             mag = (abs(s) // n) // lr_div
             w[j] -= mag if s >= 0 else -mag
-    return w
+        snaps.append(list(w))
+    return snaps
 
 
 @query("quality_discriminator", oracle=_qd_oracle)
@@ -1256,4 +1276,106 @@ def q_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "binary"
             )
         ).alias("shard_digest"),
+    )
+
+
+# --------------------------------------------- dataset cartography
+
+# Region thresholds (micro-score units; target label sits at 1e6):
+# high-variability -> 'ambiguous'; stable-high-confidence -> 'easy';
+# stable-low -> 'hard'. Variance is population variance in micro^2.
+CART_CONF_T = 300_000
+CART_VAR_T = 10_000_000_000  # std >= 0.1 in label units
+
+
+def _cart_ssdiv(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {num} >= 0 THEN ({num}) {{d}} ({den}) "
+        f"ELSE -((-({num})) {{d}} ({den})) END"
+    )
+
+
+def _cartography_oracle() -> str:
+    r = QD_ROUNDS
+    ctes = _qd_train_cte_list()
+    joins = " ".join(f"CROSS JOIN w{t + 1} a{t + 1}" for t in range(r))
+    score = lambda t: (
+        f"(f.x0 * a{t}.w0 + f.x1 * a{t}.w1 + f.x2 * a{t}.w2 "
+        f"+ f.x3 * a{t}.w3 + f.x4 * a{t}.w4)"
+    )
+    sd = lambda n, d: _cart_ssdiv(n, d).format(d="//")
+    sms = ", ".join(
+        f"({sd(score(t + 1), '1000')}) AS sm{t + 1}" for t in range(r)
+    )
+    ssum = " + ".join(f"sm{t + 1}" for t in range(r))
+    ssq = " + ".join(f"sm{t + 1} * sm{t + 1}" for t in range(r))
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+rs AS (
+    SELECT f.doc_id, f.source, f.y AS is_target, {sms}
+    FROM feat f {joins}
+)
+SELECT doc_id, source, is_target,
+       CAST({sd(ssum, str(r))} AS BIGINT) AS conf_micro,
+       CAST(({r} * ({ssq}) - ({ssum}) * ({ssum})) // {r * r} AS BIGINT)
+           AS var_micro2,
+       CASE WHEN ({r} * ({ssq}) - ({ssum}) * ({ssum})) // {r * r}
+                 >= {CART_VAR_T} THEN 'ambiguous'
+            WHEN ({sd(ssum, str(r))}) >= {CART_CONF_T} THEN 'easy'
+            ELSE 'hard' END AS region
+FROM rs
+"""
+
+
+@query("dataset_cartography", oracle=_cartography_oracle)
+def q_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset Cartography (Swayamdipta et al.) over the integer-GD
+    discriminator's TRAINING DYNAMICS: each document is scored under
+    the weight snapshot of every training round, and the per-doc mean
+    (confidence) and population variance (variability) of those scores
+    map it to 'easy' (stable high), 'ambiguous' (high variance — where
+    the model keeps changing its mind; the slice worth human review or
+    up-sampling), or 'hard' (stable low — likely mislabeled or
+    out-of-distribution). Because training is exact integer GD, the
+    whole map is bit-deterministic: round scores downscale to micro
+    with sign-split division, mean uses sign-split division by the
+    round count, and the variance numerator (R*Sum(s^2) - (Sum s)^2) is
+    non-negative by Cauchy-Schwarz so plain floor division is
+    engine-safe.
+
+    Scale shape: training adds nothing beyond `quality_discriminator`
+    ({R} bounded 5-scalar aggregates); the cartography itself is ONE
+    zero-shuffle codegen projection per doc — all {R} snapshot scores
+    are literal-weight dot products in a single select. The oracle
+    cross-joins the shared unrolled training CTEs, proving both engines
+    train the identical model before mapping."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat = _qd_features(docs).localCheckpoint(eager=False)
+    snaps = train_quality_discriminator_history(feat)
+    r = QD_ROUNDS
+    sd = lambda n, d: _cart_ssdiv(n, d).format(d="div")
+    score = lambda w: " + ".join(f"x{j} * {w[j]}L" for j in range(5))
+    sms = [sd(f"({score(w)})", "1000") for w in snaps]
+    with_sm = feat.select(
+        "doc_id",
+        "source",
+        F.col("y").alias("is_target"),
+        *[F.expr(s).alias(f"sm{t + 1}") for t, s in enumerate(sms)],
+    )
+    ssum = " + ".join(f"sm{t + 1}" for t in range(r))
+    ssq = " + ".join(f"sm{t + 1} * sm{t + 1}" for t in range(r))
+    conf = sd(ssum, str(r))
+    var = f"({r} * ({ssq}) - ({ssum}) * ({ssum})) div {r * r}"
+    return with_sm.select(
+        "doc_id",
+        "source",
+        "is_target",
+        F.expr(f"CAST({conf} AS BIGINT)").alias("conf_micro"),
+        F.expr(f"CAST({var} AS BIGINT)").alias("var_micro2"),
+        F.expr(
+            f"CASE WHEN {var} >= {CART_VAR_T} THEN 'ambiguous' "
+            f"WHEN ({conf}) >= {CART_CONF_T} THEN 'easy' "
+            f"ELSE 'hard' END"
+        ).alias("region"),
     )

@@ -89,6 +89,12 @@ EXTRA_QUERIES = [
     "frequent_event_triples",
     "bloom_membership_audit",
     "modality_integrity_checks",
+    # round-6 late additions (this session)
+    "salted_skew_join",
+    "kneser_ney_perplexity",
+    "pca_top_component",
+    "tokenizer_fertility_audit",
+    "jl_projection_audit",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

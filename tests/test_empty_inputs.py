@@ -91,6 +91,7 @@ EMPTY_SAFE_QUERIES = [
     "kneser_ney_perplexity",
     "pca_top_component",
     "jl_projection_audit",
+    "dataset_cartography",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

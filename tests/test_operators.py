@@ -2018,3 +2018,70 @@ def test_jl_projection_distortion_invariants(spark, tmp_path):
     dup = got[(0, 2)]
     assert dup["d2_orig"] == 0 and dup["d2_proj"] == 0
     assert dup["distortion_ppm"] is None
+
+
+def test_dataset_cartography_matches_python_reference(spark, tmp_path):
+    """Cartography pin vs a pure-Python reference on the planted
+    separable fixture: per-doc confidence/variability/region must equal
+    exact integer recomputation from the round-by-round weight
+    snapshots — and the two doc populations must land in different
+    regions (targets' scores MOVE during training; raw docs' don't)."""
+    from log_analysis_system_spark.queries.training_prep import (
+        CART_CONF_T,
+        CART_VAR_T,
+        QD_LR_DIV,
+        QD_ROUNDS,
+        q_dataset_cartography,
+    )
+
+    t_text = " ".join(["the"] * 30 + ["abcde"] * 105 + ["abcd"] * 15)
+    r_text = " ".join(["12"] * 10 + ["123"] * 10)
+    rows = [(i, t_text, "en", "src2" if i % 2 else "src3", 0)
+            for i in range(10)]
+    rows += [(i, r_text, "en", "src7", 0) for i in range(10, 50)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    feats = [(1, [1000, 750, 200, 1000, 450])] * 10 + [
+        (0, [1000, 100, 0, 0, 250])
+    ] * 40
+    n = len(feats)
+    w = [0] * 5
+    snaps = []
+    for _ in range(QD_ROUNDS):
+        g = [0] * 5
+        for y, x in feats:
+            z = sum(x[j] * w[j] for j in range(5))
+            for j in range(5):
+                g[j] += x[j] * (z - y * 10**9)
+        for j in range(5):
+            mag = (abs(g[j]) // n) // QD_LR_DIV
+            w[j] -= mag if g[j] >= 0 else -mag
+        snaps.append(list(w))
+
+    def ssdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    def expect(x):
+        sm = [ssdiv(sum(a * b for a, b in zip(x, wt)), 1000)
+              for wt in snaps]
+        s, sq = sum(sm), sum(v * v for v in sm)
+        conf = ssdiv(s, QD_ROUNDS)
+        var = (QD_ROUNDS * sq - s * s) // (QD_ROUNDS * QD_ROUNDS)
+        region = ("ambiguous" if var >= CART_VAR_T
+                  else "easy" if conf >= CART_CONF_T else "hard")
+        return conf, var, region
+
+    exp_t = expect([1000, 750, 200, 1000, 450])
+    exp_r = expect([1000, 100, 0, 0, 250])
+    assert exp_t[2] != exp_r[2]  # fixture spans distinct regions
+
+    got = {r["doc_id"]: r for r in
+           q_dataset_cartography(spark, d).collect()}
+    for i in range(50):
+        e = exp_t if i < 10 else exp_r
+        r = got[i]
+        assert (r["conf_micro"], r["var_micro2"], r["region"]) == e
