@@ -95,6 +95,9 @@ EXTRA_QUERIES = [
     "pca_top_component",
     "tokenizer_fertility_audit",
     "jl_projection_audit",
+    "dataset_cartography",
+    "ppjoin_jaccard",
+    "ppjoin_prune_audit",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

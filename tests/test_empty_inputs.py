@@ -92,6 +92,8 @@ EMPTY_SAFE_QUERIES = [
     "pca_top_component",
     "jl_projection_audit",
     "dataset_cartography",
+    "ppjoin_jaccard",
+    "ppjoin_prune_audit",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

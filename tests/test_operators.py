@@ -2085,3 +2085,46 @@ def test_dataset_cartography_matches_python_reference(spark, tmp_path):
         e = exp_t if i < 10 else exp_r
         r = got[i]
         assert (r["conf_micro"], r["var_micro2"], r["region"]) == e
+
+
+def test_ppjoin_exact_pairs_and_threshold_boundary(spark, tmp_path):
+    """PPJoin must emit EXACTLY the pairs with Jaccard >= 3/5 — pinned by
+    hand on a fixture that straddles the boundary: 10-shingle docs with
+    inter=8 give J=8/12=0.6667 (kept); inter=7 gives 7/13=0.5385
+    (dropped). An identical pair pins J=1.0, and the audit row must
+    report every inverted-index candidate while emitting only the true
+    pairs (the no-false-negative contract of prefix filtering)."""
+    from log_analysis_system_spark.queries.dedup import (
+        q_ppjoin_jaccard,
+        q_ppjoin_prune_audit,
+    )
+
+    a = [f"a{i}" for i in range(1, 13)]
+    docs = [
+        (1, " ".join(a)),                                   # a1..a12
+        (2, " ".join(a[:10] + ["b1", "b2"])),               # inter 8 w/ 1
+        (3, " ".join(a[:9] + ["c1", "c2", "c3"])),          # inter 7 w/ 1
+        (4, " ".join(a)),                                   # identical to 1
+        (5, " ".join(f"d{i}" for i in range(1, 13))),       # disjoint
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_ppjoin_jaccard(spark, d).collect()
+    }
+    assert got == {(1, 2): 0.6667, (1, 4): 1.0, (2, 4): 0.6667}
+
+    audit = q_ppjoin_prune_audit(spark, d).collect()[0]
+    # pairs sharing any shingle: all of {1,2,3,4} choose 2
+    assert audit["cand_inverted"] == 6
+    assert audit["pairs_emitted"] == 3
+    assert 3 <= audit["cand_prefix"] <= audit["cand_inverted"]
+    assert audit["pruned_ppm"] == (
+        (audit["cand_inverted"] - audit["cand_prefix"]) * 1_000_000
+        // audit["cand_inverted"]
+    )
