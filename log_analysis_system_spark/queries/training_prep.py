@@ -30,7 +30,7 @@ All six are zero-UDF column expressions — whole-stage codegen end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.sampling import grouped_prefix_sum
@@ -1378,4 +1378,143 @@ def q_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"WHEN ({conf}) >= {CART_CONF_T} THEN 'easy' "
             f"ELSE 'hard' END"
         ).alias("region"),
+    )
+
+
+# --------------------------------------------- UniMax allocation
+
+# UniMax (Chung et al., 2023): give every source up to EPOCH_CAP epochs,
+# waterfilling a fixed token budget so no source is oversampled just for
+# being small. Budget = 19/10 of the corpus (1.9 average epochs) — small
+# sources hit the 2-epoch cap, large ones split the remainder evenly.
+UNIMAX_EPOCH_CAP = 2
+UNIMAX_B_NUM, UNIMAX_B_DEN = 19, 10
+
+_UNIMAX_ORACLE = f"""
+WITH src AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) * {UNIMAX_B_NUM} // {UNIMAX_B_DEN} AS BIGINT)
+               AS budget,
+           count(*) AS n_src
+    FROM src
+),
+ranked AS (
+    SELECT source, n_tokens,
+           {UNIMAX_EPOCH_CAP} * n_tokens AS cap_tokens,
+           row_number() OVER (ORDER BY n_tokens, source) AS k,
+           COALESCE(sum({UNIMAX_EPOCH_CAP} * n_tokens)
+               OVER (ORDER BY n_tokens, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_prev
+    FROM src
+),
+flagged AS (
+    SELECT r.source, r.n_tokens, r.cap_tokens,
+           (r.cap_tokens * (t.n_src - r.k + 1) + r.cum_prev <= t.budget)
+               AS capped,
+           t.budget
+    FROM ranked r CROSS JOIN tot t
+),
+pool AS (
+    SELECT budget
+           - COALESCE(sum(CASE WHEN capped THEN cap_tokens END), 0)
+               AS leftover,
+           count(*) FILTER (WHERE NOT capped) AS m
+    FROM flagged GROUP BY budget
+)
+SELECT f.source, f.n_tokens, f.cap_tokens,
+       CAST(CASE WHEN f.capped THEN f.cap_tokens
+                 ELSE p.leftover // p.m END AS BIGINT) AS alloc_tokens,
+       f.capped,
+       CAST((CASE WHEN f.capped THEN f.cap_tokens
+                  ELSE p.leftover // p.m END) * 1000000 // f.n_tokens
+            AS BIGINT) AS epochs_ppm
+FROM flagged f CROSS JOIN pool p
+"""
+
+
+@query("unimax_mixture_allocation", oracle=_UNIMAX_ORACLE)
+def q_unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al., 2023) — the
+    epoch-capped complement of the proportional / temperature / DoReMi /
+    DSIR mixture family: every source may contribute at most
+    UNIMAX_EPOCH_CAP epochs of its own tokens, and the fixed corpus
+    budget is waterfilled so all uncapped sources receive the SAME token
+    count (small sources stop repeating at the cap instead of being
+    oversampled to match large ones). Exact integer closed form: sort
+    sources ascending by cap; source k is capped iff
+    cap_k * (remaining sources) + cum_prev <= budget (the standard
+    waterfilling prefix condition — monotone, since caps ascend, so it
+    evaluates independently per row); uncapped sources get
+    floor(leftover / m), a deterministic under-allocation of < m tokens
+    total. epochs_ppm = allocated epochs per source in integer ppm.
+
+    Scale shape: one hash-agg reduces the corpus to |sources| rows; the
+    waterfilling window runs on that bounded categorical table (the
+    per-DAY/per-MONTH precedent in BOUNDED_FRAME_WINDOWS), and the 1-row
+    budget/pool tables broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "n_tokens"
+        )
+    )
+    tot = src.agg(
+        F.expr(
+            f"CAST(sum(n_tokens) * {UNIMAX_B_NUM} div {UNIMAX_B_DEN} "
+            f"AS BIGINT)"
+        ).alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = src.select(
+        "source",
+        "n_tokens",
+        (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tokens")).alias("cap_tokens"),
+        F.row_number().over(w).alias("k"),
+        F.coalesce(
+            F.sum(F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tokens")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("cum_prev"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        (
+            F.col("cap_tokens") * (F.col("n_src") - F.col("k") + 1)
+            + F.col("cum_prev")
+            <= F.col("budget")
+        ).alias("capped"),
+        "budget",
+    )
+    pool = flagged.groupBy("budget").agg(
+        (
+            F.first("budget")
+            - F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_tokens"))),
+                F.lit(0).cast("long"),
+            )
+        ).alias("leftover"),
+        F.sum((~F.col("capped")).cast("long")).alias("m"),
+    )
+    alloc = F.expr(
+        "CASE WHEN capped THEN cap_tokens ELSE leftover div m END"
+    )
+    return flagged.join(F.broadcast(pool), "budget").select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        "capped",
+        F.expr(
+            "CAST((CASE WHEN capped THEN cap_tokens "
+            "ELSE leftover div m END) * 1000000 div n_tokens AS BIGINT)"
+        ).alias("epochs_ppm"),
     )

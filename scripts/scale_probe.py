@@ -98,6 +98,7 @@ EXTRA_QUERIES = [
     "dataset_cartography",
     "ppjoin_jaccard",
     "ppjoin_prune_audit",
+    "unimax_mixture_allocation",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

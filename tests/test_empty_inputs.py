@@ -94,6 +94,7 @@ EMPTY_SAFE_QUERIES = [
     "dataset_cartography",
     "ppjoin_jaccard",
     "ppjoin_prune_audit",
+    "unimax_mixture_allocation",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2128,3 +2128,79 @@ def test_ppjoin_exact_pairs_and_threshold_boundary(spark, tmp_path):
         (audit["cand_inverted"] - audit["cand_prefix"]) * 1_000_000
         // audit["cand_inverted"]
     )
+
+
+def test_unimax_allocation_matches_iterative_waterfilling(spark, tmp_path):
+    """The closed-form prefix condition must select the SAME capped set
+    as literal iterative waterfilling (exact rationals): repeatedly give
+    every source an equal share of the remaining budget and cap whoever
+    exceeds their epoch ceiling, until stable. Skewed fixture -> mixed
+    capped/uncapped; uniform fixture -> nobody capped and everyone gets
+    floor(B/N). Also pins the global invariants: capped sources get
+    exactly cap_tokens, uncapped sources all get the same value, and the
+    total under-allocation is < #uncapped tokens."""
+    from fractions import Fraction
+
+    from log_analysis_system_spark.queries.training_prep import (
+        UNIMAX_B_DEN,
+        UNIMAX_B_NUM,
+        UNIMAX_EPOCH_CAP,
+        q_unimax_mixture_allocation,
+    )
+
+    def make(dirname, sizes):
+        rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(nt)), "en", src, nt)
+            for i, (src, nt) in enumerate(sizes.items())
+        ]
+        d = str(tmp_path / dirname)
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        return d
+
+    def waterfill(sizes):
+        caps = {s: UNIMAX_EPOCH_CAP * n for s, n in sizes.items()}
+        budget = sum(sizes.values()) * UNIMAX_B_NUM // UNIMAX_B_DEN
+        capped: set[str] = set()
+        while True:
+            m = len(sizes) - len(capped)
+            rem = budget - sum(caps[s] for s in capped)
+            share = Fraction(rem, m)
+            new = {s for s in sizes if s not in capped and caps[s] <= share}
+            if not new:
+                break
+            capped |= new
+        leftover = budget - sum(caps[s] for s in capped)
+        m = len(sizes) - len(capped)
+        return {
+            s: caps[s] if s in capped else leftover // m for s in sizes
+        }, capped
+
+    skewed = {"tiny": 10, "small": 40, "mid": 200, "big": 800, "huge": 950}
+    uniform = {f"u{i}": 100 for i in range(5)}
+    for name, sizes in [("skewed", skewed), ("uniform", uniform)]:
+        expected, capped = waterfill(sizes)
+        got = {
+            r["source"]: r
+            for r in q_unimax_mixture_allocation(
+                spark, make(name, sizes)
+            ).collect()
+        }
+        for s, n in sizes.items():
+            assert got[s]["n_tokens"] == n
+            assert got[s]["cap_tokens"] == UNIMAX_EPOCH_CAP * n
+            assert got[s]["alloc_tokens"] == expected[s], (name, s)
+            assert got[s]["capped"] == (s in capped)
+            assert got[s]["epochs_ppm"] == expected[s] * 1_000_000 // n
+        budget = sum(sizes.values()) * UNIMAX_B_NUM // UNIMAX_B_DEN
+        alloc_sum = sum(expected.values())
+        uncapped_n = len(sizes) - len(capped)
+        assert 0 <= budget - alloc_sum < max(uncapped_n, 1)
+    # skewed must actually exercise both branches; uniform must cap nobody
+    _, capped_skew = waterfill(skewed)
+    assert 0 < len(capped_skew) < len(skewed)
+    _, capped_uni = waterfill(uniform)
+    assert not capped_uni

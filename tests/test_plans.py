@@ -382,6 +382,8 @@ BOUNDED_FRAME_WINDOWS = {
     "(~500 buckets)",
     "repeat_purchase_cadence": "percentile cut over the day-gap histogram "
     "(calendar-bounded)",
+    "unimax_mixture_allocation": "waterfilling prefix over the per-SOURCE "
+    "cap table (source-cardinality, a bounded categorical dimension)",
 }
 
 
