@@ -1510,3 +1510,150 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("v_micro").alias("value_micro"),
     )
+
+
+# --------------------------------------------------------------- SCD2
+
+SCD2_STATUS_TYPES = ("signup", "error")  # the status-change event types
+
+# Shared version-table CTE (DuckDB): consecutive-duplicate collapse +
+# half-open validity intervals. A version row exists only where the status
+# actually CHANGES; effective_to = next version's effective_from (NULL for
+# the current version), so the intervals partition each user's timeline.
+_SCD2_CTE = f"""
+ch AS (
+    SELECT user_id, event_id, ts, event_type AS status,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+    WHERE event_type IN {SCD2_STATUS_TYPES}
+),
+ver AS (
+    SELECT user_id, status, ts AS effective_from,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+                AS BIGINT) AS version_n
+    FROM ch WHERE prev IS NULL OR prev <> status
+),
+scd2 AS (
+    SELECT user_id, status, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY version_n) AS effective_to,
+           version_n,
+           (lead(effective_from) OVER (PARTITION BY user_id
+                                       ORDER BY version_n) IS NULL)
+               AS is_current
+    FROM ver
+)
+"""
+
+
+def scd2_versions(ev: DataFrame) -> DataFrame:
+    """Spark side of the SCD2 build (see `_SCD2_CTE`). Both windows ride
+    ONE user_id exchange — lag for the change detection and lead for the
+    interval close share the same partitioning, and the row_number over
+    collapsed rows reuses it too (Spark plans a single Exchange followed
+    by in-partition sorts)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.where(F.col("event_type").isin(*SCD2_STATUS_TYPES))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_type").alias("status"),
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("status")))
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ver = ch.select(
+        "user_id",
+        "status",
+        F.col("ts").alias("effective_from"),
+        F.row_number().over(wv).cast("long").alias("version_n"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("version_n")
+    eff_to = F.lead("effective_from").over(wl)
+    return ver.select(
+        "user_id",
+        "status",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        "version_n",
+        eff_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "scd2_dimension_build",
+    oracle=f"""
+WITH {_SCD2_CTE}
+SELECT user_id, status, effective_from, effective_to, version_n, is_current
+FROM scd2
+""",
+)
+def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from a changelog — the
+    versioned-history complement of the Type-1 `latest_per_key`/
+    `cdc_apply_changelog` family: each user's status signal (the
+    signup/error event stream) becomes versioned rows with HALF-OPEN
+    validity intervals [effective_from, effective_to), version numbers,
+    and an is_current flag. True SCD2 semantics: a new version only where
+    the status actually changes (consecutive duplicates collapse into the
+    open interval), ties at equal timestamps total-ordered by event_id so
+    the build is partition-count independent.
+
+    Scale: everything is per-user windows over the (filtered) changelog —
+    one key exchange serves the lag (change detection), the version
+    row_number, and the lead (interval close). No join, no state blowup:
+    output rows = number of actual changes."""
+    return scd2_versions(read_events(spark, sf_dir))
+
+
+@query(
+    "scd2_asof_enrich",
+    oracle=f"""
+WITH {_SCD2_CTE}
+SELECT p.event_id, p.user_id, p.ts, v.status, v.version_n
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN scd2 v
+  ON v.user_id = p.user_id AND v.effective_from <= p.ts
+ AND (v.effective_to IS NULL OR p.ts < v.effective_to)
+""",
+)
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact enrichment against the SCD2 dimension: every
+    purchase picks up the status version VALID AT ITS TIMESTAMP (the
+    half-open interval containing ts; purchases before any version get
+    NULLs). The oracle states it as the interval inequality join; the
+    Spark plan is the union-timeline `asof_join` — one key shuffle, no
+    range-join pair blowup — because the intervals partition the
+    timeline, so "latest version with effective_from <= ts" IS the
+    interval lookup. version_n breaks equal-timestamp ties (a zero-width
+    interval can never match, and asof's running-last picks the newest
+    version at the boundary — the same answer the inequality join gives)."""
+    ev = read_events(spark, sf_dir)
+    dim = scd2_versions(ev).select(
+        "user_id", "effective_from", "status", "version_n"
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        probes,
+        dim,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="effective_from",
+        value_cols=["status", "version_n"],
+        tiebreak="version_n",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_status").alias("status"),
+        F.col("asof_version_n").alias("version_n"),
+    )

@@ -99,6 +99,8 @@ EXTRA_QUERIES = [
     "ppjoin_jaccard",
     "ppjoin_prune_audit",
     "unimax_mixture_allocation",
+    "scd2_dimension_build",
+    "scd2_asof_enrich",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -95,6 +95,8 @@ EMPTY_SAFE_QUERIES = [
     "ppjoin_jaccard",
     "ppjoin_prune_audit",
     "unimax_mixture_allocation",
+    "scd2_dimension_build",
+    "scd2_asof_enrich",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2204,3 +2204,69 @@ def test_unimax_allocation_matches_iterative_waterfilling(spark, tmp_path):
     assert 0 < len(capped_skew) < len(skewed)
     _, capped_uni = waterfill(uniform)
     assert not capped_uni
+
+
+def test_scd2_build_and_asof_enrich_semantics(spark, tmp_path):
+    """SCD2 contract pinned by hand: consecutive duplicate statuses
+    collapse into the open version (no new row), versions carry half-open
+    [from, to) intervals with is_current on the last, a purchase exactly
+    AT a change timestamp gets the NEW version, a purchase before any
+    version gets NULLs, and an equal-timestamp change pair produces a
+    zero-width interval that can never match (the newer version wins)."""
+    import datetime
+
+    from log_analysis_system_spark.queries.olap_extras import (
+        q_scd2_asof_enrich,
+        q_scd2_dimension_build,
+    )
+
+    t = [datetime.datetime(2024, 3, 1, 12, 0, i) for i in range(10)]
+    rows = [
+        # user 1: signup, dup signup (collapses), error; purchases around
+        (1, t[1], 1, "signup", 1.0, "{}"),
+        (2, t[2], 1, "purchase", 5.0, "{}"),
+        (3, t[3], 1, "signup", 1.0, "{}"),     # consecutive dup
+        (4, t[4], 1, "error", 1.0, "{}"),
+        (5, t[4], 1, "purchase", 5.0, "{}"),   # exactly at the change
+        (6, t[5], 1, "purchase", 5.0, "{}"),
+        # user 2: purchase BEFORE any version
+        (7, t[1], 2, "purchase", 5.0, "{}"),
+        (8, t[2], 2, "signup", 1.0, "{}"),
+        # user 3: equal-ts change pair -> zero-width first version
+        (9, t[0], 3, "signup", 1.0, "{}"),
+        (10, t[0], 3, "error", 1.0, "{}"),
+        (11, t[0], 3, "purchase", 5.0, "{}"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    dim = {
+        (r["user_id"], r["version_n"]): r
+        for r in q_scd2_dimension_build(spark, d).collect()
+    }
+    assert len(dim) == 5
+    u1v1, u1v2 = dim[(1, 1)], dim[(1, 2)]
+    assert (u1v1["status"], u1v2["status"]) == ("signup", "error")
+    assert u1v1["effective_from"] == t[1] and u1v1["effective_to"] == t[4]
+    assert u1v2["effective_to"] is None
+    assert (u1v1["is_current"], u1v2["is_current"]) == (False, True)
+    assert dim[(2, 1)]["is_current"] is True
+    # equal-ts pair: v1 is zero-width, v2 open
+    assert dim[(3, 1)]["effective_from"] == dim[(3, 1)]["effective_to"] == t[0]
+    assert dim[(3, 2)]["status"] == "error"
+
+    enr = {
+        r["event_id"]: (r["status"], r["version_n"])
+        for r in q_scd2_asof_enrich(spark, d).collect()
+    }
+    assert enr == {
+        2: ("signup", 1),
+        5: ("error", 2),   # boundary: the new version applies at its ts
+        6: ("error", 2),
+        7: (None, None),   # before any version
+        11: ("error", 2),  # zero-width v1 never matches
+    }
