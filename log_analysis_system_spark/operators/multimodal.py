@@ -613,3 +613,54 @@ def resize_decoded_images(media: DataFrame, width: int, height: int) -> DataFram
     return media.select("media_id", "payload").mapInPandas(
         gen, RESIZED_SCHEMA
     )
+
+
+# ----------------------------------------------------------- perceptual hash
+
+PHASH_GRID = 8  # dHash block grid (images are 2*PHASH_GRID pixels square)
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash (dHash) of a decoded RGB image, exact-integer
+    end to end so every engine agrees bit-for-bit: integer luma
+    gray = (299 R + 587 G + 114 B) // 1000 per pixel, 2x2 block SUMS down
+    to an 8x8 grid (block sums, not float means — same ordering, no
+    rounding), then bit (r, c) = [ block(r,c) > block(r,(c+1) mod 8) ]
+    (the classic horizontal-gradient dHash, closed cyclically so the grid
+    stays 8x8 instead of needing a 9-column resample). Returns a SIGNED
+    64-bit int (bit 63 is the sign bit, matching BIGINT semantics)."""
+    import numpy as np
+
+    g = PHASH_GRID
+    a = np.asarray(arr, dtype=np.int64)
+    gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    blocks = gray.reshape(g, 2, g, 2).sum(axis=(1, 3))
+    bits = blocks > np.roll(blocks, -1, axis=1)
+    h = 0
+    for pos, bit in enumerate(bits.reshape(-1).tolist()):
+        if bit:
+            h |= 1 << pos
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """mapInPandas real-decode -> dHash pipeline: (media_id, payload) ->
+    (media_id, phash). Arrow-batched; the decode is the same PPM/BMP
+    dispatch as `decode_features`."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        dhash64(decode_image(p)) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, "media_id long, phash long"
+    )

@@ -335,3 +335,134 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_decoded_images(media, width=RSZ_W, height=RSZ_H)
     return decode_features(resized)
+
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 10
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+WITH raster AS (
+    SELECT doc_id,
+           rpad(substr(text, 1, {_RASTER_LEN}), {_RASTER_LEN}, text || ' ')
+               AS r
+    FROM documents
+),
+px AS (
+    SELECT doc_id, (i // {IMG_W}) // 2 AS br, (i % {IMG_W}) // 2 AS bc,
+           (299 * ascii(substr(r, 3 * i + 1, 1))
+            + 587 * ascii(substr(r, 3 * i + 2, 1))
+            + 114 * ascii(substr(r, 3 * i + 3, 1))) // 1000 AS gray
+    FROM (SELECT doc_id, r,
+                 unnest(generate_series(0, {IMG_W * IMG_H - 1})) AS i
+          FROM raster)
+),
+blocks AS (SELECT doc_id, br, bc, sum(gray) AS s FROM px GROUP BY 1, 2, 3),
+bits AS (
+    SELECT a.doc_id, a.br * 8 + a.bc AS pos,
+           CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+    FROM blocks a JOIN blocks b
+      ON b.doc_id = a.doc_id AND b.br = a.br AND b.bc = (a.bc + 1) % 8
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(CAST(sum(CASE WHEN pos < 63
+                              THEN bit * (CAST(1 AS BIGINT) << pos)
+                              ELSE 0 END) AS BIGINT)
+                + CASE WHEN max(CASE WHEN pos = 63 THEN bit END) = 1
+                       THEN -9223372036854775808 ELSE 0 END
+                AS BIGINT) AS phash
+    FROM bits GROUP BY doc_id
+),
+bv AS (
+    SELECT doc_id, phash, band_idx,
+           (phash >> (band_idx * 16)) & 65535 AS band_val
+    FROM (SELECT doc_id, phash,
+                 unnest(generate_series(0, {PHASH_BANDS - 1})) AS band_idx
+          FROM hashes)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.phash AS ha, b.phash AS hb
+    FROM bv a JOIN bv b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING}
+""",
+)
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate detection — the multimodal
+    twin of the SimHash/MinHash text tiers, over REALLY DECODED pixels:
+    each document's deterministic 16x16 PPM (built in-plan, as in
+    `multimodal_decode`, except padded CYCLICALLY with the doc's own
+    bytes — constant space padding made the padded region's hash bits
+    identical across all short docs, turning the band join quadratic;
+    self-padding keeps every raster byte content-derived) is decoded
+    with numpy inside mapInPandas and reduced to a 64-bit integer dHash
+    (luma -> 2x2 block sums -> cyclic horizontal gradient bits; see
+    `operators.multimodal.dhash64` — exact integer end to end).
+    Near-dups then resolve ENTIRELY in-plan: the hash splits into
+    {PHASH_BANDS} 16-bit bands, pairs sharing any band value are
+    candidates (the standard banded-LSH trade: a true pair at Hamming
+    <= {PHASH_MAX_HAMMING} is missed only if every band catches an
+    error — the text tiers' recall-audit pattern applies), and
+    survivors keep bit_count(xor) <= {PHASH_MAX_HAMMING}. The oracle
+    recomputes the
+    DECODE ITSELF per byte in SQL — luma, block sums, every hash bit,
+    banding, and Hamming — so the Python decode path has a bit-exact
+    SQL shadow.
+
+    Scale: decode+hash is a zero-shuffle Arrow projection; the band join
+    shuffles 4 small rows per image; no all-pairs anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raster = F.expr(
+        f"rpad(substring(text, 1, {_RASTER_LEN}), {_RASTER_LEN}, "
+        f"concat(text, ' '))"
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n"), raster
+        ).cast("binary").alias("payload"),
+    )
+    from ..operators.multimodal import phash_media
+
+    hashes = phash_media(media)
+    bv = hashes.select(
+        F.col("media_id").alias("doc_id"),
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias(
+            "band_idx"
+        ),
+    ).withColumn(
+        "band_val", F.expr("shiftright(phash, band_idx * 16) & 65535")
+    )
+    cand = (
+        bv.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("phash").alias("ha"),
+            "band_idx",
+            "band_val",
+        )
+        .join(
+            bv.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("phash").alias("hb"),
+                "band_idx",
+                "band_val",
+            ),
+            ["band_idx", "band_val"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+    ).where(F.col("hamming") <= PHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", "hamming"
+    )

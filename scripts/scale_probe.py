@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "unimax_mixture_allocation",
     "scd2_dimension_build",
     "scd2_asof_enrich",
+    "multimodal_phash_neardup",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

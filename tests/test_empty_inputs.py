@@ -97,6 +97,7 @@ EMPTY_SAFE_QUERIES = [
     "unimax_mixture_allocation",
     "scd2_dimension_build",
     "scd2_asof_enrich",
+    "multimodal_phash_neardup",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

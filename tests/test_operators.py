@@ -2270,3 +2270,90 @@ def test_scd2_build_and_asof_enrich_semantics(spark, tmp_path):
         7: (None, None),   # before any version
         11: ("error", 2),  # zero-width v1 never matches
     }
+
+
+def test_phash_neardup_matches_python_reference(spark, tmp_path):
+    """dHash semantics pinned two independent ways: (1) dhash64 equals a
+    pure-Python (no numpy) bit-by-bit recompute on a synthetic gradient
+    image; (2) the full query equals a Python-side reconstruction of
+    raster -> hash -> bands -> Hamming for identical, near-identical and
+    unrelated texts (identical docs MUST pair at hamming 0; the
+    unrelated doc must never pair)."""
+    import numpy as np
+
+    from log_analysis_system_spark.operators.multimodal import dhash64
+    from log_analysis_system_spark.queries.multimodal import (
+        _RASTER_LEN,
+        PHASH_BANDS,
+        PHASH_MAX_HAMMING,
+        q_multimodal_phash_neardup,
+    )
+
+    # (1) bit-level reference
+    arr = np.zeros((16, 16, 3), dtype=np.uint8)
+    for r in range(16):
+        for c in range(16):
+            arr[r, c] = ((r * 37 + c * 11) % 256, (r * 5) % 256, c * 13 % 256)
+    gray = [
+        [(299 * int(arr[r, c, 0]) + 587 * int(arr[r, c, 1])
+          + 114 * int(arr[r, c, 2])) // 1000 for c in range(16)]
+        for r in range(16)
+    ]
+    blk = [
+        [sum(gray[2 * br + i][2 * bc + j] for i in range(2) for j in range(2))
+         for bc in range(8)]
+        for br in range(8)
+    ]
+    expect = 0
+    for br in range(8):
+        for bc in range(8):
+            if blk[br][bc] > blk[br][(bc + 1) % 8]:
+                expect |= 1 << (br * 8 + bc)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert dhash64(arr) == expect
+
+    # (2) full query vs Python reconstruction
+    base = "".join(
+        chr(33 + ((i * 7 + (i * i) % 31) % 90)) for i in range(800)
+    )
+    t3 = base[:100] + "@@@" + base[103:]
+    t4 = "".join(chr(33 + ((i * 13) % 90)) for i in range(800))
+    texts = {1: base, 2: base, 3: t3, 4: t4}
+
+    def py_hash(text):
+        pad = text + " "
+        r = text[:_RASTER_LEN]
+        while len(r) < _RASTER_LEN:
+            r += pad
+        r = r[:_RASTER_LEN]
+        a = np.frombuffer(r.encode("latin-1"), dtype=np.uint8).reshape(
+            16, 16, 3
+        )
+        return dhash64(a)
+
+    hashes = {i: py_hash(t) for i, t in texts.items()}
+
+    def bands(h):
+        return {(i, (h >> (16 * i)) & 0xFFFF) for i in range(PHASH_BANDS)}
+
+    expected = {}
+    for a in texts:
+        for b in texts:
+            if a < b and bands(hashes[a]) & bands(hashes[b]):
+                ham = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+                if ham <= PHASH_MAX_HAMMING:
+                    expected[(a, b)] = ham
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_multimodal_phash_neardup(spark, d).collect()
+    }
+    assert got == expected
+    assert got[(1, 2)] == 0
+    assert not any(4 in p for p in got)
