@@ -1518,3 +1518,76 @@ def q_unimax_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE leftover div m END) * 1000000 div n_tokens AS BIGINT)"
         ).alias("epochs_ppm"),
     )
+
+
+# --------------------------------------------- length-bucket batching
+
+LB_BATCH_TOKENS = 4096  # target padded tokens per batch
+LB_MIN_BUCKET = 16
+LB_MAX_BUCKET = 65536
+
+# Power-of-2 bucket ceiling as a CASE ladder — integer-exact in both
+# engines (2^ceil(log2 n) via float log2 misrounds at exact powers).
+_LB_LADDER = " ".join(
+    f"WHEN n_tok <= {1 << p} THEN {1 << p}"
+    for p in range(4, 17)  # 16 .. 65536
+)
+_LB_BUCKET = f"CASE {_LB_LADDER} ELSE {2 * LB_MAX_BUCKET} END"
+
+
+@query(
+    "length_bucket_batching",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+bucketed AS (SELECT doc_id, n_tok, {_LB_BUCKET} AS bucket_len FROM tok)
+SELECT bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) + greatest({LB_BATCH_TOKENS} // bucket_len, 1) - 1)
+            // greatest({LB_BATCH_TOKENS} // bucket_len, 1) AS BIGINT)
+           AS n_batches,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       CAST((count(*) * bucket_len - sum(n_tok)) * 1000000
+            // (count(*) * bucket_len) AS BIGINT) AS waste_ppm
+FROM bucketed
+GROUP BY bucket_len
+""",
+)
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching manifest — the padded-batch alternative
+    to `pack_sequences`, with the padding waste it costs measured per
+    bucket: every doc lands in the smallest power-of-2 length bucket
+    that holds it (integer CASE ladder — float log2 misrounds at exact
+    powers), batches are sized so a batch's PADDED footprint stays at
+    LB_BATCH_TOKENS, and waste_ppm = padded-but-empty token share. This
+    is the number a pipeline owner compares against packing (which
+    wastes ~0 but destroys example boundaries) when choosing a batching
+    strategy.
+
+    Scale: one projection + one hash-agg on ~13 bucket keys; no joins,
+    no windows, no skew (bucket cardinality is the ladder length)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    bucketed = tok.withColumn("bucket_len", F.expr(_LB_BUCKET))
+    batch_docs = f"greatest({LB_BATCH_TOKENS} div bucket_len, 1)"
+    return bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            f"CAST((count(1) + {batch_docs} - 1) div {batch_docs} AS BIGINT)"
+        ).alias("n_batches"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.expr("CAST(count(1) * bucket_len AS BIGINT)").alias(
+            "padded_tokens"
+        ),
+        F.expr(
+            "CAST((count(1) * bucket_len - sum(n_tok)) * 1000000 "
+            "div (count(1) * bucket_len) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

@@ -102,6 +102,7 @@ EXTRA_QUERIES = [
     "scd2_dimension_build",
     "scd2_asof_enrich",
     "multimodal_phash_neardup",
+    "length_bucket_batching",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

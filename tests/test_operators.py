@@ -2357,3 +2357,42 @@ def test_phash_neardup_matches_python_reference(spark, tmp_path):
     assert got == expected
     assert got[(1, 2)] == 0
     assert not any(4 in p for p in got)
+
+
+def test_length_bucket_batching_pinned(spark, tmp_path):
+    """Bucket ceiling, batch count, and waste accounting pinned by hand:
+    exact powers of two stay in their own bucket (the float-log2 trap),
+    n_batches = ceil(n_docs / (BATCH_TOKENS // bucket)), and waste_ppm
+    is the integer padded-empty share."""
+    from log_analysis_system_spark.queries.training_prep import (
+        LB_BATCH_TOKENS,
+        q_length_bucket_batching,
+    )
+
+    # token counts: 16 is an exact power (must NOT round up to 32);
+    # 17 -> 32; 100 -> 128; three docs of 1000 -> 1024
+    lens = [16, 17, 100, 1000, 1000, 1000]
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "s", n)
+        for i, n in enumerate(lens)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["bucket_len"]: r
+        for r in q_length_bucket_batching(spark, d).collect()
+    }
+    assert set(got) == {16, 32, 128, 1024}
+    assert got[16]["n_docs"] == 1 and got[16]["waste_ppm"] == 0
+    assert got[32]["sum_tokens"] == 17
+    assert got[32]["waste_ppm"] == (32 - 17) * 1_000_000 // 32
+    # bucket 1024: batch_docs = 4096 // 1024 = 4 -> 3 docs = 1 batch
+    assert got[1024]["n_docs"] == 3 and got[1024]["n_batches"] == 1
+    assert got[1024]["padded_tokens"] == 3 * 1024
+    # bucket 16: batch_docs = 256 -> 1 batch
+    assert got[16]["n_batches"] == 1
+    assert LB_BATCH_TOKENS == 4096
