@@ -1657,3 +1657,80 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_status").alias("status"),
         F.col("asof_version_n").alias("version_n"),
     )
+
+
+# -------------------------------------------------- incremental agg (IVM)
+
+IVM_SPLIT_DATE = "1999-01-01"  # orders before this date form the base view
+
+
+def incremental_agg_apply(base_agg: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: merge a
+    persisted aggregate (key, n, sum_c) with a weighted delta batch
+    (key, w, value_c) where w = +1 inserts and w = -1 RETRACTS a prior
+    insert. The merge is the partial-aggregate combine law: aggregate the
+    delta to (key, sum w, sum w*value_c), union with the base aggregate,
+    re-aggregate, and drop keys whose maintained count reaches zero
+    (full-retraction groups leave the view, matching recompute-from-
+    scratch). Retraction round-trip (insert batch then its negation
+    restores the exact prior view) is pytest-pinned.
+
+    Scale: the base FACTS are never touched — only the (small) maintained
+    aggregate and the delta shuffle; exactly the contract a 100 TB
+    nightly-merge pipeline needs."""
+    d_agg = delta.groupBy("key").agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum(F.col("w") * F.col("value_c")).cast("long").alias("sum_c"),
+    )
+    return (
+        base_agg.unionByName(d_agg)
+        .groupBy("key")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_c").cast("long").alias("sum_c"),
+        )
+        .where(F.col("n") != 0)
+    )
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle=f"""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a per-customer order-count/revenue view:
+    the base view aggregates orders before {IVM_SPLIT_DATE} once; the
+    later orders arrive as a +1-weighted delta batch and merge via
+    `incremental_agg_apply`. The oracle recomputes the view FROM SCRATCH
+    over all orders — the green row is the proof that the incremental
+    merge path equals recomputation (the IVM contract), the aggregate
+    twin of `incremental_dedup_delta`."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("value_c"),
+    )
+    split = F.lit(IVM_SPLIT_DATE).cast("timestamp")
+    base_agg = (
+        orders.where(F.col("o_orderdate") < split)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value_c").cast("long").alias("sum_c"),
+        )
+    )
+    delta = orders.where(F.col("o_orderdate") >= split).select(
+        "key", F.lit(1).alias("w"), "value_c"
+    )
+    return incremental_agg_apply(base_agg, delta).select(
+        F.col("key").alias("o_custkey"),
+        F.col("n").alias("n_orders"),
+        F.col("sum_c").alias("revenue_c"),
+    )

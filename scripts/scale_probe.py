@@ -103,6 +103,7 @@ EXTRA_QUERIES = [
     "scd2_asof_enrich",
     "multimodal_phash_neardup",
     "length_bucket_batching",
+    "incremental_agg_maintenance",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

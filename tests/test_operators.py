@@ -2396,3 +2396,39 @@ def test_length_bucket_batching_pinned(spark, tmp_path):
     # bucket 16: batch_docs = 256 -> 1 batch
     assert got[16]["n_batches"] == 1
     assert LB_BATCH_TOKENS == 4096
+
+
+def test_incremental_agg_retraction_roundtrip(spark):
+    """IVM retraction algebra pinned: applying a delta batch and then its
+    exact negation restores the prior view bit-for-bit, a full
+    retraction drops the key from the view entirely, and a mixed batch
+    (insert + retract on one key) nets correctly."""
+    from log_analysis_system_spark.queries.olap_extras import (
+        incremental_agg_apply,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2, 300), (2, 1, 50)], "key long, n long, sum_c long"
+    )
+    delta = spark.createDataFrame(
+        [(1, 1, 100), (2, -1, 50), (3, 1, 70), (3, 1, 30), (3, -1, 70)],
+        "key long, w long, value_c long",
+    )
+    after = {
+        r["key"]: (r["n"], r["sum_c"])
+        for r in incremental_agg_apply(base, delta).collect()
+    }
+    # key 1: 2+1 orders, 300+100; key 2 fully retracted; key 3 nets 1 row
+    assert after == {1: (3, 400), 3: (1, 30)}
+
+    # round-trip: apply the negation of the same delta -> original view
+    from pyspark.sql import functions as F
+
+    neg = delta.select("key", (-F.col("w")).alias("w"), "value_c")
+    restored_df = incremental_agg_apply(
+        incremental_agg_apply(base, delta), neg
+    )
+    restored = {
+        r["key"]: (r["n"], r["sum_c"]) for r in restored_df.collect()
+    }
+    assert restored == {1: (2, 300), 2: (1, 50)}
