@@ -180,26 +180,7 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical recurrence as chained CTEs. Ranks surface hub suppliers and
     broadly-sourcing customers — the graph-centrality view of the same
     tables the TPC-H battery scans relationally."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
-    return pagerank(edges)
+    return pagerank(trade_edges(spark, sf_dir))
 
 
 # --------------------------------------------- recursive-CTE reachability
@@ -357,6 +338,32 @@ def personalized_pagerank(
     return pr
 
 
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubled-undirected customer<->supplier edge list (src, dst): distinct
+    trading pairs via lineitem x orders, supplier ids offset above customer
+    keys. The shared graph every iterative operator here walks — matches
+    ``_EDGES_SQL`` exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+
+
 @query("personalized_pagerank_trade", oracle=_ppr_oracle())
 def q_personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-walk-with-restart relevance over the customer<->supplier
@@ -367,31 +374,13 @@ def q_personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame
     just surface overall hubs. Integer micro-unit recurrence (floor-div
     per-edge contributions), fixed {PR_ITERS} rounds, unrolled-CTE oracle
     — the established exact-iterative contract."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey"
-    )
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey"
     )
     n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         "n_nationkey", "n_name"
     )
-    pairs = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    edges = trade_edges(spark, sf_dir)
     seeds = (
         edges.select(F.col("src").alias("node"))
         .where(F.col("node") < SUPP_OFFSET)
@@ -406,3 +395,173 @@ def q_personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return personalized_pagerank(edges, seeds)
+
+
+# ------------------------------------------ label propagation communities
+
+LPA_ITERS = 3
+LPA_FANOUT = 2  # keep each customer's top-2 suppliers as community edges
+# Priority encoding base for the (count DESC, label ASC) vote argmax: must
+# exceed every node id (customer keys and SUPP_OFFSET + supplier keys both
+# stay far below it at test scale; raise alongside SUPP_OFFSET for larger
+# key spaces). count * LPA_ENC stays well inside int64 up to degrees ~9e10.
+LPA_ENC = 100_000_000
+
+# Sparse affinity edges: each customer keeps its top-LPA_FANOUT suppliers
+# by trade count (ties to the smaller key), doubled to undirected. On the
+# full bipartite trade graph LPA collapses into one giant community within
+# a round or two (everything trades with everything); the strongest-partner
+# subgraph is where the market-segment structure actually lives — the same
+# sparsification REACH_SQL applies to the nation graph.
+_LPA_EDGES_SQL = f"""
+    SELECT cust AS src, supp AS dst FROM (
+        SELECT cust, supp,
+               row_number() OVER (PARTITION BY cust
+                                  ORDER BY n DESC, supp) AS rk
+        FROM (SELECT o.o_custkey AS cust,
+                     {SUPP_OFFSET} + l.l_suppkey AS supp,
+                     count(*) AS n
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              GROUP BY 1, 2) t
+    ) r WHERE rk <= {LPA_FANOUT}
+"""
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    """Unroll the synchronous label-propagation recurrence into chained
+    CTEs. The per-node argmax over (vote count DESC, label ASC) is encoded
+    as max(count * LPA_ENC - label) — a single integer max both engines
+    evaluate identically, no window needed."""
+    ctes = [
+        f"sel AS ({_LPA_EDGES_SQL})",
+        "edges AS (SELECT src, dst FROM sel"
+        " UNION ALL SELECT dst AS src, src AS dst FROM sel)",
+        "lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"lp{i + 1} AS ("
+            f"SELECT node, CAST((max(p) // {LPA_ENC} + 1) * {LPA_ENC} "
+            f"- max(p) AS BIGINT) AS label "
+            f"FROM (SELECT e.dst AS node, "
+            f"count(*) * {LPA_ENC} - l.label AS p "
+            f"FROM edges e JOIN lp{i} l ON l.node = e.src "
+            f"GROUP BY e.dst, l.label) v{i} "
+            f"GROUP BY node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label AS community, count(*) AS n_members,
+       CAST(sum(CASE WHEN node < {SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN node >= {SUPP_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suppliers
+FROM lp{iters} GROUP BY label"""
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation over a doubled-undirected edge list
+    (src, dst): every node starts labeled with its own id; each round every
+    node adopts its neighbors' most frequent label, ties broken toward the
+    smallest label. Deterministic by construction — the async/randomized
+    LPA in the literature is not, which is why the sync variant is the one
+    a reproducible pipeline ships.
+
+    Each round is one join (labels onto edges) + one (dst, label) vote
+    count + one per-dst integer max — the same two-shuffle round shape as
+    `pagerank`, with the argmax folded into max(count * LPA_ENC - label)
+    so no per-round window or struct comparison is needed.
+    ``localCheckpoint`` truncates lineage per round. Returns (node, label)
+    after ``iters`` rounds."""
+    lab = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(lab, edges.src == lab.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "dst", (F.col("c") * LPA_ENC - F.col("label")).alias("p")
+            )
+        )
+        lab = (
+            votes.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.expr(
+                    f"cast((max(p) div {LPA_ENC} + 1) * {LPA_ENC}"
+                    f" - max(p) as bigint)"
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return lab
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection over the strongest-partner trade graph via
+    synchronous label propagation: each customer keeps its top-{LPA_FANOUT}
+    suppliers by trade count (the sparsification that REACH_SQL applies to
+    the nation graph — dense bipartite LPA degenerates to one giant
+    community), then {LPA_ITERS} deterministic rounds (majority neighbor
+    label, ties to the smallest), then a rollup of community sizes split by
+    node side. Where `dedup_components` finds connectivity and
+    `pagerank_trade_graph` finds hubs, this finds the market-segment
+    structure in between — groups of customers sharing their primary
+    suppliers.
+
+    Scale: edge selection is one hash-agg + one per-customer window
+    (partitioned, bounded top-K); per LPA round the working set is
+    (edges x 1 label) -> (dst, label) vote counts, which hash-aggregate
+    map-side before the shuffle; no driver data movement, lineage truncated
+    per round. The final community rollup is one hash-agg over #nodes
+    rows."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    trades = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            (F.lit(SUPP_OFFSET) + F.col("l_suppkey")).alias("supp"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cust").orderBy(F.desc("n"), F.asc("supp"))
+    sel = (
+        trades.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= LPA_FANOUT)
+        .select("cust", "supp")
+    )
+    edges = sel.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        sel.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    lab = label_propagation(edges)
+    return lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.expr(
+            f"cast(sum(case when node < {SUPP_OFFSET} then 1 else 0 end)"
+            f" as bigint)"
+        ).alias("n_customers"),
+        F.expr(
+            f"cast(sum(case when node >= {SUPP_OFFSET} then 1 else 0 end)"
+            f" as bigint)"
+        ).alias("n_suppliers"),
+    )

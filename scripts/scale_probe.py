@@ -104,6 +104,7 @@ EXTRA_QUERIES = [
     "multimodal_phash_neardup",
     "length_bucket_batching",
     "incremental_agg_maintenance",
+    "label_propagation_communities",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

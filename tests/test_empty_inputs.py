@@ -100,6 +100,7 @@ EMPTY_SAFE_QUERIES = [
     "multimodal_phash_neardup",
     "length_bucket_batching",
     "incremental_agg_maintenance",
+    "label_propagation_communities",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2432,3 +2432,21 @@ def test_incremental_agg_retraction_roundtrip(spark):
         r["key"]: (r["n"], r["sum_c"]) for r in restored_df.collect()
     }
     assert restored == {1: (2, 300), 2: (1, 50)}
+
+
+def test_label_propagation_two_cliques(spark):
+    """Planted communities: two triangles {1,2,3} and {4,5,6} bridged by a
+    single 3-4 edge. Hand-unrolled sync LPA with (count DESC, label ASC)
+    tie-breaks converges in 3 rounds to label 1 on the left triangle and
+    label 3 on the right — the bridge is outvoted on both sides, and the
+    deterministic tie-break is what makes round 1 reproducible at all
+    (every node starts with all-distinct neighbor labels)."""
+    from log_analysis_system_spark.queries.graph import label_propagation
+
+    und = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
