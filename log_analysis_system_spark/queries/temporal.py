@@ -747,3 +747,90 @@ def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(HOLT_SQL)
+
+
+# ------------------------------------------- rolling-origin backtest (MASE)
+
+MASE_MIN_T = 8  # first eval point: all three forecasters defined (lag 7 + 1)
+
+
+def _mase_sql(idiv) -> str:
+    """Rolling-origin one-step-ahead backtest over the per-DAY revenue
+    series, parameterized on the engine's integer-division idiom
+    (``a div b`` on Spark, ``a // b`` on DuckDB — the same two-dialect
+    trick as ``_simhash_expr``). All arithmetic is bigint cents, so both
+    engines produce identical rows."""
+    prev = (
+        "OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 1 PRECEDING)"
+    )
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT y,
+           row_number() OVER (ORDER BY day) AS t,
+           lag(y, 1) OVER (ORDER BY day) AS p_naive,
+           lag(y, 7) OVER (ORDER BY day) AS p_snaive7,
+           {idiv(f'sum(y) {prev}', f'count(y) {prev}')} AS p_expmean
+    FROM daily
+),
+e AS (
+    SELECT count(*) AS n,
+           sum(abs(y - p_naive)) AS sae_naive,
+           sum(abs(y - p_snaive7)) AS sae_snaive7,
+           sum(abs(y - p_expmean)) AS sae_expmean
+    FROM w WHERE t >= {MASE_MIN_T}
+)
+SELECT method, n_evals, mae_c, mase_ppm FROM (
+    SELECT 'naive' AS method, n AS n_evals,
+           CAST({idiv('sae_naive', 'n')} AS BIGINT) AS mae_c,
+           CAST({idiv('sae_naive * 1000000', 'sae_naive')} AS BIGINT)
+               AS mase_ppm
+    FROM e
+    UNION ALL
+    SELECT 'snaive7' AS method, n AS n_evals,
+           CAST({idiv('sae_snaive7', 'n')} AS BIGINT) AS mae_c,
+           CAST({idiv('sae_snaive7 * 1000000', 'sae_naive')} AS BIGINT)
+               AS mase_ppm
+    FROM e
+    UNION ALL
+    SELECT 'expmean' AS method, n AS n_evals,
+           CAST({idiv('sae_expmean', 'n')} AS BIGINT) AS mae_c,
+           CAST({idiv('sae_expmean * 1000000', 'sae_naive')} AS BIGINT)
+               AS mase_ppm
+    FROM e
+) u
+"""
+
+
+MASE_SPARK_SQL = _mase_sql(lambda a, b: f"(({a}) div ({b}))")
+MASE_DUCK_SQL = _mase_sql(lambda a, b: f"(({a}) // ({b}))")
+
+
+@query("forecast_backtest_mase", oracle=MASE_DUCK_SQL)
+def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step-ahead forecast BACKTEST — the evaluation
+    half the forecasting family (`forecast_revenue`, `holt_forecast_revenue`,
+    `trend_fit_events`) was missing: every day t >= {MASE_MIN_T} of the
+    daily-revenue series is forecast by three methods fitted only on days
+    < t (naive = yesterday, snaive7 = same weekday last week, expmean =
+    floor of the expanding mean), and each method is scored by MAE in
+    cents plus MASE x 1e6 against the naive baseline (ratio of
+    sum-absolute-errors over the identical eval window, so no double
+    rounding). mase_ppm < 1e6 means the method beats persistence — the
+    standard go/no-go gate before shipping a forecaster.
+
+    Scale: the fact table collapses to the per-DAY series in one hash-agg
+    before any window runs; the order-only windows operate on a
+    calendar-bounded series (BOUNDED_FRAME_WINDOWS-justified, like
+    `cusum_change_point`). Integer cents + integer division everywhere;
+    the oracle is the same SQL text modulo the engines' int-div idiom."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(MASE_SPARK_SQL)

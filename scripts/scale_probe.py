@@ -105,6 +105,7 @@ EXTRA_QUERIES = [
     "length_bucket_batching",
     "incremental_agg_maintenance",
     "label_propagation_communities",
+    "forecast_backtest_mase",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -101,6 +101,7 @@ EMPTY_SAFE_QUERIES = [
     "length_bucket_batching",
     "incremental_agg_maintenance",
     "label_propagation_communities",
+    "forecast_backtest_mase",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2450,3 +2450,31 @@ def test_label_propagation_two_cliques(spark):
     )
     got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_forecast_backtest_mase_planted(spark):
+    """Hand-computed backtest on a planted 10-day series: daily revenues
+    10,20,...,100 dollars. Eval days t=8..10 (y=80,90,100 in dollars):
+    naive errors 10,10,10 (sae 3000 cents); snaive7 errors 70,70,70
+    (sae 21000); expanding-mean predictions floor(mean of prior days) =
+    40,45,50 -> errors 40,45,50 (sae 13500). MASE ppm = sae*1e6 //
+    sae_naive."""
+    import datetime
+
+    from log_analysis_system_spark.queries.temporal import MASE_SPARK_SQL
+
+    rows = [
+        (datetime.date(1995, 1, d), float(10 * d))
+        for d in range(1, 11)
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).createOrReplaceTempView("orders")
+    got = {
+        r["method"]: (r["n_evals"], r["mae_c"], r["mase_ppm"])
+        for r in spark.sql(MASE_SPARK_SQL).collect()
+    }
+    spark.catalog.dropTempView("orders")
+    assert got["naive"] == (3, 1000, 1_000_000)
+    assert got["snaive7"] == (3, 7000, 7_000_000)
+    assert got["expmean"] == (3, 4500, 4_500_000)

@@ -375,6 +375,8 @@ BOUNDED_FRAME_WINDOWS = {
     "bm25_rank": "rank over the already-cut global_topn result (10 rows)",
     "cusum_change_point": "prefix sum over the per-DAY series "
     "(calendar-bounded; raw scan collapses first)",
+    "forecast_backtest_mase": "rolling-origin lags/prefix means over the "
+    "per-DAY revenue series (calendar-bounded; raw scan collapses first)",
     "holt_forecast_revenue": "recurrence over the per-MONTH revenue series",
     "key_skew_profile": "cumulative window over the counts-of-counts "
     "histogram (O(distinct per-key counts))",
