@@ -267,13 +267,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- simhash
 
-def _simhash_expr(shift: str) -> str:
+def _simhash_expr(shift: str, bits: int = SIMHASH_BITS) -> str:
     """Bit-vote fingerprint expression; ``shift`` is the engine's shift idiom
     ('(wh >> {j})' for DuckDB, 'shiftright(wh, {j})' for Spark SQL)."""
     return " + ".join(
         f"(CASE WHEN sum(CASE WHEN {shift.format(j=j)} & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
 
 
@@ -308,6 +308,119 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _hexint(F.md5(F.col("word").cast("binary"))).alias("wh")
     )
     return hashed.groupBy("doc_id").agg(F.expr(_SIMHASH_SPARK).alias("simhash"))
+
+
+SIMHASH_ND_BITS = 32           # the pair tier needs more discrimination
+#                                than the 16-bit fingerprint demo emits:
+#                                at 16 bits ~22% of ALL doc pairs land
+#                                within Hamming 3 (measured at sf0.01)
+SIMHASH_NEARDUP_BANDS = 4      # 4 bands x 8 bits
+SIMHASH_MAX_HAMMING = 3        # < SIMHASH_NEARDUP_BANDS, so banding is EXACT
+
+_SIMHASH_BAND_BITS = SIMHASH_ND_BITS // SIMHASH_NEARDUP_BANDS
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+_SIMHASH_ND_DUCK = _simhash_expr("(wh >> {j})", SIMHASH_ND_BITS)
+_SIMHASH_ND_SPARK = _simhash_expr("shiftright(wh, {j})", SIMHASH_ND_BITS)
+
+
+@query(
+    "dedup_simhash_neardup",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS wh
+    FROM tok
+),
+sig AS (SELECT doc_id, {_SIMHASH_ND_DUCK} AS simhash FROM hashed GROUP BY doc_id),
+bv AS (
+    SELECT doc_id, simhash, band_idx,
+           (simhash >> (band_idx * {_SIMHASH_BAND_BITS}))
+               & {_SIMHASH_BAND_MASK} AS band_val
+    FROM (SELECT doc_id, simhash,
+                 unnest(generate_series(0, {SIMHASH_NEARDUP_BANDS - 1}))
+                     AS band_idx
+          FROM sig)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM bv a JOIN bv b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS — the missing second half of the
+    SimHash tier (`dedup_simhash` emits fingerprints; this resolves them
+    to pairs, in-plan): a {SIMHASH_ND_BITS}-bit fingerprint (same bit-vote
+    construction as `dedup_simhash`, widened because the 16-bit demo
+    fingerprint puts ~22% of ALL doc pairs within Hamming 3 at sf0.01 —
+    useless as a pair filter) splits into {SIMHASH_NEARDUP_BANDS} bands
+    of {_SIMHASH_BAND_BITS} bits; pairs sharing any band value are
+    candidates, and survivors keep bit_count(xor) <=
+    {SIMHASH_MAX_HAMMING}. Because the Hamming threshold is STRICTLY
+    BELOW the band count, the pigeonhole argument makes the band join
+    LOSSLESS — every true pair shares at least one error-free band — so
+    unlike the MinHash tier (probabilistic recall, measured by
+    `lsh_recall_audit`) this tier needs no recall audit: the banded plan
+    and the all-pairs plan provably emit identical rows.
+
+    Scale: fingerprints are one hash-agg over exploded words; the band
+    self-join's bucket fan-out is the quadratic knob — at corpus scale
+    widen the fingerprint and bands together (64-bit/4x16 is the
+    standard production shape, as in `multimodal_phash_neardup`) so
+    bucket occupancy stays bounded while the pigeonhole guarantee
+    (threshold < bands) is preserved. Ref parity: extends the reference's
+    dedup surface the same way the MinHash tier does."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    hashed = tok.select(
+        "doc_id", _hexint(F.md5(F.col("word").cast("binary"))).alias("wh")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.expr(_SIMHASH_ND_SPARK).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(SIMHASH_NEARDUP_BANDS)])
+        ).alias("band_idx"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            f"shiftright(simhash, band_idx * {_SIMHASH_BAND_BITS})"
+            f" & {_SIMHASH_BAND_MASK}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
 
 
 # ---------------------------------------------------------------- jaccard

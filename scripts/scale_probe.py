@@ -106,6 +106,7 @@ EXTRA_QUERIES = [
     "incremental_agg_maintenance",
     "label_propagation_communities",
     "forecast_backtest_mase",
+    "dedup_simhash_neardup",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -102,6 +102,7 @@ EMPTY_SAFE_QUERIES = [
     "incremental_agg_maintenance",
     "label_propagation_communities",
     "forecast_backtest_mase",
+    "dedup_simhash_neardup",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2478,3 +2478,55 @@ def test_forecast_backtest_mase_planted(spark):
     assert got["naive"] == (3, 1000, 1_000_000)
     assert got["snaive7"] == (3, 7000, 7_000_000)
     assert got["expmean"] == (3, 4500, 4_500_000)
+
+
+def test_simhash_neardup_lossless_banding(spark, tmp_path):
+    """The pigeonhole contract pinned: on a planted corpus, the banded
+    query's pairs equal a Python all-pairs recompute of the 32-bit
+    fingerprints at Hamming <= SIMHASH_MAX_HAMMING — the banding loses
+    nothing (threshold < band count). Identical docs must pair at
+    hamming 0; a disjoint-vocabulary doc must not pair with them."""
+    import hashlib
+
+    from log_analysis_system_spark.queries.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_ND_BITS,
+        q_dedup_simhash_neardup,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "alpha beta gamma delta epsilon zeta eta iota",
+        4: "one two three four five six seven eight nine ten",
+    }
+
+    def py_simhash(text):
+        votes = [0] * SIMHASH_ND_BITS
+        for w in text.split(" "):
+            wh = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_ND_BITS):
+                votes[j] += 1 if (wh >> j) & 1 else -1
+        return sum(1 << j for j in range(SIMHASH_ND_BITS) if votes[j] > 0)
+
+    hashes = {i: py_simhash(t) for i, t in texts.items()}
+    expected = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in texts
+        for b in texts
+        if a < b
+        and bin(hashes[a] ^ hashes[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_dedup_simhash_neardup(spark, d).collect()
+    }
+    assert got == expected
+    assert got[(1, 2)] == 0
+    assert not any(4 in p for p in got)
