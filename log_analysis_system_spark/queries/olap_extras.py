@@ -1734,3 +1734,49 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").alias("n_orders"),
         F.col("sum_c").alias("revenue_c"),
     )
+
+
+# --------------------------------------------- skyline / Pareto frontier
+
+# ONE SQL text executed verbatim by BOTH engines (the REACH_SQL /
+# holt-family contract): 2-D skyline maximizing size while minimizing
+# price. The reduce-first shape is what makes a skyline distributed-safe:
+# the fact table collapses to one row per size (a bounded categorical
+# domain) in a single hash-agg, and dominance then resolves with one
+# prefix-min window over that ~50-row table — never the O(n^2)
+# tuple-vs-tuple dominance join the naive formulation writes.
+SKYLINE_SQL = """
+WITH per_size AS (
+    SELECT CAST(p_size AS BIGINT) AS size,
+           min(CAST(round(p_retailprice * 100) AS BIGINT)) AS min_price_c,
+           count(*) AS n_parts
+    FROM part GROUP BY 1
+)
+SELECT size, min_price_c, n_parts FROM (
+    SELECT size, min_price_c, n_parts,
+           min(min_price_c) OVER (ORDER BY size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_larger
+    FROM per_size
+) t
+WHERE best_larger IS NULL OR min_price_c < best_larger
+"""
+
+
+@query("pareto_price_size_frontier", oracle=SKYLINE_SQL)
+def q_pareto_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over parts: the sizes whose cheapest part
+    is not dominated by any larger size at equal-or-lower price — the
+    classic 2-D skyline operator (maximize size, minimize price), answering
+    "which (size, price) points are actually worth considering". A point
+    survives iff its per-size minimum price is strictly below the running
+    minimum over all larger sizes.
+
+    Scale: parts reduce to the per-size table (bounded categorical domain)
+    in one hash-agg; the order-only prefix-min window runs on ~50 rows
+    (BOUNDED_FRAME_WINDOWS-justified). Exact integer cents throughout; the
+    oracle is this same SQL text run verbatim by DuckDB."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SKYLINE_SQL)

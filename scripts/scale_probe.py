@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "label_propagation_communities",
     "forecast_backtest_mase",
     "dedup_simhash_neardup",
+    "pareto_price_size_frontier",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

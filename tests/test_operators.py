@@ -2530,3 +2530,28 @@ def test_simhash_neardup_lossless_banding(spark, tmp_path):
     assert got == expected
     assert got[(1, 2)] == 0
     assert not any(4 in p for p in got)
+
+
+def test_pareto_frontier_planted(spark):
+    """Hand-computed skyline: sizes 1..4 with per-size min prices
+    (1: $5, 2: $3, 3: $9, 4: $7). Maximize size / minimize price:
+    size 4 always survives; size 3 ($9) is dominated by size 4 ($7);
+    size 2 ($3) beats everything larger; size 1 ($5) is dominated by
+    size 2. Frontier = {(4, 700), (2, 300)}."""
+    from log_analysis_system_spark.queries.olap_extras import SKYLINE_SQL
+
+    rows = [
+        (1, 5.0), (1, 8.0),
+        (2, 3.0), (2, 11.0),
+        (3, 9.0),
+        (4, 7.0), (4, 7.5),
+    ]
+    spark.createDataFrame(
+        rows, "p_size int, p_retailprice double"
+    ).createOrReplaceTempView("part")
+    got = {
+        r["size"]: (r["min_price_c"], r["n_parts"])
+        for r in spark.sql(SKYLINE_SQL).collect()
+    }
+    spark.catalog.dropTempView("part")
+    assert got == {4: (700, 2), 2: (300, 2)}

@@ -382,6 +382,8 @@ BOUNDED_FRAME_WINDOWS = {
     "histogram (O(distinct per-key counts))",
     "ks_drift": "CDF prefix over the bounded value-grid histogram "
     "(~500 buckets)",
+    "pareto_price_size_frontier": "prefix min over the per-SIZE table "
+    "(bounded categorical domain, ~50 rows)",
     "repeat_purchase_cadence": "percentile cut over the day-gap histogram "
     "(calendar-bounded)",
     "unimax_mixture_allocation": "waterfilling prefix over the per-SOURCE "
