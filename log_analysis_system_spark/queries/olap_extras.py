@@ -1780,3 +1780,68 @@ def q_pareto_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(SKYLINE_SQL)
+
+
+# ------------------------------------------- HLL precision-selection curve
+
+HLL_LGKS = [8, 10, 12, 14]
+# Theoretical HLL relative standard error 1.04/sqrt(2^lgK), in ppm. Even
+# lgK keeps sqrt exact, so these are integer-exact in both engines.
+HLL_RSD_PPM = {k: 1_040_000 // (1 << (k // 2)) for k in HLL_LGKS}
+
+
+@query(
+    "hll_precision_curve",
+    oracle=f"""
+WITH exact AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+SELECT lgk, rsd_ppm, exact_users,
+       TRUE AS within_tol, TRUE AS bytes_bounded
+FROM exact, (VALUES {", ".join(f"({k}, {HLL_RSD_PPM[k]})" for k in HLL_LGKS)})
+     AS grid(lgk, rsd_ppm)
+""",
+)
+def q_hll_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-precision SELECTION audit — the "which lgConfigK do I ship at
+    100 TB" question answered with measurements instead of folklore: one
+    pass over events builds an HLL sketch per lgK in {HLL_LGKS} alongside
+    the exact distinct count, and each precision emits (a) a 5-sigma
+    tolerance verdict (|est - exact| <= 5 x 1.04/sqrt(2^lgK) x exact — the
+    `approx_distinct_users` contract, extended across the whole precision
+    grid) and (b) a memory-bound verdict (serialized sketch bytes <=
+    8 x 2^lgK + 64, generous over the ~2^lgK dense encoding — catches a
+    sketch that silently degrades to exact mode). Estimates and byte
+    counts are engine-specific (DataSketches vs DuckDB HLL), so the
+    oracle asserts the VERDICTS plus the engine-neutral columns, the
+    established sketch-oracle protocol.
+
+    Scale: all sketches build in ONE hash-agg pass (map-side combinable
+    partials — the mergeability that makes HLL the 100 TB answer);
+    nothing but the one-row grid leaves the executors."""
+    ev = read_events(spark, sf_dir).select("user_id")
+    aggs = [F.count_distinct("user_id").alias("exact_users")]
+    for k in HLL_LGKS:
+        sk = F.hll_sketch_agg("user_id", k)
+        aggs.append(F.hll_sketch_estimate(sk).alias(f"est{k}"))
+        aggs.append(F.length(sk).alias(f"bytes{k}"))
+    one = ev.agg(*aggs)
+    stack = ", ".join(
+        f"{k}L, {HLL_RSD_PPM[k]}L, est{k}, bytes{k}" for k in HLL_LGKS
+    )
+    rows = one.select(
+        "exact_users",
+        F.expr(
+            f"stack({len(HLL_LGKS)}, {stack}) AS (lgk, rsd_ppm, est, bytes)"
+        ),
+    )
+    return rows.select(
+        "lgk",
+        "rsd_ppm",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(5) * F.col("rsd_ppm") * F.col("exact_users") / 1_000_000
+        ).alias("within_tol"),
+        F.expr("bytes <= 8 * shiftleft(1, cast(lgk AS int)) + 64").alias(
+            "bytes_bounded"
+        ),
+    )

@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "forecast_backtest_mase",
     "dedup_simhash_neardup",
     "pareto_price_size_frontier",
+    "hll_precision_curve",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.
