@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "perplexity_band_filter",
     "quality_discriminator",
     "leak_free_split",
+    # round-6 second-wave additions (pins in BASELINE.md)
+    "label_propagation_communities",
+    "forecast_backtest_mase",
+    "dedup_simhash_neardup",
+    "pareto_price_size_frontier",
+    "hll_precision_curve",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

@@ -58,10 +58,12 @@ PRIORITY: tuple[str, ...] = (
     # banding stays officially covered by dedup_minhash_lsh +
     # embedding_near_dup's banded candidates; driver_sim + pytest keep it)
     # in favor of the PQ path, which no other row exercises; round 6 adds
-    # the IVF-PQ composition and the index-lifecycle refresh
+    # the IVF-PQ composition and the index-lifecycle refresh, and rotates
+    # ann_ivf_trained_topk out late round 6 (its trained coarse quantizer
+    # runs INSIDE ann_ivfpq_topk's composition; driver_sim + pytest + bench
+    # keep it) in favor of the label-propagation graph row below
     "ann_brute_topk",
     "ann_pq_topk",
-    "ann_ivf_trained_topk",
     "ann_ivfpq_topk",
     "pq_index_refresh",
     "embedding_near_dup",
@@ -100,14 +102,20 @@ PRIORITY: tuple[str, ...] = (
     "skew_safe_event_totals",
     "hypertable_rollup",
     # corpus pipeline / temporal / sampling / graph / data quality
-    # (resample_hourly_dense rotated out round 3 — temporal keeps
-    # gap_sessions_events; driver_sim + pytest cover the rest)
+    # (resample_hourly_dense rotated out round 3; gap_sessions_events
+    # rotated out late round 6 — its lag+cumsum shape is also exercised by
+    # funnel and session_agg, and the temporal family row passes to the
+    # rolling-origin backtest, an op class no other row exercises;
+    # driver_sim + pytest cover the rotated-out rows)
     "corpus_pipeline",
-    "gap_sessions_events",
+    "forecast_backtest_mase",
     "dq_checks",
     "sample_weighted_docs",
     "balanced_shards",
     "pagerank_trade_graph",
+    # late round 6: deterministic sync label propagation — community
+    # detection, a graph op class pagerank's sum-recurrence doesn't cover
+    "label_propagation_communities",
     # round-4 flagship: distributed BPE training (iterative trained-state
     # op over the text family — no other row exercises it)
     "bpe_vocab_train",

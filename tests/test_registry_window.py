@@ -30,8 +30,10 @@ FAMILY_REPRESENTATIVES = {
     # pair_overlap_stats path by dedup_containment_capped)
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     # ANN family (ann_lsh_topk rotated out round 3 — LSH banding stays
-    # officially covered by dedup_minhash_lsh + embedding_near_dup)
-    "ann_brute_topk", "ann_pq_topk", "ann_ivf_trained_topk",
+    # officially covered by dedup_minhash_lsh + embedding_near_dup;
+    # ann_ivf_trained_topk rotated out late round 6 — its trained coarse
+    # quantizer runs inside ann_ivfpq_topk)
+    "ann_brute_topk", "ann_pq_topk",
     "embedding_near_dup",
     # round-6 ANN additions: the IVF-PQ composition and the
     # staleness-triggered index refresh (both verdict oracles)
@@ -43,9 +45,13 @@ FAMILY_REPRESENTATIVES = {
     # (resample_hourly_dense rotated out round 3; multimodal_frames round 6
     # — decode exercises the same mapInPandas plumbing plus a real codec;
     # sim + pytest cover both)
-    "multimodal_audio", "corpus_pipeline", "gap_sessions_events",
+    # gap_sessions_events rotated out late round 6 (lag+cumsum shape also
+    # exercised by funnel + session_agg); the temporal row passes to the
+    # rolling-origin MASE backtest, and the graph family gains the
+    # label-propagation community row beside pagerank
+    "multimodal_audio", "corpus_pipeline", "forecast_backtest_mase",
     "dq_checks", "sample_weighted_docs", "balanced_shards",
-    "pagerank_trade_graph",
+    "pagerank_trade_graph", "label_propagation_communities",
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
     # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
     "multimodal_decode", "exact_substring_spans", "bpe_vocab_train",
