@@ -73,6 +73,21 @@ SHOWCASE = {
     "shuffles for the E-step beyond the per-word candidate collect",
     "zorder_skipping_stats": "one events scan feeds both layout models; "
     "file stats are bounded (<= 256-row) hash-aggs; probes broadcast",
+    # late round-6 flagships
+    "label_propagation_communities": "each LPA round is vote-count + "
+    "integer-argmax hash-aggs (map-side combinable); lineage truncated "
+    "per round, final rollup one exchange over checkpointed labels",
+    "forecast_backtest_mase": "the fact table collapses to the per-DAY "
+    "series in one hash-agg before any order-only window runs "
+    "(calendar-bounded frame, allowlist-justified)",
+    "dedup_simhash_neardup": "32-bit fingerprints in one hash-agg; banded "
+    "Hamming self-join is equi-keyed on (band_idx, band_val) — threshold "
+    "< bands makes the banding provably lossless",
+    "pareto_price_size_frontier": "reduce-first skyline: one hash-agg to "
+    "the bounded per-size table + one prefix-min window — never the "
+    "O(n^2) dominance join",
+    "hll_precision_curve": "all four lgK sketches + the exact count build "
+    "in ONE hash-agg pass (map-side combinable partials)",
 }
 
 HEADER = """\
