@@ -385,9 +385,11 @@ def q_dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = tok.select(
         "doc_id", _hexint(F.md5(F.col("word").cast("binary"))).alias("wh")
     )
+    # cache: both sides of the band self-join and the verify projection
+    # read the signatures (the dedup_minhash_lsh precedent)
     sig = hashed.groupBy("doc_id").agg(
         F.expr(_SIMHASH_ND_SPARK).alias("simhash")
-    )
+    ).cache()
     bands = sig.select(
         "doc_id",
         "simhash",
