@@ -2624,3 +2624,121 @@ def q_ppjoin_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pruned_ppm"),
         )
     )
+
+
+# ------------------------------------------------ cross-tier agreement
+
+def _method_agreement_oracle() -> str:
+    """Composed from the three pair-tier oracles (minhash / simhash-neardup
+    / exact jaccard), resolved LATE by load_all per the _keep_best_oracle
+    precedent — each tier's full SQL runs as a derived table, so this row
+    stays green against exactly what the component rows assert."""
+    from . import ORACLES
+
+    mh = ORACLES["dedup_minhash_lsh"].strip().rstrip(";")
+    sh = ORACLES["dedup_simhash_neardup"].strip().rstrip(";")
+    jc = ORACLES["dedup_ngram_jaccard"].strip().rstrip(";")
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b FROM ({mh}) t1),
+sh AS (SELECT doc_a, doc_b FROM ({sh}) t2),
+jc AS (SELECT doc_a, doc_b FROM ({jc}) t3),
+tagged AS (
+    SELECT doc_a, doc_b, 'mh' AS m FROM mh
+    UNION ALL SELECT doc_a, doc_b, 'sh' FROM sh
+    UNION ALL SELECT doc_a, doc_b, 'jc' FROM jc
+),
+per AS (
+    SELECT doc_a, doc_b,
+           max(CASE WHEN m = 'mh' THEN 1 ELSE 0 END) AS in_mh,
+           max(CASE WHEN m = 'sh' THEN 1 ELSE 0 END) AS in_sh,
+           max(CASE WHEN m = 'jc' THEN 1 ELSE 0 END) AS in_jc
+    FROM tagged GROUP BY 1, 2
+),
+one AS (
+    SELECT CAST(sum(in_mh) AS BIGINT) AS n_mh,
+           CAST(sum(in_sh) AS BIGINT) AS n_sh,
+           CAST(sum(in_jc) AS BIGINT) AS n_jc,
+           CAST(sum(in_mh * in_sh) AS BIGINT) AS n_mh_sh,
+           CAST(sum(in_mh * in_jc) AS BIGINT) AS n_mh_jc,
+           CAST(sum(in_sh * in_jc) AS BIGINT) AS n_sh_jc
+    FROM per
+)
+SELECT 'minhash~simhash' AS methods, n_mh AS n_a, n_sh AS n_b,
+       n_mh_sh AS n_both,
+       CAST(n_mh_sh * 1000000 // (n_mh + n_sh - n_mh_sh) AS BIGINT)
+           AS agree_ppm
+FROM one
+UNION ALL
+SELECT 'minhash~jaccard', n_mh, n_jc, n_mh_jc,
+       CAST(n_mh_jc * 1000000 // (n_mh + n_jc - n_mh_jc) AS BIGINT)
+FROM one
+UNION ALL
+SELECT 'simhash~jaccard', n_sh, n_jc, n_sh_jc,
+       CAST(n_sh_jc * 1000000 // (n_sh + n_jc - n_sh_jc) AS BIGINT)
+FROM one
+"""
+
+
+@query("dedup_method_agreement", oracle=_method_agreement_oracle)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier dedup AGREEMENT matrix — "which near-dup tier do I trust
+    at 100 TB" answered by measurement: the three pair tiers (banded
+    MinHash at Jaccard >= {JACCARD_THRESHOLD}, lossless banded SimHash at
+    Hamming <= {SIMHASH_MAX_HAMMING}, exact n-gram Jaccard) run over the
+    same corpus, and each method pair reports set sizes, intersection, and
+    Jaccard agreement in ppm. minhash~jaccard agreement restates LSH
+    recall (minhash's verified pairs are a subset of the exact tier by
+    construction — `lsh_recall_audit` measures the same loss per-pair);
+    simhash~jaccard is the genuinely new signal: how well the bit-vote
+    fingerprint family reproduces set-overlap similarity, the number that
+    decides whether the cheap tier can replace the expensive one on a
+    given corpus.
+
+    Scale: all three tiers are banded/inverted-index plans (no new
+    kernel); the agreement rollup is one hash-agg over the union of pair
+    sets (result-sized). The oracle composes the three component oracles
+    verbatim as derived tables, so this row can only be green if the
+    tiers themselves are."""
+    mh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("mh").alias("m")
+    )
+    sh = q_dedup_simhash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("sh").alias("m")
+    )
+    jc = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit("jc").alias("m")
+    )
+    per = (
+        mh.unionByName(sh)
+        .unionByName(jc)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("m") == "mh", 1).otherwise(0)).alias("in_mh"),
+            F.max(F.when(F.col("m") == "sh", 1).otherwise(0)).alias("in_sh"),
+            F.max(F.when(F.col("m") == "jc", 1).otherwise(0)).alias("in_jc"),
+        )
+    )
+    one = per.agg(
+        F.sum("in_mh").cast("long").alias("n_mh"),
+        F.sum("in_sh").cast("long").alias("n_sh"),
+        F.sum("in_jc").cast("long").alias("n_jc"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("n_mh_sh"),
+        F.sum(F.col("in_mh") * F.col("in_jc")).cast("long").alias("n_mh_jc"),
+        F.sum(F.col("in_sh") * F.col("in_jc")).cast("long").alias("n_sh_jc"),
+    )
+    rows = one.selectExpr(
+        "stack(3, "
+        "'minhash~simhash', n_mh, n_sh, n_mh_sh, "
+        "'minhash~jaccard', n_mh, n_jc, n_mh_jc, "
+        "'simhash~jaccard', n_sh, n_jc, n_sh_jc"
+        ") AS (methods, n_a, n_b, n_both)"
+    )
+    return rows.select(
+        "methods",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.expr(
+            "cast(n_both * 1000000 div (n_a + n_b - n_both) as bigint)"
+        ).alias("agree_ppm"),
+    )

@@ -109,6 +109,7 @@ EXTRA_QUERIES = [
     "dedup_simhash_neardup",
     "pareto_price_size_frontier",
     "hll_precision_curve",
+    "dedup_method_agreement",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

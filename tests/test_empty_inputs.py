@@ -105,6 +105,7 @@ EMPTY_SAFE_QUERIES = [
     "dedup_simhash_neardup",
     "pareto_price_size_frontier",
     "hll_precision_curve",
+    "dedup_method_agreement",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
