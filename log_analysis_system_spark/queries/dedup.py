@@ -2665,16 +2665,28 @@ one AS (
 )
 SELECT 'minhash~simhash' AS methods, n_mh AS n_a, n_sh AS n_b,
        n_mh_sh AS n_both,
-       CAST(n_mh_sh * 1000000 // (n_mh + n_sh - n_mh_sh) AS BIGINT)
+       CAST(CASE WHEN coalesce(n_mh, 0) + coalesce(n_sh, 0)
+                      - coalesce(n_mh_sh, 0) = 0 THEN 0
+            ELSE coalesce(n_mh_sh, 0) * 1000000
+                 // (coalesce(n_mh, 0) + coalesce(n_sh, 0)
+                     - coalesce(n_mh_sh, 0)) END AS BIGINT)
            AS agree_ppm
 FROM one
 UNION ALL
 SELECT 'minhash~jaccard', n_mh, n_jc, n_mh_jc,
-       CAST(n_mh_jc * 1000000 // (n_mh + n_jc - n_mh_jc) AS BIGINT)
+       CAST(CASE WHEN coalesce(n_mh, 0) + coalesce(n_jc, 0)
+                      - coalesce(n_mh_jc, 0) = 0 THEN 0
+            ELSE coalesce(n_mh_jc, 0) * 1000000
+                 // (coalesce(n_mh, 0) + coalesce(n_jc, 0)
+                     - coalesce(n_mh_jc, 0)) END AS BIGINT)
 FROM one
 UNION ALL
 SELECT 'simhash~jaccard', n_sh, n_jc, n_sh_jc,
-       CAST(n_sh_jc * 1000000 // (n_sh + n_jc - n_sh_jc) AS BIGINT)
+       CAST(CASE WHEN coalesce(n_sh, 0) + coalesce(n_jc, 0)
+                      - coalesce(n_sh_jc, 0) = 0 THEN 0
+            ELSE coalesce(n_sh_jc, 0) * 1000000
+                 // (coalesce(n_sh, 0) + coalesce(n_jc, 0)
+                     - coalesce(n_sh_jc, 0)) END AS BIGINT)
 FROM one
 """
 
@@ -2733,12 +2745,21 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'simhash~jaccard', n_sh, n_jc, n_sh_jc"
         ") AS (methods, n_a, n_b, n_both)"
     )
+    # agree_ppm is guarded non-null: on a corpus where two tiers emit no
+    # pairs the denominator is 0 (or NULL from the empty-input sums) and
+    # downstream consumers should see an explicit 0, not NULL. Same CASE
+    # in the composed oracle.
+    denom = (
+        "coalesce(n_a, 0) + coalesce(n_b, 0) - coalesce(n_both, 0)"
+    )
     return rows.select(
         "methods",
         "n_a",
         "n_b",
         "n_both",
         F.expr(
-            "cast(n_both * 1000000 div (n_a + n_b - n_both) as bigint)"
+            f"cast(CASE WHEN {denom} = 0 THEN 0 "
+            f"ELSE coalesce(n_both, 0) * 1000000 div ({denom}) END "
+            "as bigint)"
         ).alias("agree_ppm"),
     )

@@ -483,6 +483,17 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # The argmax encoding max(count * LPA_ENC - label) decodes correctly
+    # only while every node id < LPA_ENC; a larger key space (e.g. a raised
+    # SUPP_OFFSET) would silently corrupt labels. Fail loudly instead —
+    # a 1-row scalar collect over the already-materialized label seed.
+    max_node = lab.agg(F.max("node")).first()[0]
+    if max_node is not None and max_node >= LPA_ENC:
+        raise ValueError(
+            f"label_propagation: max node id {max_node} >= LPA_ENC "
+            f"{LPA_ENC}; raise LPA_ENC (keep count*LPA_ENC inside int64) "
+            "so the integer argmax encoding stays decodable"
+        )
     for _ in range(iters):
         votes = (
             edges.join(lab, edges.src == lab.node)

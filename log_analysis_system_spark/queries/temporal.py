@@ -825,6 +825,16 @@ def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding). mase_ppm < 1e6 means the method beats persistence — the
     standard go/no-go gate before shipping a forecaster.
 
+    CONTRACT — dense daily calendar: the lags are ROW offsets over the
+    observed-day series, so "yesterday" / "same weekday last week" are
+    literal only when every calendar day has at least one order (true of
+    the TPC-H-shaped order stream at every SF, asserted by
+    tests/test_operators.py::test_forecast_backtest_dense_calendar_contract).
+    On a gappy series the offsets mean
+    "previous observation" / "7 observations back"; densify first (the
+    resample/LOCF operator in this module is the precedent) if calendar
+    alignment is required.
+
     Scale: the fact table collapses to the per-DAY series in one hash-agg
     before any window runs; the order-only windows operate on a
     calendar-bounded series (BOUNDED_FRAME_WINDOWS-justified, like

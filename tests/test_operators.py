@@ -2480,6 +2480,31 @@ def test_forecast_backtest_mase_planted(spark):
     assert got["expmean"] == (3, 4500, 4_500_000)
 
 
+def test_forecast_backtest_dense_calendar_contract(spark):
+    """forecast_backtest_mase's lags are ROW offsets, literal 'yesterday' /
+    'same weekday last week' only on a gapless daily series (documented
+    contract in its docstring). Assert the orders stream actually IS dense
+    at test scale: every calendar day between min and max o_orderdate has
+    at least one order."""
+    from tests.conftest import SF_DIR
+
+    days, span = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .agg(
+            F.countDistinct("o_orderdate").alias("days"),
+            (
+                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1
+            ).alias("span"),
+        )
+        .first()
+    )
+    assert days == span, (
+        f"orders daily series has calendar gaps ({days} observed days over "
+        f"a {span}-day span); forecast_backtest_mase's row-offset lags no "
+        "longer mean yesterday/last-week — densify first"
+    )
+
+
 def test_simhash_neardup_lossless_banding(spark, tmp_path):
     """The pigeonhole contract pinned: on a planted corpus, the banded
     query's pairs equal a Python all-pairs recompute of the 32-bit

@@ -14,6 +14,10 @@ load_all()
 
 
 def plan_of(spark, name: str) -> str:
+    # Gates are pinned against COLD plans; queries that .cache() intermediates
+    # would otherwise render as InMemoryRelation subtrees once earlier tests
+    # populated the CacheManager, making the assertions order-dependent.
+    spark.catalog.clearCache()
     return QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
 
 
