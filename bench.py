@@ -112,6 +112,31 @@ def calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _calib_unit(_):
+    x = 0
+    for i in range(CALIB_ITERS):
+        x += i * i
+    return x
+
+
+def calibrate_parallel(workers: int = 32) -> float:
+    """Time ``workers`` copies of the calib loop run concurrently — the
+    host's effective PARALLEL capacity, which the single-thread probe
+    cannot see. This container's 32 vCPUs are sometimes heavily
+    oversubscribed by the hypervisor (measured this round: 38% steal +
+    21% involuntary idle under full load → ~13 effective cores while
+    calib_sec stayed nominal); that state uniformly inflates every Spark
+    stage while leaving calib_sec untouched. Comparing BENCH files:
+    calib_par_sec ratio explains "uniform drag" that calib_sec cannot.
+    Ideal = calib_sec (perfect scaling); N x calib_sec = no parallelism."""
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    with Pool(workers) as p:
+        p.map(_calib_unit, range(workers))
+    return round(time.perf_counter() - t0, 3)
+
+
 def read_loadavg() -> list[float]:
     try:
         with open("/proc/loadavg") as f:
@@ -165,7 +190,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     loadavg = read_loadavg()
     calib_sec = calibrate()
-    print(f"# loadavg={loadavg} calib_sec={calib_sec}", file=sys.stderr)
+    calib_par_sec = calibrate_parallel()
+    print(
+        f"# loadavg={loadavg} calib_sec={calib_sec} "
+        f"calib_par_sec={calib_par_sec}",
+        file=sys.stderr,
+    )
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -196,6 +226,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg": loadavg,
                 "calib_sec": calib_sec,
+                "calib_par_sec": calib_par_sec,
             }
         )
     )

@@ -50,6 +50,10 @@ PRIORITY: tuple[str, ...] = (
     # in favor of the round-6 decontamination flagships below
     "dedup_exact",
     "dedup_minhash_lsh",
+    # round 7: PPJoin prefix-filtered exact set-similarity join — the
+    # third candidate-generation strategy (prefix filter) next to banded
+    # signatures (minhash) and the df_cap'd inverted index (containment)
+    "ppjoin_jaccard",
     "dedup_components",
     "exact_substring_spans",
     "decontaminate_spans",
@@ -62,8 +66,12 @@ PRIORITY: tuple[str, ...] = (
     # ann_ivf_trained_topk out late round 6 (its trained coarse quantizer
     # runs INSIDE ann_ivfpq_topk's composition; driver_sim + pytest + bench
     # keep it) in favor of the label-propagation graph row below
+    # ann_pq_topk rotated out round 7: flat-PQ codebook training + ADC run
+    # INSIDE ann_ivfpq_topk (residual form) and the pq_index_refresh
+    # lifecycle row, and bench keeps the build/serve split timed;
+    # driver_sim + pytest keep the query. Its slot passes to the PPJoin
+    # prefix-filter row below — an op class no window row exercised.
     "ann_brute_topk",
-    "ann_pq_topk",
     "ann_ivfpq_topk",
     "pq_index_refresh",
     "embedding_near_dup",
@@ -71,15 +79,23 @@ PRIORITY: tuple[str, ...] = (
     # idf aggregation stays covered by text_metrics + the dedup rows;
     # driver_sim + pytest keep them) in favor of BM25 ranking and PSI drift,
     # op classes no other row exercises
+    # doc_fingerprint rotated out round 7: the rolling-hash fingerprint
+    # shape stays covered by winnow_overlap (driver_sim + bench) and the
+    # signature arithmetic by pytest; its slot passes to the Kneser-Ney
+    # perplexity row — the trained-LM op class had no official row.
     "text_metrics",
-    "doc_fingerprint",
     "bm25_rank",
+    "kneser_ney_perplexity",
     "drift_psi",
     # multimodal — REAL codec rows; frames plumbing rotated out round 6
-    # (multimodal_decode exercises the identical mapInPandas schema/batch
-    # path PLUS a real image codec on top; driver_sim + pytest keep frames)
-    # in favor of the WAV-PCM16 audio codec, a distinct parser
-    "multimodal_decode",
+    # (decode exercises the identical mapInPandas schema/batch path PLUS a
+    # real image codec on top) in favor of the WAV-PCM16 audio codec, a
+    # distinct parser. multimodal_decode itself rotated out round 7: the
+    # pHash near-dup row COMPOSES the PPM decode (same codec, same
+    # mapInPandas plumbing) with a DCT perceptual hash and a banded
+    # Hamming join — strictly more of the pipeline under one oracle;
+    # driver_sim + pytest keep decode as its own row.
+    "multimodal_phash_neardup",
     "multimodal_audio",
     # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotated out
     # round 3, cumulative round 6 (A11's state loop is pinned by the
@@ -92,9 +108,16 @@ PRIORITY: tuple[str, ...] = (
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
-    # OLAP extras: one per operator family
-    "asof_join_orders",
-    "rollup_lineitem",
+    # OLAP extras: one per operator family. Round-7 rotations:
+    # asof_join_orders → scd2_asof_enrich (the as-of class keeps a row —
+    # the SCD2 form adds interval validity + change tracking on top of the
+    # same sorted-merge shape); rollup_lineitem → incremental_agg_
+    # maintenance (hierarchical rollup stays covered by hypertable_rollup
+    # and the grouping-set plan gates; IVM's merge-equals-recompute
+    # contract is an op class that had no official row). driver_sim +
+    # pytest keep both rotated-out rows.
+    "scd2_asof_enrich",
+    "incremental_agg_maintenance",
     "value_percentiles",
     "pivot_event_matrix",
     "analytic_functions",

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
+from ..sources.catalog import widen_scan
 
 N_MINHASH = 8  # 4 bands x 2 rows
 N_BANDS = 4
@@ -48,7 +49,14 @@ sh AS (
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (Spark side of SHINGLE_CTE).
-    Array ops run inside whole-stage codegen; one explode, no UDF."""
+    Array ops run inside whole-stage codegen; one explode, no UDF.
+
+    The input is widened first (sources.catalog.widen_scan): shingling is
+    the most CPU-heavy per-row derivation in the engine, and a
+    single-row-group parquet scan (the driver testdata shape) would pin
+    it — and every cached consumer above it — to one core. No-op when the
+    scan already has >= cores partitions (any production table)."""
+    docs = widen_scan(docs)
     w = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(w) >= n,
@@ -126,7 +134,12 @@ def doc_shingle_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     shingling, md5 base hash, K affine permutations, array_min — runs inside
     whole-stage codegen with ZERO shuffles: signatures are a pure projection
     of the document row. At 100 TB this is the difference between shuffling
-    ~50 shingle rows per doc and shuffling nothing at all."""
+    ~50 shingle rows per doc and shuffling nothing at all.
+
+    Widened first (see shingles): K permutations x ~50 shingles of md5+
+    affine arithmetic per row is exactly the derivation a 1-partition scan
+    would serialize (measured 4x on the minhash signature cache)."""
+    docs = widen_scan(docs)
     w = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(w) >= n,

@@ -577,7 +577,26 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- IVF
 
 CENT_MOD = 32   # vec_id % 32 == 0 → centroid set (scale-proportional)
-N_PROBE = 4     # cells probed per query
+N_PROBE = 4     # FLOOR on cells probed per query — see scaled_n_probe
+
+# nprobe must SCALE with the cell count: with K cells and a constant
+# nprobe, the probed corpus fraction is nprobe/K, so recall collapses as
+# the corpus (and with CENT_MOD-proportional centroids, K) grows —
+# measured 0.70 → 0.34 recall@5 from sf0.01 (16 cells) to sf0.1
+# (63 cells) at fixed nprobe=4. Probing a constant FRACTION of cells
+# pins the operating point instead: recall stays on the sf0.01 curve
+# while per-query ADC cost stays ~PROBE_CELL_FRAC of the corpus. The
+# fraction is exactly representable in binary (2^-2) so the SQL oracle's
+# ceil(count * 0.25) and the Python (n + 3) // 4 agree for every count.
+# A production deployment tunes the fraction DOWN as K grows past
+# ~sqrt(N) (more, smaller cells); the N_PROBE floor keeps tiny corpora
+# effectively exhaustive.
+PROBE_CELL_FRAC = 0.25
+
+
+def scaled_n_probe(n_cells: int) -> int:
+    """Cells to probe for a corpus with ``n_cells`` IVF cells."""
+    return max(N_PROBE, (n_cells + 3) // 4)
 
 
 @query(
@@ -610,7 +629,11 @@ ranked_cells AS (
 assigned AS (SELECT vec_id, cell_id FROM ranked_cells WHERE crnk = 1),
 probes AS (
     SELECT vec_id AS query_id, cell_id FROM ranked_cells
-    WHERE vec_id < {N_QUERIES} AND crnk <= {N_PROBE}
+    WHERE vec_id < {N_QUERIES}
+      AND crnk <= (SELECT greatest({N_PROBE},
+                                   CAST(ceil(count(*) * {PROBE_CELL_FRAC})
+                                        AS BIGINT))
+                   FROM cents)
 ),
 cand AS (
     SELECT p.query_id, a.vec_id AS neighbor_id
@@ -649,8 +672,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the coarse quantizer SQL-expressible for the oracle;
     `ann_ivf_trained_topk` runs the same search over k-means-trained
     centroids and gates recall. Every corpus vector is assigned to its
-    max-cosine cell; a query probes its N_PROBE nearest cells and
-    brute-forces only those cells' members.
+    max-cosine cell; a query probes its scaled_n_probe(|cells|) nearest
+    cells (probes ∝ cells so the probed corpus fraction is
+    scale-invariant; the oracle computes the same greatest/ceil threshold
+    from its cents CTE) and brute-forces only those cells' members.
 
     Scale design: centroids are tiny and broadcast; assignment is a
     broadcast-join + per-vector argmax (window partitioned by vec_id — no
@@ -666,12 +691,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(vecs, cents)
 
 
-def _ivf_search(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_search(
+    vecs: DataFrame, cents: DataFrame, n_probe: int | None = None
+) -> DataFrame:
     """IVF search body, parameterized by the centroid table
     (cell_id, ce: bigint[], cn: bigint). See q_ann_ivf_topk for the plan
     commentary — this is a pure extraction so trained and subset coarse
-    quantizers share one implementation."""
+    quantizers share one implementation.
+
+    ``n_probe`` defaults to scaled_n_probe(|cents|) — probes ∝ cells so
+    the probed corpus fraction (and hence recall) is scale-invariant.
+    The |cents| count is a bounded scalar collect over the K-row centroid
+    table (index-sized, never corpus-sized)."""
     from pyspark.sql import Window
+
+    if n_probe is None:
+        n_probe = scaled_n_probe(cents.count())
 
     # Affinity rows are SLIM (vec_id, cell_id, aff): the embedding arrays are
     # projected away before the window shuffle/sort — moving 64-element arrays
@@ -698,7 +733,7 @@ def _ivf_search(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     # logical result).
     ranked_cells = (
         aff.withColumn("crnk", F.row_number().over(w))
-        .where(F.col("crnk") <= N_PROBE)
+        .where(F.col("crnk") <= n_probe)
         .cache()
     )
     assigned = ranked_cells.where(F.col("crnk") == 1).select(
@@ -908,17 +943,20 @@ def search_ivf_index(
     spark: SparkSession,
     index_dir: str,
     queries_df: DataFrame,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     top_k: int = TOP_K,
 ) -> DataFrame:
     """Serve half: answer ANN queries from the PERSISTED index only (no
     corpus rescan, no training). Probe cells come from the broadcast
     centroid file; candidate vectors come from the partition-pruned
     assignment read (cell_id IN probe-set reaches the parquet source as a
-    partition filter). queries_df: (query_id, e, nrm) quantized vectors."""
+    partition filter). queries_df: (query_id, e, nrm) quantized vectors.
+    ``n_probe`` defaults to scaled_n_probe(|centroids|)."""
     from pyspark.sql import Window
 
     cents = spark.read.parquet(f"{index_dir}/centroids")
+    if n_probe is None:
+        n_probe = scaled_n_probe(cents.count())
     probes = (
         queries_df.crossJoin(F.broadcast(cents))
         .select(
@@ -2184,11 +2222,12 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual-PQ ADC stage is lossless at this code budget and the
     composition inherits only the coarse quantizer's pruning miss;
     contrast flat PQ's 0.76/0.74, which scores the WHOLE corpus to get
-    +0.05. At sf0.1 with constant settings recall is 0.34 because
-    {N_PROBE} probes cover 4/62 cells instead of 4/16 — the standard
-    IVF operating curve (production deployments scale nprobe with the
-    cell count; the gate is checked at the official sf0.01 point, 1.4x
-    margin)."""
+    +0.05. nprobe scales with the cell count (scaled_n_probe — probes
+    ~{PROBE_CELL_FRAC:.0%} of cells): at sf0.1 that is 16/63 cells and
+    recall holds at 0.60 (it was 0.34 under a fixed nprobe=4 covering
+    only 4/63 — the collapse the scaling rule exists to prevent);
+    gate-clear at all three SFs, pinned in
+    tests/test_operators.py::test_ivf_nprobe_scaling_holds_recall."""
     from pyspark.sql import Window
 
     vecs = _quantized(spark, sf_dir)
@@ -2213,6 +2252,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cell_id", F.expr(_pq_codes_expr(cb_sql, "re")).alias("codes")
     )
     qv = vecs.where(F.col("vec_id") < N_QUERIES)
+    n_probe = scaled_n_probe(cents.count())
     w = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cell_id"))
     probes = (
         qv.crossJoin(F.broadcast(cents))
@@ -2231,7 +2271,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("aff"),
         )
         .withColumn("crnk", F.row_number().over(w))
-        .where(F.col("crnk") <= N_PROBE)
+        .where(F.col("crnk") <= n_probe)
         .withColumn("qres", F.expr("zip_with(e, ce, (x, y) -> x - y)"))
         .select(
             "query_id", "cell_id", F.expr(_pq_lut_expr(cb_sql, "qres")).alias("lut")
@@ -2352,7 +2392,7 @@ def search_ivfpq_index(
     spark: SparkSession,
     index_dir: str,
     queries_df: DataFrame,
-    n_probe: int = N_PROBE,
+    n_probe: int | None = None,
     top_k: int = TOP_K,
 ) -> DataFrame:
     """Serve half: answer ANN queries from the PERSISTED IVF-PQ index

@@ -51,6 +51,32 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The driver testdata is one single-row-group file per table — a
+    # 1-partition scan that would serialize every sessionize/explode
+    # pipeline above it. No-op on a many-split production table.
+    return widen_scan(df)
+
+
+def widen_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Rebalance a NARROW scan before CPU-heavy derivation (shingling,
+    embedding quantization, per-doc hashing): when the leaf scan yields
+    fewer partitions than the cluster has cores, every downstream map-side
+    expression runs on that handful of cores no matter how wide the
+    cluster is — a single-row-group parquet file (the driver testdata
+    shape) pins the whole shingle/minhash/quantize pipeline to ONE thread.
+
+    The repartition is GUARDED: at 100 TB a table scan already has
+    orders-of-magnitude more splits than cores, so this is a no-op there
+    (no shuffle added); it only fires when scan parallelism < cores, where
+    the one small shuffle of raw rows buys cores-way parallelism for all
+    derivation above it. This mirrors what AQE does for post-shuffle
+    stages but which nothing does for the scan→first-shuffle segment."""
+    if df.isStreaming:  # partitioning is the source's business there
+        return df
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 

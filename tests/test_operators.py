@@ -1214,6 +1214,36 @@ def test_ann_ivfpq_recall_verdict(spark):
     assert row[0]["n_queries"] == 10 and bool(row[0]["recall_ok"])
 
 
+def test_ivf_nprobe_scaling_holds_recall(spark):
+    """The scaled_n_probe rule (probes ~25% of cells, floor N_PROBE) must
+    keep trained-IVF recall@k above the gate at the LARGEST local SF —
+    the exact point where a fixed nprobe=4 collapsed to 0.34 (4/63 cells
+    probed). Pins cells=63 → nprobe=16 → recall 30/50 = 0.60 at sf0.1;
+    integer-deterministic, so exact."""
+    import pyspark.sql.functions as F
+
+    from log_analysis_system_spark.queries import similarity as sim
+
+    sf = "/root/testdata/sf0.1"
+    vecs = sim._quantized(spark, sf)
+    cents = sim.train_ivf_centroids(vecs)
+    n_cells = cents.count()
+    assert n_cells == 63
+    assert sim.scaled_n_probe(n_cells) == 16
+    ivf = sim._ivf_search(vecs, cents).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    truth = sim.q_ann_brute_topk(spark, sf).select("query_id", "neighbor_id")
+    tot, hits = (
+        truth.join(ivf, ["query_id", "neighbor_id"], "left")
+        .agg(F.count(F.lit(1)), F.sum(F.coalesce("hit", F.lit(0))))
+        .first()
+    )
+    assert (tot, hits) == (50, 30), (tot, hits)
+    assert hits / tot >= sim.RECALL_MIN
+    spark.catalog.clearCache()
+
+
 def test_pq_index_refresh_recovers_recall(spark, tmp_path):
     """Lifecycle close-out for the append-staleness trade: a drifted
     delta encoded with stale codebooks drops audit recall to 14/50; the

