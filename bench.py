@@ -154,6 +154,8 @@ def bench_pq_build_serve(spark, sf_dir: str, timings: dict) -> None:
     from log_analysis_system_spark.queries.similarity import (
         N_QUERIES,
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         build_pq_index,
         search_pq_index,
     )

@@ -198,7 +198,10 @@ def load_all() -> None:
         tpch,
         tpch2,
         dedup,
+        dedup_spans,
         similarity,
+        similarity_pq,
+        similarity_audits,
         text_analysis,
         multimodal,
         streaming_batch,

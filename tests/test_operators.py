@@ -586,10 +586,12 @@ def test_pq_codes_compact_and_recall_gate(spark):
     at sf0.001 — gate 0.5)."""
     from log_analysis_system_spark.queries import QUERIES, load_all
     from log_analysis_system_spark.queries.similarity import (
+        _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         K_CODES,
         M_SUB,
         SUB_DIM,
-        _quantized,
         train_pq_codebooks,
     )
 
@@ -613,8 +615,7 @@ def test_pq_empty_corpus_returns_empty_verdict(spark, tmp_path):
     contract, extended to PQ)."""
     import pyspark.sql.functions as F
 
-    from log_analysis_system_spark.queries.similarity import q_ann_pq_topk
-
+    from log_analysis_system_spark.queries.similarity_pq import q_ann_pq_topk
     empty = (
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .where(F.lit(False))
@@ -698,10 +699,12 @@ def test_pq_index_build_and_serve(spark, tmp_path):
 
     from log_analysis_system_spark.queries.similarity import (
         N_QUERIES,
+        _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         _pq_adc_topk,
         _pq_codes_expr,
         _pq_literals,
-        _quantized,
         build_pq_index,
         search_pq_index,
         train_pq_codebooks,
@@ -746,7 +749,7 @@ def test_shared_substring_spans_exact_semantics(spark):
     correct 1-based starts; spans below min_tokens (even if >= k) are NOT
     reported; two disjoint shared spans between one pair yield two rows;
     anchors hotter than df_cap are dropped."""
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         shared_substring_spans,
     )
 
@@ -793,7 +796,7 @@ def test_shared_substring_spans_repeated_symbol_runs(spark):
     multiple diagonals — each maximal diagonal run must still report its
     exact length, and duplicate (pos_a, pos_b) combinations must not
     collapse or double-count."""
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         shared_substring_spans,
     )
 
@@ -821,6 +824,8 @@ def test_pq_index_append_serves_deltas(spark, tmp_path):
 
     from log_analysis_system_spark.queries.similarity import (
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         append_pq_index,
         build_pq_index,
         search_pq_index,
@@ -902,6 +907,8 @@ def test_pq_append_staleness_recall(spark, tmp_path):
 
     from log_analysis_system_spark.queries.similarity import (
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         append_pq_index,
         build_pq_index,
         search_pq_index,
@@ -1076,7 +1083,7 @@ def test_decontaminate_spans_planted_overlap(spark, tmp_path):
     zero rows, and train-train duplication that must NOT count."""
     import pyspark.sql.functions as F
 
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         SPAN_MIN_TOKENS,
         q_decontaminate_spans,
     )
@@ -1130,7 +1137,7 @@ def test_cross_substring_spans_eval_fraction_guard(spark):
     import pytest
     import pyspark.sql.functions as F
 
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         cross_substring_spans,
     )
 
@@ -1158,7 +1165,7 @@ def test_decontaminate_scrub_planted_emission(spark, tmp_path):
     never emitted."""
     import pyspark.sql.functions as F
 
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         SPAN_MIN_TOKENS,
         q_decontaminate_scrub,
     )
@@ -1258,9 +1265,11 @@ def test_pq_index_refresh_recovers_recall(spark, tmp_path):
 
     from log_analysis_system_spark.queries.similarity import (
         N_QUERIES,
-        PQ_DRIFT_EXPR,
         _norm,
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
+        PQ_DRIFT_EXPR,
         append_pq_index,
         build_pq_index,
         refresh_pq_index,
@@ -1313,6 +1322,8 @@ def test_pq_index_refresh_noop_when_healthy(spark, tmp_path):
     from log_analysis_system_spark.queries.similarity import (
         N_QUERIES,
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         build_pq_index,
         refresh_pq_index,
     )
@@ -1538,7 +1549,7 @@ def test_contamination_by_source_rollup(spark, tmp_path):
     """Source rollup of the decon accounting: the source hosting planted
     leaks reports exactly its doc/token tallies; clean sources report
     zeros (present, not dropped); eval sources never appear."""
-    from log_analysis_system_spark.queries.dedup import (
+    from log_analysis_system_spark.queries.dedup_spans import (
         SPAN_MIN_TOKENS,
         q_contamination_by_source,
     )
@@ -1612,6 +1623,8 @@ def test_ivfpq_index_build_and_serve(spark, tmp_path):
     from log_analysis_system_spark.queries.similarity import (
         N_QUERIES,
         _quantized,
+    )
+    from log_analysis_system_spark.queries.similarity_pq import (
         build_ivfpq_index,
         search_ivfpq_index,
     )
@@ -1710,10 +1723,12 @@ def test_matryoshka_recall_audit_invariants(spark):
     non-decreasing in prefix length, and totals equal N_QUERIES*TOP_K."""
     from log_analysis_system_spark.queries import QUERIES, load_all
     from log_analysis_system_spark.queries.similarity import (
-        MRL_DIMS,
         N_DIMS,
         N_QUERIES,
         TOP_K,
+    )
+    from log_analysis_system_spark.queries.similarity_audits import (
+        MRL_DIMS,
     )
 
     load_all()
@@ -1997,7 +2012,7 @@ def test_pca_top_component_dominant_axis(spark, tmp_path):
     carries ~all the variance, so the top loading saturates at the
     iterate scale on dim 0, every other dim stays near zero, and the
     anisotropy share approaches 1."""
-    from log_analysis_system_spark.queries.similarity import (
+    from log_analysis_system_spark.queries.similarity_audits import (
         PCA_SV,
         q_pca_top_component,
     )
@@ -2027,7 +2042,7 @@ def test_jl_projection_distortion_invariants(spark, tmp_path):
     differing in exactly one dim has distortion EXACTLY 1e6 ppm
     ((±diff)^2 sums to K·diff^2), and an identical pair reports NULL
     (0/0 guarded), never a fake zero."""
-    from log_analysis_system_spark.queries.similarity import (
+    from log_analysis_system_spark.queries.similarity_audits import (
         q_jl_projection_audit,
     )
 
