@@ -754,22 +754,35 @@ def q_holt_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 MASE_MIN_T = 8  # first eval point: all three forecasters defined (lag 7 + 1)
 
 
-def _mase_sql(idiv) -> str:
+def _mase_sql(idiv, dayseq) -> str:
     """Rolling-origin one-step-ahead backtest over the per-DAY revenue
     series, parameterized on the engine's integer-division idiom
     (``a div b`` on Spark, ``a // b`` on DuckDB — the same two-dialect
-    trick as ``_simhash_expr``). All arithmetic is bigint cents, so both
-    engines produce identical rows."""
+    trick as ``_simhash_expr``) and its calendar-series idiom
+    (``explode(sequence(...))`` vs ``unnest(generate_series(...))``).
+    The observed series is DENSIFIED onto the full min..max calendar
+    with y = 0 for orderless days — zero revenue on a day with no
+    orders is a true zero, not missing data — so the row-offset lags
+    are literal calendar offsets ("yesterday", "same weekday last
+    week") even when the raw stream has gap days (it does at sf0.001:
+    1094 observed days over a 2405-day span). All arithmetic is bigint
+    cents, so both engines produce identical rows."""
     prev = (
         "OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
         "AND 1 PRECEDING)"
     )
     return f"""
-WITH daily AS (
+WITH observed AS (
     SELECT o_orderdate AS day,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS y
     FROM orders GROUP BY 1
+),
+bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM observed),
+cal AS (SELECT {dayseq("dmin", "dmax")} AS day FROM bounds),
+daily AS (
+    SELECT c.day, CAST(coalesce(o.y, 0) AS BIGINT) AS y
+    FROM cal c LEFT JOIN observed o ON o.day = c.day
 ),
 w AS (
     SELECT y,
@@ -808,8 +821,16 @@ SELECT method, n_evals, mae_c, mase_ppm FROM (
 """
 
 
-MASE_SPARK_SQL = _mase_sql(lambda a, b: f"(({a}) div ({b}))")
-MASE_DUCK_SQL = _mase_sql(lambda a, b: f"(({a}) // ({b}))")
+MASE_SPARK_SQL = _mase_sql(
+    lambda a, b: f"(({a}) div ({b}))",
+    lambda lo, hi: f"explode(sequence({lo}, {hi}))",
+)
+MASE_DUCK_SQL = _mase_sql(
+    lambda a, b: f"(({a}) // ({b}))",
+    lambda lo, hi: (
+        f"CAST(unnest(generate_series({lo}, {hi}, INTERVAL 1 DAY)) AS DATE)"
+    ),
+)
 
 
 @query("forecast_backtest_mase", oracle=MASE_DUCK_SQL)
@@ -825,15 +846,14 @@ def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding). mase_ppm < 1e6 means the method beats persistence — the
     standard go/no-go gate before shipping a forecaster.
 
-    CONTRACT — dense daily calendar: the lags are ROW offsets over the
-    observed-day series, so "yesterday" / "same weekday last week" are
-    literal only when every calendar day has at least one order (true of
-    the TPC-H-shaped order stream at every SF, asserted by
-    tests/test_operators.py::test_forecast_backtest_dense_calendar_contract).
-    On a gappy series the offsets mean
-    "previous observation" / "7 observations back"; densify first (the
-    resample/LOCF operator in this module is the precedent) if calendar
-    alignment is required.
+    The daily series is DENSIFIED onto the full min..max calendar with
+    y = 0 for orderless days before any lag runs (zero revenue on a day
+    with no orders is a true zero, not missing data), so the row-offset
+    lags are literal calendar offsets even on a gappy stream — the
+    sf0.001 orders table has gaps (1094 observed days over a 2405-day
+    span), which would otherwise silently turn "yesterday" into
+    "previous observation". Gap semantics pinned by
+    tests/test_operators.py::test_forecast_backtest_mase_gap_days.
 
     Scale: the fact table collapses to the per-DAY series in one hash-agg
     before any window runs; the order-only windows operate on a

@@ -2525,29 +2525,35 @@ def test_forecast_backtest_mase_planted(spark):
     assert got["expmean"] == (3, 4500, 4_500_000)
 
 
-def test_forecast_backtest_dense_calendar_contract(spark):
-    """forecast_backtest_mase's lags are ROW offsets, literal 'yesterday' /
-    'same weekday last week' only on a gapless daily series (documented
-    contract in its docstring). Assert the orders stream actually IS dense
-    at test scale: every calendar day between min and max o_orderdate has
-    at least one order."""
-    from tests.conftest import SF_DIR
+def test_forecast_backtest_mase_gap_days(spark):
+    """Calendar-gap semantics: the backtest densifies the daily series
+    with y=0 for orderless days, so lags stay CALENDAR offsets. Planted
+    10-day series with day 4 missing (y=1000*d cents, d=1..10, y4=0):
+    eval t=8..10 — naive errs 1000 each (sae 3000); snaive7 predicts
+    y(t-7)=1000,2000,3000 → errs 7000 each (sae 21000); expmean
+    predicts floor-means 3428,4000,4555 → errs 4572,5000,5445
+    (sae 15017). Hand-checked integer pins; a non-densified backtest
+    (lags over observed rows only) produces different numbers."""
+    import datetime
 
-    days, span = (
-        spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        .agg(
-            F.countDistinct("o_orderdate").alias("days"),
-            (
-                F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1
-            ).alias("span"),
-        )
-        .first()
-    )
-    assert days == span, (
-        f"orders daily series has calendar gaps ({days} observed days over "
-        f"a {span}-day span); forecast_backtest_mase's row-offset lags no "
-        "longer mean yesterday/last-week — densify first"
-    )
+    from log_analysis_system_spark.queries.temporal import MASE_SPARK_SQL
+
+    rows = [
+        (datetime.date(1995, 1, d), float(10 * d))
+        for d in range(1, 11)
+        if d != 4
+    ]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).createOrReplaceTempView("orders")
+    got = {
+        r["method"]: (r["n_evals"], r["mae_c"], r["mase_ppm"])
+        for r in spark.sql(MASE_SPARK_SQL).collect()
+    }
+    spark.catalog.dropTempView("orders")
+    assert got["naive"] == (3, 1000, 1_000_000)
+    assert got["snaive7"] == (3, 7000, 7_000_000)
+    assert got["expmean"] == (3, 5005, 5_005_666)
 
 
 def test_simhash_neardup_lossless_banding(spark, tmp_path):
