@@ -1814,3 +1814,260 @@ def q_source_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+
+
+# ------------------------------------- MMR diversified re-ranking
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, public): a
+# diversity-aware re-rank of a relevance-ranked candidate pool. Each of
+# the MMR_K greedy rounds picks argmax over remaining candidates of
+#   LAM * rel(q, d) - (1 - LAM) * max_{s in selected} sim(d, s)
+# with LAM = 0.7 carried as integer weights (7, 3) over ppm-scaled
+# cosines, so the argmax is exact bigint arithmetic in both engines.
+MMR_POOL = 20  # relevance top-C pool re-ranked per query
+MMR_K = 5      # results returned per query
+_MMR_W_REL = 7   # LAM * 10
+_MMR_W_DIV = 3   # (1 - LAM) * 10
+
+# ppm-scaled cosine: (1e6 * dot) is exact in double (dot <= ~2.6e8 for
+# 64-dim milli-unit vectors), so both engines compute one identically-
+# rounded division and one identically-rounded round().
+_MMR_COS = (
+    "CAST(round(1000000.0 * CAST({dot} AS DOUBLE)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    " AS BIGINT)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL (the PCA-oracle pattern: rounds become
+    generated CTE layers; MMR_K is small and fixed, so the plan is a
+    static DAG, not a recursion)."""
+    cos = _MMR_COS.format(
+        dot="sum(a.v * b.v)",
+        na="any_value(na.nrm)",
+        nb="any_value(nb.nrm)",
+    )
+    psim_cos = _MMR_COS.format(
+        dot="sum(x.v * y.v)",
+        na="any_value(nx.nrm)",
+        nb="any_value(ny.nrm)",
+    )
+    ctes = [
+        f"""
+rel0 AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           {cos} AS rel_ppm
+    FROM flat a
+    JOIN flat b ON b.i = a.i AND b.vec_id <> a.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+    GROUP BY 1, 2
+)""",
+        f"""
+pool AS (
+    SELECT query_id, cand_id, rel_ppm, rrk FROM (
+        SELECT query_id, cand_id, rel_ppm,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel_ppm DESC, cand_id) AS rrk
+        FROM rel0) r
+    WHERE rrk <= {MMR_POOL}
+)""",
+        f"""
+psim AS (
+    SELECT p.query_id, p.cand_id AS ca, p2.cand_id AS cb,
+           {psim_cos} AS sim_ppm
+    FROM pool p
+    JOIN pool p2 ON p2.query_id = p.query_id AND p2.cand_id <> p.cand_id
+    JOIN flat x ON x.vec_id = p.cand_id
+    JOIN flat y ON y.vec_id = p2.cand_id AND y.i = x.i
+    JOIN norms nx ON nx.vec_id = p.cand_id
+    JOIN norms ny ON ny.vec_id = p2.cand_id
+    GROUP BY 1, 2, 3
+)""",
+        f"""
+sel1 AS (
+    SELECT query_id, cand_id, rel_ppm, CAST(1 AS BIGINT) AS rnk
+    FROM pool WHERE rrk = 1
+)""",
+    ]
+    for r in range(2, MMR_K + 1):
+        ctes.append(f"""
+ms{r} AS (
+    SELECT p.query_id, p.cand_id, p.rel_ppm, max(ps.sim_ppm) AS maxsim
+    FROM pool p
+    JOIN sel{r - 1} s ON s.query_id = p.query_id
+    JOIN psim ps ON ps.query_id = p.query_id AND ps.ca = p.cand_id
+                AND ps.cb = s.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} d
+                      WHERE d.query_id = p.query_id
+                        AND d.cand_id = p.cand_id)
+    GROUP BY 1, 2, 3
+)""")
+        ctes.append(f"""
+sel{r} AS (
+    SELECT query_id, cand_id, rel_ppm, rnk FROM sel{r - 1}
+    UNION ALL
+    SELECT query_id, cand_id, rel_ppm, CAST({r} AS BIGINT) AS rnk FROM (
+        SELECT query_id, cand_id, rel_ppm,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_MMR_W_REL} * rel_ppm
+                            - {_MMR_W_DIV} * maxsim DESC, cand_id) AS k
+        FROM ms{r}) p
+    WHERE k = 1
+)""")
+    body = ",\n".join(c.strip() for c in ctes)
+    return (
+        f"WITH {_FLAT_CTE.strip().rstrip()},\n{body}\n"
+        f"SELECT query_id, cand_id AS neighbor_id, rnk, rel_ppm "
+        f"FROM sel{MMR_K}"
+    )
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) diversified top-{MMR_K}: re-rank
+    each query's relevance top-{MMR_POOL} pool so every pick trades
+    relevance against similarity to what is already selected — the
+    standard de-redundancy pass a retrieval pipeline runs between ANN
+    search and the consumer (RAG context assembly, near-dup-heavy
+    corpora). Greedy argmax of {_MMR_W_REL}*rel - {_MMR_W_DIV}*max-sim
+    in exact ppm integers, ties to the smaller id; the {MMR_K}-round
+    greedy unrolls into a static plan (rounds are data-independent),
+    the iterative-operator pattern shared with train_ivf_centroids.
+
+    Scale: the pool comes from relevance top-C per query (here the
+    brute-force baseline; at 100 TB any ANN row supplies it), so every
+    downstream structure — pool, pairwise pool similarity (C^2 per
+    query), round states — is RESULT-sized, independent of corpus size;
+    the corpus is touched exactly once, by the candidate scan. The
+    pairwise-sim join keys on (query_id, cand ids) — an equi-join,
+    never corpus x corpus. The oracle unrolls the same greedy in SQL
+    (PCA-oracle pattern), so selection, tie-breaks, and scores are
+    value-hash-checked end to end."""
+    from pyspark.sql import Window
+
+    vecs = _quantized(spark, sf_dir)
+    qv = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    rel = (
+        cand.join(F.broadcast(qv), F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "rel_ppm",
+            F.expr(
+                _MMR_COS.format(
+                    dot="aggregate(zip_with(qe, ce, (x, y) -> x * y), "
+                    "CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+                    na="qn",
+                    nb="cn",
+                )
+            ),
+        )
+        .select("query_id", "cand_id", "rel_ppm")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_ppm"), F.asc("cand_id")
+    )
+    pool = (
+        rel.withColumn("rrk", F.row_number().over(wq))
+        .where(F.col("rrk") <= MMR_POOL)
+        .cache()
+    )
+    # Pairwise similarity inside each query's pool: C^2 rows per query,
+    # result-sized. Arrays come back via two slim vec_id equi-joins.
+    pa = pool.select("query_id", F.col("cand_id").alias("ca"))
+    pb = pool.select("query_id", F.col("cand_id").alias("cb"))
+    psim = (
+        pa.join(pb, "query_id")
+        .where(F.col("ca") != F.col("cb"))
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("ca"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("nra"),
+            ),
+            "ca",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("cb"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nrb"),
+            ),
+            "cb",
+        )
+        .withColumn(
+            "sim_ppm",
+            F.expr(
+                _MMR_COS.format(
+                    dot="aggregate(zip_with(ea, eb, (x, y) -> x * y), "
+                    "CAST(0 AS BIGINT), (acc, v) -> acc + v)",
+                    na="nra",
+                    nb="nrb",
+                )
+            ),
+        )
+        .select("query_id", "ca", "cb", "sim_ppm")
+        .cache()
+    )
+    sel = pool.where(F.col("rrk") == 1).select(
+        "query_id", "cand_id", "rel_ppm", F.lit(1).cast("long").alias("rnk")
+    )
+    for r in range(2, MMR_K + 1):
+        rem = pool.join(
+            sel.select("query_id", "cand_id"), ["query_id", "cand_id"],
+            "left_anti",
+        )
+        ps = psim.select(
+            F.col("query_id").alias("pq"),
+            F.col("ca").alias("pca"),
+            F.col("cb").alias("pcb"),
+            "sim_ppm",
+        )
+        selk = sel.select(
+            F.col("query_id").alias("sq"),
+            F.col("cand_id").alias("scand"),
+        )
+        ms = (
+            rem.join(
+                ps,
+                (F.col("pq") == F.col("query_id"))
+                & (F.col("pca") == F.col("cand_id")),
+            )
+            .join(
+                selk,
+                (F.col("sq") == F.col("pq"))
+                & (F.col("scand") == F.col("pcb")),
+            )
+            .groupBy("query_id", "cand_id", "rel_ppm")
+            .agg(F.max("sim_ppm").alias("maxsim"))
+        )
+        score = (
+            F.lit(_MMR_W_REL) * F.col("rel_ppm")
+            - F.lit(_MMR_W_DIV) * F.col("maxsim")
+        )
+        wpick = Window.partitionBy("query_id").orderBy(
+            score.desc(), F.asc("cand_id")
+        )
+        pick = (
+            ms.withColumn("k", F.row_number().over(wpick))
+            .where(F.col("k") == 1)
+            .select(
+                "query_id", "cand_id", "rel_ppm",
+                F.lit(r).cast("long").alias("rnk"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        "query_id", F.col("cand_id").alias("neighbor_id"), "rnk", "rel_ppm"
+    )

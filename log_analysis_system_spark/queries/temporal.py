@@ -864,3 +864,102 @@ def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(MASE_SPARK_SQL)
+
+
+# --------------------------- point-in-time feature join (feature store)
+
+def _pit_sql(datediff_, prevday, dayseq) -> str:
+    """Point-in-time-correct feature assembly, shared SQL text modulo the
+    engines' date idioms (``datediff``/``date_sub`` on Spark vs ``-`` on
+    DuckDB — the _mase_sql dialect-lambda pattern).
+
+    Leak-freedom is STRUCTURAL, not filtered after the fact: customer
+    history windows use ROWS ... 1 PRECEDING over the per-(customer, day)
+    rollup (one row per day, so "1 preceding" IS "strictly earlier day"),
+    and the market feature equi-joins on example day - 1 — no feature
+    value can come from the example's own day or later."""
+    return f"""
+WITH cust_day AS (
+    SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY 1, 2
+),
+cust_feat AS (
+    SELECT cust, day,
+           CAST(coalesce(sum(n_orders) OVER w, 0) AS BIGINT)
+               AS prior_orders,
+           CAST(coalesce(sum(rev_c) OVER w, 0) AS BIGINT)
+               AS prior_revenue_c,
+           CAST({datediff_("day", "lag(day) OVER (PARTITION BY cust ORDER BY day)")}
+                AS BIGINT) AS days_since_prev
+    FROM cust_day
+    WINDOW w AS (PARTITION BY cust ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+mkt_obs AS (
+    SELECT day, CAST(sum(rev_c) AS BIGINT) AS mrev
+    FROM cust_day GROUP BY 1
+),
+mkt_bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM mkt_obs),
+mkt_cal AS (SELECT {dayseq("dmin", "dmax")} AS day FROM mkt_bounds),
+mkt_day AS (
+    SELECT c.day, CAST(coalesce(o.mrev, 0) AS BIGINT) AS mrev
+    FROM mkt_cal c LEFT JOIN mkt_obs o ON o.day = c.day
+),
+mkt_cum AS (
+    SELECT day,
+           CAST(sum(mrev) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_c
+    FROM mkt_day
+)
+SELECT o.o_orderkey, o.o_custkey, f.day AS o_orderdate,
+       f.prior_orders, f.prior_revenue_c, f.days_since_prev,
+       CAST(coalesce(m.cum_c, 0) AS BIGINT) AS mkt_prev_cum_c
+FROM orders o
+JOIN cust_feat f ON f.cust = o.o_custkey
+                AND f.day = CAST(o.o_orderdate AS DATE)
+LEFT JOIN mkt_cum m ON m.day = {prevday("f.day")}
+"""
+
+
+PIT_SPARK_SQL = _pit_sql(
+    lambda a, b: f"datediff({a}, {b})",
+    lambda d: f"date_sub({d}, 1)",
+    lambda lo, hi: f"explode(sequence({lo}, {hi}))",
+)
+PIT_DUCK_SQL = _pit_sql(
+    lambda a, b: f"datediff('day', {b}, {a})",
+    lambda d: f"({d} - 1)",
+    lambda lo, hi: (
+        f"CAST(unnest(generate_series({lo}, {hi}, INTERVAL 1 DAY)) AS DATE)"
+    ),
+)
+
+
+@query("point_in_time_features", oracle=PIT_DUCK_SQL)
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-feature assembly — the feature-store
+    join every supervised pipeline on event data needs: for each order
+    (the training example), attach (a) the customer's history STRICTLY
+    before the example day (prior order count, prior revenue in cents,
+    days since the previous order-day) and (b) a market-level feature as
+    of the previous calendar day (cumulative market revenue). A feature
+    computed WITH the example's own day — or any later day — is label
+    leakage; here that is impossible by construction (strict window
+    frames + a day-minus-one equi-join), not by a post-hoc filter. The
+    same SQL text runs on both engines modulo date idioms, so the whole
+    feature matrix is value-hash-checked.
+
+    Scale: one (customer, day) hash-agg, one customer-keyed window, a
+    |days|-row market rollup (its order-only cumsum is calendar-bounded
+    — BOUNDED_FRAME_WINDOWS), and two equi-joins back to the fact table;
+    no inequality join anywhere (the dense day-minus-one key replaces
+    the as-of search that `asof_join_orders` needs for irregular
+    timestamps). The market table broadcast-joins (|days| rows)."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(PIT_SPARK_SQL)

@@ -2631,3 +2631,132 @@ def test_pareto_frontier_planted(spark):
     }
     spark.catalog.dropTempView("part")
     assert got == {4: (700, 2), 2: (300, 2)}
+
+
+def test_mmr_diversified_topk_matches_pure_python(spark, tmp_path):
+    """Planted-corpus parity: the Spark MMR greedy must match a pure-Python
+    reimplementation of the same integer arithmetic (quantize -> ppm
+    cosines -> 7*rel - 3*maxsim greedy, ties to smaller id) on a corpus
+    engineered so diversity CHANGES the ranking: near-duplicate high-rel
+    cluster + spread mid-rel candidates. Also pins that pick 1 is the
+    pure-relevance argmax and every query gets exactly MMR_K rows."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from log_analysis_system_spark.queries.similarity import (
+        MMR_K,
+        MMR_POOL,
+        N_QUERIES,
+        _MMR_W_DIV,
+        _MMR_W_REL,
+        q_mmr_diversified_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = {}
+    for q in range(1, N_QUERIES):
+        vecs[q] = rng.randn(64)
+    # Query 0 = a + b with a ⊥ b. The a-cluster (100-104, mutually
+    # near-identical) is slightly MORE relevant than the b-cluster
+    # (200-204), so pure relevance ranks all five a-dups first — but
+    # after one a-dup is taken, the ~3e6-ppm within-cluster penalty
+    # exceeds the ~0.1e6-ppm relevance gap and MMR must alternate
+    # clusters. That asymmetry is what the final assert pins.
+    a = rng.randn(64)
+    b = rng.randn(64)
+    b -= (b @ a) / (a @ a) * a
+    vecs[0] = a + b
+    for i in range(5):
+        vecs[100 + i] = 1.05 * a + 0.01 * rng.randn(64)
+    for i in range(5):
+        vecs[200 + i] = b + 0.01 * rng.randn(64)
+    ids = sorted(vecs)
+    pd.DataFrame(
+        {"vec_id": ids, "embedding": [vecs[i].astype("float32") for i in ids]}
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = {}
+    for r in q_mmr_diversified_topk(spark, str(tmp_path)).collect():
+        got.setdefault(r["query_id"], {})[r["rnk"]] = (
+            r["neighbor_id"], r["rel_ppm"],
+        )
+    spark.catalog.clearCache()
+
+    # pure-Python reference with the engines' integer arithmetic
+    def quant(v):
+        return np.floor(v.astype(np.float64) * 1000).astype(np.int64)
+
+    def ppm(a, b):
+        qa, qb = quant(a), quant(b)
+        dot = int(qa @ qb)
+        v = 1e6 * dot / (math.sqrt(int(qa @ qa)) * math.sqrt(int(qb @ qb)))
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    assert set(got) == set(range(N_QUERIES))
+    for q in range(N_QUERIES):
+        rel = {c: ppm(vecs[q], vecs[c]) for c in ids if c != q}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[:MMR_POOL]
+        sel = [pool[0]]
+        while len(sel) < MMR_K:
+            rem = [c for c in pool if c not in sel]
+            best = min(
+                rem,
+                key=lambda c: (
+                    -(
+                        _MMR_W_REL * rel[c]
+                        - _MMR_W_DIV
+                        * max(ppm(vecs[c], vecs[s]) for s in sel)
+                    ),
+                    c,
+                ),
+            )
+            sel.append(best)
+        assert len(got[q]) == MMR_K
+        assert [got[q][r][0] for r in range(1, MMR_K + 1)] == sel, q
+        # pick 1 is the pure-relevance argmax
+        assert got[q][1][0] == pool[0]
+    # diversity changed SOMETHING vs pure relevance for query 0 (the
+    # near-dup cluster cannot fill the whole list)
+    rel0 = {c: ppm(vecs[0], vecs[c]) for c in ids if c != 0}
+    top_rel = sorted(rel0, key=lambda c: (-rel0[c], c))[:MMR_K]
+    assert [got[0][r][0] for r in range(1, MMR_K + 1)] != top_rel
+
+
+def test_point_in_time_features_planted(spark):
+    """Hand-computed feature matrix on a planted order log. Customer 1:
+    d1 one order $10; d3 TWO orders $20+$30; d5 one order $40. Customer
+    2: d2 one order $100. Strictly-before semantics: the d3 examples see
+    only d1 history (1 order, 1000c) — NOT each other; market feature =
+    cumulative revenue through the PREVIOUS calendar day."""
+    import datetime
+
+    from log_analysis_system_spark.queries.temporal import PIT_SPARK_SQL
+
+    d = lambda n: datetime.date(1995, 1, n)
+    rows = [
+        (1, 1, d(1), 10.0),
+        (2, 1, d(3), 20.0),
+        (3, 1, d(3), 30.0),
+        (4, 1, d(5), 40.0),
+        (5, 2, d(2), 100.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double",
+    ).createOrReplaceTempView("orders")
+    got = {
+        r["o_orderkey"]: (
+            r["prior_orders"], r["prior_revenue_c"], r["days_since_prev"],
+            r["mkt_prev_cum_c"],
+        )
+        for r in spark.sql(PIT_SPARK_SQL).collect()
+    }
+    spark.catalog.dropTempView("orders")
+    assert got[1] == (0, 0, None, 0)            # no history, no market yet
+    assert got[2] == (1, 1000, 2, 11000)        # d1 only; mkt thru d2
+    assert got[3] == (1, 1000, 2, 11000)        # same-day twin sees the same
+    assert got[4] == (3, 6000, 2, 16000)        # d1+d3; mkt thru d4 (=d3 cum)
+    assert got[5] == (0, 0, None, 1000)         # cust 2; mkt thru d1

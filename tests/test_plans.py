@@ -393,6 +393,8 @@ BOUNDED_FRAME_WINDOWS = {
     "(~500 buckets)",
     "pareto_price_size_frontier": "prefix min over the per-SIZE table "
     "(bounded categorical domain, ~50 rows)",
+    "point_in_time_features": "market cumsum over the per-DAY rollup "
+    "(calendar-bounded; raw scan collapses first)",
     "repeat_purchase_cadence": "percentile cut over the day-gap histogram "
     "(calendar-bounded)",
     "unimax_mixture_allocation": "waterfilling prefix over the per-SOURCE "
