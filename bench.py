@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "dedup_simhash_neardup",
     "pareto_price_size_frontier",
     "hll_precision_curve",
+    # round-7 flagships (pins in the BASELINE.md round-7 table)
+    "mmr_diversified_topk",
+    "point_in_time_features",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

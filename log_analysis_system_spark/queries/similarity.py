@@ -1978,10 +1978,15 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("rel_ppm"), F.asc("cand_id")
     )
+    # Materialized eagerly: pool and psim are result-sized (N_QUERIES x C
+    # and x C^2) and every one of the MMR_K greedy rounds references both —
+    # localCheckpoint collapses them to in-memory tables so the final plan
+    # is K small joins, not K re-expansions of the corpus scan (measured
+    # 3x wall-clock on the unrolled lazy form).
     pool = (
         rel.withColumn("rrk", F.row_number().over(wq))
         .where(F.col("rrk") <= MMR_POOL)
-        .cache()
+        .localCheckpoint()
     )
     # Pairwise similarity inside each query's pool: C^2 rows per query,
     # result-sized. Arrays come back via two slim vec_id equi-joins.
@@ -2018,7 +2023,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("query_id", "ca", "cb", "sim_ppm")
-        .cache()
+        .localCheckpoint()
     )
     sel = pool.where(F.col("rrk") == 1).select(
         "query_id", "cand_id", "rel_ppm", F.lit(1).cast("long").alias("rnk")
@@ -2067,7 +2072,10 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(r).cast("long").alias("rnk"),
             )
         )
-        sel = sel.unionByName(pick)
+        # sel is N_QUERIES x r rows; truncating its lineage per round keeps
+        # round r's plan O(1) instead of O(r) re-expansions (the
+        # connected_components / LPA iterative pattern).
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel.select(
         "query_id", F.col("cand_id").alias("neighbor_id"), "rnk", "rel_ppm"
     )

@@ -51,10 +51,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # The driver testdata is one single-row-group file per table — a
-    # 1-partition scan that would serialize every sessionize/explode
-    # pipeline above it. No-op on a many-split production table.
-    return widen_scan(df)
+    # NOT widen_scan'd: measured A/B at sf0.1 (round 7) shows the extra
+    # round-robin shuffle is a wash for the events family (±10%; the
+    # per-event derivation is cheap) and costs 20%+ where a consumer
+    # repartitions again anyway (stratified_sample). widen_scan pays off
+    # only above CPU-heavy per-row derivation — the shingle/minhash
+    # pipelines, where it measures ~2x.
+    return df
 
 
 def widen_scan(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -88,6 +88,13 @@ SHOWCASE = {
     "O(n^2) dominance join",
     "hll_precision_curve": "all four lgK sketches + the exact count build "
     "in ONE hash-agg pass (map-side combinable partials)",
+    # round-7 flagships
+    "mmr_diversified_topk": "pool, pairwise pool similarity, and every "
+    "greedy round state are RESULT-sized (pool = top-C per query); the "
+    "corpus is touched once by the candidate scan; all joins equi-keyed",
+    "point_in_time_features": "strictly-before window frames over the "
+    "(customer, day) rollup + a densified day-minus-one equi-join — "
+    "leak-freedom is structural, and no inequality as-of join exists",
 }
 
 HEADER = """\
