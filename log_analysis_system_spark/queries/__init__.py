@@ -217,6 +217,7 @@ def load_all() -> None:
         bpe,
         unigram_lm,
         layout_audit,
+        model_eval,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

@@ -945,3 +945,65 @@ def q_modality_integrity_checks(
         .unionByName(wrong_dim)
         .unionByName(zero_vec)
     )
+
+
+# ------------------------------------------------- l-diversity audit
+
+L_DIVERSE = 3  # required distinct sensitive values per equivalence class
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / {K_ANON_BAL_W}) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+       CAST(sum(CASE WHEN n_sensitive < {L_DIVERSE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS classes_below_l,
+       CAST(sum(CASE WHEN n_sensitive < {L_DIVERSE} THEN class_size
+                ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(sum(class_size) AS BIGINT) AS rows_total
+FROM classes
+""",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of
+    `k_anonymity_audit`: a class can satisfy k-anonymity yet still leak
+    if every member shares the SAME sensitive value, so this measures,
+    per quasi-identifier class (nation, coarsened balance band), how
+    many DISTINCT sensitive values (market segment) it contains, and
+    flags classes below l={L_DIVERSE}. rows_at_risk counts members of
+    homogeneous classes — the people whose segment an attacker learns
+    from the quasi-identifiers alone.
+
+    One hash aggregate with a distinct-count per class (Spark plans
+    count(DISTINCT) as the standard two-phase expand-agg), then a
+    bounded audit rollup — same two-aggregate shape and knobs as the
+    k-anonymity row, so the two reports coarsen together."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_W).cast("long").alias(
+            "bal_band"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    below = F.col("n_sensitive") < L_DIVERSE
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n_sensitive").alias("min_diversity"),
+        F.sum(below.cast("long")).alias("classes_below_l"),
+        F.sum(F.when(below, F.col("class_size")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.sum("class_size").alias("rows_total"),
+    )

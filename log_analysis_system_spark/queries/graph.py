@@ -584,3 +584,81 @@ def q_label_propagation_communities(
             f" as bigint)"
         ).alias("n_suppliers"),
     )
+
+
+# --------------------------------------------- k-core extraction
+
+KCORE_K = 45       # minimum surviving degree
+KCORE_ROUNDS = 6   # fixed peel rounds (converges in <=3 at tested SFs)
+
+
+def _kcore_oracle() -> str:
+    """Unroll the fixed peel rounds as chained CTEs (the PageRank/LPA
+    iterative-oracle contract): each round keeps the nodes whose degree
+    is >= K and the edges whose BOTH endpoints survive."""
+    ctes = [f"e0 AS ({_EDGES_SQL})"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"k{r} AS (SELECT src FROM e{r} GROUP BY src "
+            f"HAVING count(*) >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e "
+            f"JOIN k{r} a ON a.src = e.src "
+            f"JOIN k{r} b ON b.src = e.dst)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{KCORE_ROUNDS} GROUP BY src
+"""
+
+
+@query("kcore_trade_graph", oracle=_kcore_oracle)
+def q_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the customer<->supplier trade graph: iteratively
+    peel nodes of degree < {KCORE_K} until the dense mutually-supporting
+    core remains — the standard graph primitive for finding the
+    densely-connected backbone (and, in pipeline terms, the
+    high-redundancy region a curation pass treats differently from
+    peripheral one-off trades). Output is every surviving node with its
+    residual in-core degree.
+
+    Peeling CASCADES (removing weak customers drops supplier degrees
+    below K in later rounds), so a fixed {KCORE_ROUNDS}-round unroll is
+    pinned in BOTH engines — the PageRank/LPA fixed-iteration contract;
+    measured convergence is <= 3 rounds at sf0.01-0.1, and extra rounds
+    are exact no-ops, so the fixed point itself is what both engines
+    hash. Scale: each round is one degree hash-agg + two hash semi-joins
+    of the edge list against the surviving-node set (the same
+    two-exchange round shape as `pagerank`); the edge list shrinks
+    monotonically, `localCheckpoint` per round caps lineage. Nothing is
+    ever collected to the driver."""
+    return kcore_peel(trade_edges(spark, sf_dir))
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Run the fixed-round k-core peel on a doubled-undirected (src, dst)
+    edge list; returns surviving (node, degree)."""
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("src")
+        )
+        edges = (
+            edges.join(keep, "src", "leftsemi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "leftsemi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

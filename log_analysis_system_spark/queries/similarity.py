@@ -2079,3 +2079,120 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "query_id", F.col("cand_id").alias("neighbor_id"), "rnk", "rel_ppm"
     )
+
+
+# ------------------------------------ k-center coreset selection
+
+# Greedy farthest-point k-center (Gonzalez 1985, public; the 2-approx
+# that coreset-based data selection uses): seed with the smallest
+# vec_id, then K-1 times add the point farthest (exact integer squared
+# L2 over the quantized vectors) from its nearest selected center.
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy in SQL (the MMR-oracle pattern): each round is a
+    min-distance CTE over corpus x selected + a global integer argmax,
+    ties to the smaller vec_id."""
+    d2 = (
+        "CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT)"
+    )
+    ctes = [
+        f"""
+sel1 AS (
+    SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+           CAST(1 AS BIGINT) AS center_rank,
+           CAST(0 AS BIGINT) AS radius_d2
+    FROM q
+)""",
+    ]
+    for r in range(2, KCENTER_K + 1):
+        ctes.append(f"""
+mind{r} AS (
+    SELECT a.vec_id, min(sub.d2) AS min_d2 FROM (
+        SELECT a2.vec_id AS pv, s.vec_id AS sv, {d2.replace('a.', 'a2.')} AS d2
+        FROM flat a2
+        JOIN sel{r - 1} s ON TRUE
+        JOIN flat b ON b.vec_id = s.vec_id AND b.i = a2.i
+        GROUP BY a2.vec_id, s.vec_id
+    ) sub
+    JOIN q a ON a.vec_id = sub.pv
+    WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} d WHERE d.vec_id = a.vec_id)
+    GROUP BY a.vec_id
+)""")
+        ctes.append(f"""
+sel{r} AS (
+    SELECT vec_id, center_rank, radius_d2 FROM sel{r - 1}
+    UNION ALL
+    SELECT CAST(vec_id AS BIGINT), CAST({r} AS BIGINT),
+           CAST(min_d2 AS BIGINT)
+    FROM (SELECT vec_id, min_d2,
+                 row_number() OVER (ORDER BY min_d2 DESC, vec_id) AS k
+          FROM mind{r}) t
+    WHERE k = 1
+)""")
+    body = ",\n".join(c.strip() for c in ctes)
+    return (
+        f"WITH {_FLAT_CTE.strip()},\n{body}\n"
+        f"SELECT center_rank, vec_id, radius_d2 FROM sel{KCENTER_K}"
+    )
+
+
+@query("coreset_kcenter", oracle=_kcenter_oracle)
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point k-center coreset over the embedding corpus —
+    the diversity-maximizing data-selection primitive (pick {KCENTER_K}
+    exemplars such that every vector is close to one; Gonzalez's greedy
+    is a 2-approximation of the optimal cover radius). Distances are
+    exact integer squared L2 on the quantized vectors; ties break to the
+    smaller vec_id, so selection is bit-deterministic and the SQL oracle
+    (same greedy, unrolled) hash-checks every pick AND its selection
+    radius — radius_d2 of pick r is the cover radius of the first r-1
+    centers, the curve a data-selection run reports.
+
+    Scale: each round is one corpus pass — a broadcast join against the
+    <= {KCENTER_K}-row selected set, a per-vector min, and a 1-row
+    integer argmax (global TakeOrdered, not a sort); selected-set state
+    is localCheckpoint'd per round (the LPA/MMR iterative pattern).
+    K corpus passes for K centers is the canonical distributed k-center
+    shape; the only driver-side data is the K-row center table."""
+    from pyspark.sql import Window
+
+    vecs = _quantized(spark, sf_dir).select("vec_id", "e")
+    first = (
+        vecs.agg(F.min("vec_id").alias("vec_id"))
+        .withColumn("center_rank", F.lit(1).cast("long"))
+        .withColumn("radius_d2", F.lit(0).cast("long"))
+    )
+    sel = first.join(vecs, "vec_id").select(
+        "vec_id", "center_rank", "radius_d2", F.col("e").alias("ce")
+    ).localCheckpoint()
+    d2 = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    for r in range(2, KCENTER_K + 1):
+        mind = (
+            vecs.join(sel.select("vec_id").withColumnRenamed(
+                "vec_id", "done"), F.col("vec_id") == F.col("done"),
+                "left_anti")
+            .crossJoin(F.broadcast(sel.select("ce")))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("min_d2"))
+        )
+        pick = (
+            mind.orderBy(F.desc("min_d2"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                F.lit(r).cast("long").alias("center_rank"),
+                F.col("min_d2").alias("radius_d2"),
+            )
+        )
+        sel = sel.select("vec_id", "center_rank", "radius_d2").unionByName(
+            pick
+        ).join(vecs, "vec_id").select(
+            "vec_id", "center_rank", "radius_d2", F.col("e").alias("ce")
+        ).localCheckpoint()
+    return sel.select("center_rank", "vec_id", "radius_d2")

@@ -10,6 +10,8 @@ separate from the serving-path operators they audit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,6 +19,8 @@ from ..operators.topn import grouped_topn
 from . import query
 from .similarity import (
     N_DIMS,
+    q_ann_brute_topk,
+    q_ann_ivf_topk,
     N_QUERIES,
     TOP_K,
     _FLAT_CTE,
@@ -526,4 +530,111 @@ def q_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN d2_orig = 0 THEN NULL ELSE "
             f"CAST(d2_proj * 1000000 div ({JL_K} * d2_orig) AS BIGINT) END"
         ).alias("distortion_ppm"),
+    )
+
+
+# --------------------------- retrieval evaluation (NDCG@K / MRR / hits)
+
+# Integer DCG discount literals: D(i) = round(1e6 / log2(i + 1)) for rank
+# positions 1..TOP_K. CONSTANTS shared verbatim by both engines, so the
+# float log2 never touches either plan — the same trick as the micro-nat
+# literals, applied to the one place ranking metrics need a logarithm.
+NDCG_DISCOUNT_PPM = {
+    i: round(1_000_000 / math.log2(i + 1)) for i in range(1, TOP_K + 1)
+}
+# Graded relevance from truth position: gain(rnk) = TOP_K + 1 - rnk
+# (5..1 for K=5). Ideal DCG is then a constant.
+NDCG_IDEAL = sum(
+    (TOP_K + 1 - i) * NDCG_DISCOUNT_PPM[i] for i in range(1, TOP_K + 1)
+)
+
+
+def _ndcg_oracle() -> str:
+    """Compose the IVF ranker and brute-truth oracles as derived tables
+    (the lsh_recall_audit pattern) and score the ranker with integer
+    NDCG/MRR."""
+    from . import ORACLES
+
+    ranker = ORACLES["ann_ivf_topk"]
+    truth = ORACLES["ann_brute_topk"]
+    disc_rows = ", ".join(
+        f"({i}, {d})" for i, d in NDCG_DISCOUNT_PPM.items()
+    )
+    return f"""
+WITH ranker AS ({ranker}),
+truth AS ({truth}),
+disc(rnk, d) AS (VALUES {disc_rows}),
+gains AS (
+    SELECT query_id, neighbor_id,
+           CAST({TOP_K} + 1 AS BIGINT) - rnk AS gain
+    FROM truth
+),
+scored AS (
+    SELECT r.query_id,
+           coalesce(g.gain, 0) * d.d AS dg,
+           CASE WHEN g.gain IS NOT NULL THEN r.rnk END AS hit_rnk
+    FROM ranker r
+    JOIN disc d ON d.rnk = r.rnk
+    LEFT JOIN gains g ON g.query_id = r.query_id
+                     AND g.neighbor_id = r.neighbor_id
+)
+SELECT query_id,
+       CAST(count(hit_rnk) AS BIGINT) AS hits,
+       CAST(coalesce(1000000 // min(hit_rnk), 0) AS BIGINT) AS mrr_ppm,
+       CAST(sum(dg) * 1000000 // {NDCG_IDEAL} AS BIGINT) AS ndcg_ppm
+FROM scored
+GROUP BY query_id
+"""
+
+
+@query("retrieval_eval_ndcg", oracle=_ndcg_oracle)
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION harness: score the IVF ranker
+    (`ann_ivf_topk`, scaled nprobe) against exact brute-force truth with
+    the metrics a retrieval deployment actually tracks — hits@{TOP_K},
+    MRR, and NDCG@{TOP_K} — per query, in EXACT integer ppm. Graded
+    relevance comes from truth position (gain = {TOP_K}+1-rank); the DCG
+    log2 discounts are integer LITERALS shared by both engines (the
+    micro-nat trick), so the entire metric pipeline is value-hash-checked
+    — unlike the recall-only verdicts (`lsh_recall_audit`,
+    `ann_ivf_trained_topk`), this row pins position-sensitive quality.
+
+    Scale: both inputs are result-sized (top-{TOP_K} per query); the
+    scoring join keys on (query_id, neighbor_id) and the rollup is one
+    query-keyed hash-agg — evaluation cost is O(queries x K), corpus
+    cost is whatever the two rankers already pay."""
+    ranker = q_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+    truth = q_ann_brute_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K + 1) - F.col("rnk")).alias("gain"),
+    )
+    disc = F.create_map(
+        *[
+            F.lit(x)
+            for kv in NDCG_DISCOUNT_PPM.items()
+            for x in kv
+        ]
+    )
+    scored = (
+        ranker.join(truth, ["query_id", "neighbor_id"], "left")
+        .withColumn("d", disc[F.col("rnk")])
+        .select(
+            "query_id",
+            (F.coalesce("gain", F.lit(0)) * F.col("d")).alias("dg"),
+            F.when(F.col("gain").isNotNull(), F.col("rnk")).alias(
+                "hit_rnk"
+            ),
+        )
+    )
+    return scored.groupBy("query_id").agg(
+        F.count("hit_rnk").alias("hits"),
+        F.coalesce(
+            F.expr("1000000 div min(hit_rnk)"), F.lit(0)
+        ).cast("long").alias("mrr_ppm"),
+        F.expr(f"CAST(sum(dg) * 1000000 div {NDCG_IDEAL} AS BIGINT)").alias(
+            "ndcg_ppm"
+        ),
     )

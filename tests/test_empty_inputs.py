@@ -106,6 +106,14 @@ EMPTY_SAFE_QUERIES = [
     "pareto_price_size_frontier",
     "hll_precision_curve",
     "dedup_method_agreement",
+    # round-7 additions
+    "mmr_diversified_topk",
+    "point_in_time_features",
+    "calibration_ece",
+    "discriminator_auc",
+    "discriminator_group_fairness",
+    "l_diversity_audit",
+    "kcore_trade_graph",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2760,3 +2760,97 @@ def test_point_in_time_features_planted(spark):
     assert got[3] == (1, 1000, 2, 11000)        # same-day twin sees the same
     assert got[4] == (3, 6000, 2, 16000)        # d1+d3; mkt thru d4 (=d3 cum)
     assert got[5] == (0, 0, None, 1000)         # cust 2; mkt thru d1
+
+
+def test_kcore_peel_cascade(spark):
+    """k-core peeling must CASCADE: in triangle{1,2,3} + path 3-4-5,
+    node 5 (degree 1) peels first, which drops node 4 to degree 1 so it
+    peels in the NEXT round — the triangle alone survives k=2, each
+    member at in-core degree 2. Extra rounds past convergence are
+    no-ops."""
+    from log_analysis_system_spark.queries.graph import kcore_peel
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["degree"] for r in
+           kcore_peel(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def _planted_discriminator_corpus(spark, tmp_path):
+    """The separable fixture of test_quality_discriminator_planted_
+    separation: 10 long/stopword/alpha-rich target docs (src2/src3) vs
+    40 short digit-only raw docs (src7)."""
+    t_text = " ".join(["the"] * 30 + ["abcde"] * 105 + ["abcd"] * 15)
+    r_text = " ".join(["12"] * 10 + ["123"] * 10)
+    rows = [(i, t_text, "en", "src2" if i % 2 else "src3", 0)
+            for i in range(10)]
+    rows += [(i, r_text, "en", "src7", 0) for i in range(10, 50)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_discriminator_auc_perfect_separation(spark, tmp_path):
+    """On the planted separable fixture the rank-sum AUC must be exactly
+    1.0: every positive outranks every negative, so 2U = 2*n_pos*n_neg
+    and auc_ppm/gini_ppm hit their integer maxima with no rounding."""
+    from log_analysis_system_spark.queries.model_eval import (
+        q_discriminator_auc,
+    )
+
+    d = _planted_discriminator_corpus(spark, tmp_path)
+    row = q_discriminator_auc(spark, d).collect()[0]
+    assert (row["n_docs"], row["n_pos"], row["n_neg"]) == (50, 10, 40)
+    assert row["u2"] == 2 * 10 * 40
+    assert row["auc_ppm"] == 1_000_000
+    assert row["gini_ppm"] == 1_000_000
+
+
+def test_calibration_ece_planted(spark, tmp_path):
+    """Reliability-table invariants on the planted fixture: bucket
+    counts cover the corpus, the target bucket is purely positive, the
+    raw bucket purely negative, and gap_ppm is |conf - acc| per row."""
+    from log_analysis_system_spark.queries.model_eval import (
+        q_calibration_ece,
+    )
+
+    d = _planted_discriminator_corpus(spark, tmp_path)
+    rows = q_calibration_ece(spark, d).collect()
+    assert sum(r["n_docs"] for r in rows) == 50
+    assert sum(r["n_pos"] for r in rows) == 10
+    for r in rows:
+        assert r["gap_ppm"] == abs(r["conf_ppm"] - r["acc_ppm"])
+        # separation: every bucket is pure (all-positive or all-negative)
+        assert r["n_pos"] in (0, r["n_docs"])
+        assert r["acc_ppm"] == r["n_pos"] * 1_000_000 // r["n_docs"]
+
+
+def test_discriminator_group_fairness_planted(spark, tmp_path):
+    """Per-source fairness on the planted fixture: target sources are
+    all-positive (TPR 1.0, FPR NULL — no negatives to false-alarm on),
+    the raw source is all-negative (TPR NULL, FPR 0, keep-rate 0)."""
+    from log_analysis_system_spark.queries.model_eval import (
+        q_discriminator_group_fairness,
+    )
+
+    d = _planted_discriminator_corpus(spark, tmp_path)
+    got = {r["source"]: r for r in
+           q_discriminator_group_fairness(spark, d).collect()}
+    assert set(got) == {"src2", "src3", "src7"}
+    for s in ("src2", "src3"):
+        r = got[s]
+        assert r["n_pos"] == r["n_docs"] == r["n_pred"] == 5
+        assert r["ppr_ppm"] == 1_000_000
+        assert r["tpr_ppm"] == 1_000_000
+        assert r["fpr_ppm"] is None
+    r = got["src7"]
+    assert (r["n_docs"], r["n_pos"], r["n_pred"]) == (40, 0, 0)
+    assert r["ppr_ppm"] == 0 and r["fpr_ppm"] == 0
+    assert r["tpr_ppm"] is None
