@@ -662,3 +662,127 @@ def kcore_peel(
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+# ---------------------------------------- HITS hubs & authorities
+
+HITS_ROUNDS = 4
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    """Unroll the normalized HITS recurrence: per round, authority =
+    sum of in-neighbor hub scores, hub = sum of out-neighbor authority
+    scores, each rescaled to max {HITS_SCALE} by integer floor-div (the
+    scalar max plays the role of the L-inf norm)."""
+    ctes = [
+        f"""e AS (
+    SELECT DISTINCT o.o_custkey AS cust, {SUPP_OFFSET} + l.l_suppkey AS supp
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)""",
+        f"h0 AS (SELECT DISTINCT cust, CAST({HITS_SCALE} AS BIGINT) AS v "
+        f"FROM e)",
+    ]
+    for r in range(HITS_ROUNDS):
+        ctes.append(
+            f"ar{r} AS (SELECT e.supp, CAST(sum(h.v) AS BIGINT) AS v "
+            f"FROM e JOIN h{r} h ON h.cust = e.cust GROUP BY e.supp)"
+        )
+        ctes.append(f"am{r} AS (SELECT max(v) AS m FROM ar{r})")
+        ctes.append(
+            f"a{r} AS (SELECT supp, CAST(v * {HITS_SCALE} // m AS BIGINT) "
+            f"AS v FROM ar{r} CROSS JOIN am{r})"
+        )
+        ctes.append(
+            f"hr{r} AS (SELECT e.cust, CAST(sum(a.v) AS BIGINT) AS v "
+            f"FROM e JOIN a{r} a ON a.supp = e.supp GROUP BY e.cust)"
+        )
+        ctes.append(f"hm{r} AS (SELECT max(v) AS m FROM hr{r})")
+        ctes.append(
+            f"h{r + 1} AS (SELECT cust, CAST(v * {HITS_SCALE} // m "
+            f"AS BIGINT) AS v FROM hr{r} CROSS JOIN hm{r})"
+        )
+    body = ",\n".join(ctes)
+    last_a = f"a{HITS_ROUNDS - 1}"
+    last_h = f"h{HITS_ROUNDS}"
+    return f"""
+WITH {body}
+SELECT cust AS node, 'hub' AS role, v AS score_ppm FROM {last_h}
+UNION ALL
+SELECT supp AS node, 'authority' AS role, v AS score_ppm FROM {last_a}
+"""
+
+
+@query("hits_trade_graph", oracle=_hits_oracle)
+def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the DIRECTED bipartite trade graph
+    (customer -> supplier): authority(s) = sum of pointing customers'
+    hub scores, hub(c) = sum of pointed suppliers' authority scores —
+    the mutually-recursive centrality pair PageRank's single recurrence
+    cannot express (a big customer is one that buys from important
+    suppliers; an important supplier is one big customers buy from).
+
+    Exact integer recurrence, fixed {HITS_ROUNDS} rounds (the
+    PageRank/LPA contract): each half-step is one edges-to-scores hash
+    join + one key-grouped sum, then an L-inf normalization by integer
+    floor-div against the round's scalar max — the max is the only
+    driver-side value (a 1-row bounded collect, the fixpoint-scalar
+    precedent), so scores stay in [0, {HITS_SCALE}] and never overflow
+    however many rounds run. Both engines floor-div non-negative sums,
+    so the unrolled-CTE oracle hash-matches bit for bit."""
+    edges = (
+        trade_edges(spark, sf_dir)
+        .where(F.col("src") < SUPP_OFFSET)
+        .select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
+        .localCheckpoint(eager=False)
+    )
+    h = (
+        edges.select("cust")
+        .distinct()
+        .withColumn("v", F.lit(HITS_SCALE).cast("long"))
+    )
+    empty = h.sparkSession.createDataFrame(
+        [], "node long, role string, score_ppm long"
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        ar = (
+            edges.join(h.withColumnRenamed("v", "hv"), "cust")
+            .groupBy("supp")
+            .agg(F.sum("hv").cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        am_row = ar.agg(F.max("v")).first()[0]
+        if am_row is None:  # empty graph: nothing to rank
+            return empty
+        am = int(am_row)
+        a = ar.select(
+            "supp",
+            F.expr(f"CAST(v * {HITS_SCALE} div {am}L AS BIGINT)").alias(
+                "v"
+            ),
+        )
+        hr = (
+            edges.join(a.withColumnRenamed("v", "av"), "supp")
+            .groupBy("cust")
+            .agg(F.sum("av").cast("long").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        hm = int(hr.agg(F.max("v")).first()[0])
+        h = hr.select(
+            "cust",
+            F.expr(f"CAST(v * {HITS_SCALE} div {hm}L AS BIGINT)").alias(
+                "v"
+            ),
+        )
+    hubs = h.select(
+        F.col("cust").alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("v").alias("score_ppm"),
+    )
+    auths = a.select(
+        F.col("supp").alias("node"),
+        F.lit("authority").alias("role"),
+        F.col("v").alias("score_ppm"),
+    )
+    return hubs.unionByName(auths)

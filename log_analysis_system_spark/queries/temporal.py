@@ -963,3 +963,84 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(PIT_SPARK_SQL)
+
+
+# ------------------------------ exact trailing-window distinct users
+
+ROLLING_DISTINCT_HOURS = 24  # trailing window width in hour buckets
+
+
+@query(
+    "rolling_distinct_users",
+    oracle=f"""
+WITH uh AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+    FROM events
+),
+hours AS (SELECT DISTINCT h FROM uh),
+nxt AS (
+    SELECT user_id, h,
+           lead(h) OVER (PARTITION BY user_id ORDER BY h) AS nh
+    FROM uh
+),
+contrib AS (
+    SELECT u.user_id, hh.h AS wh
+    FROM nxt u
+    JOIN hours hh
+      ON hh.h BETWEEN u.h
+         AND least(u.h + {ROLLING_DISTINCT_HOURS - 1},
+                   coalesce(u.nh - 1,
+                            u.h + {ROLLING_DISTINCT_HOURS - 1}))
+)
+SELECT wh AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS active_users_24h
+FROM contrib GROUP BY wh
+""",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-{ROLLING_DISTINCT_HOURS}-hour distinct active users
+    at every observed hour — the rolling-DAU metric. Distinct-over-a-
+    sliding-window does not decompose like a sum (`rolling_range_frame`)
+    and is why `sketch_rollup_users` exists; this is the exact
+    counterpart, via the interval-coverage identity: a user counts in
+    the window ending at hour H iff they have an active hour a with
+    a <= H <= a + {ROLLING_DISTINCT_HOURS - 1} and no later active hour
+    <= H, so each (user, active-hour, next-active-hour) triple covers
+    the hour interval [a, min(a + {ROLLING_DISTINCT_HOURS - 1},
+    next - 1)] — intervals are disjoint per user, so a plain COUNT over
+    the coverage join IS the distinct count, with no window-sized state
+    and no count(DISTINCT) over data-sized frames.
+
+    Plan: one (user, hour) distinct hash-agg, one user-keyed lead
+    window, then a broadcast range-join against the bounded
+    distinct-hour table (|hours| rows) and an hour-keyed count — every
+    shuffle is keyed by user or hour, nothing is corpus-sized per task.
+    The same shape serves trailing-7d WAU by changing the constants."""
+    ev = read_events(spark, sf_dir)
+    uh = (
+        ev.select(
+            "user_id",
+            (epoch_us("ts") / F.lit(3_600_000_000)).cast("long").alias(
+                "h"
+            ),
+        )
+        .distinct()
+    )
+    hours = uh.select("h").distinct()
+    w = Window.partitionBy("user_id").orderBy("h")
+    span = ROLLING_DISTINCT_HOURS - 1
+    nxt = uh.withColumn("nh", F.lead("h").over(w)).withColumn(
+        "hi",
+        F.least(
+            F.col("h") + span,
+            F.coalesce(F.col("nh") - 1, F.col("h") + span),
+        ),
+    )
+    contrib = nxt.join(
+        F.broadcast(hours.withColumnRenamed("h", "wh")),
+        (F.col("wh") >= F.col("h")) & (F.col("wh") <= F.col("hi")),
+    )
+    return contrib.groupBy(F.col("wh").alias("hour_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("active_users_24h")
+    )

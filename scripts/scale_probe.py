@@ -110,6 +110,17 @@ EXTRA_QUERIES = [
     "pareto_price_size_frontier",
     "hll_precision_curve",
     "dedup_method_agreement",
+    # round-7 additions (mmr_diversified_topk / point_in_time_features
+    # arrive via BENCH_QUERIES)
+    "retrieval_eval_ndcg",
+    "coreset_kcenter",
+    "discriminator_auc",
+    "calibration_ece",
+    "discriminator_group_fairness",
+    "l_diversity_audit",
+    "kcore_trade_graph",
+    "hits_trade_graph",
+    "rolling_distinct_users",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

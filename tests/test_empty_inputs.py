@@ -114,6 +114,8 @@ EMPTY_SAFE_QUERIES = [
     "discriminator_group_fairness",
     "l_diversity_audit",
     "kcore_trade_graph",
+    "hits_trade_graph",
+    "rolling_distinct_users",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

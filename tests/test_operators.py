@@ -2854,3 +2854,84 @@ def test_discriminator_group_fairness_planted(spark, tmp_path):
     assert (r["n_docs"], r["n_pos"], r["n_pred"]) == (40, 0, 0)
     assert r["ppr_ppm"] == 0 and r["fpr_ppm"] == 0
     assert r["tpr_ppm"] is None
+
+
+def test_rolling_distinct_users_interval_coverage(spark, tmp_path):
+    """Hand-checkable interval-coverage case (trailing 24 h, hourly
+    buckets): A active at hours 0 and 30, B at 0 only, C at 10 and 20.
+    Window ends are the OBSERVED hours {0, 10, 20, 30}; per the
+    identity each activity covers [a, min(a+23, next-1)]:
+    A->[0,23],[30,53]; B->[0,23]; C->[10,19],[20,43]."""
+    from datetime import datetime, timedelta
+
+    from log_analysis_system_spark.queries.temporal import (
+        q_rolling_distinct_users,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    acts = [("A", 0), ("A", 30), ("B", 0), ("C", 10), ("C", 20)]
+    uid = {"A": 1, "B": 2, "C": 3}
+    rows = [
+        (i, t0 + timedelta(hours=h), uid[u], "click", 1.0, "")
+        for i, (u, h) in enumerate(acts)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    base = 473352  # hours since epoch of 2024-01-01 00:00 UTC
+    got = {
+        r["hour_bucket"] - base: r["active_users_24h"]
+        for r in q_rolling_distinct_users(spark, d).collect()
+    }
+    assert got == {0: 2, 10: 3, 20: 3, 30: 2}
+
+
+def test_hits_trade_graph_pure_python_model(spark, tmp_path):
+    """HITS pin vs an exact pure-Python model on a planted bipartite
+    graph (customers {1,2}, suppliers {1,2}; edges 1->S1, 1->S2,
+    2->S1): the dominant pair (customer 1, supplier S1) must end at the
+    L-inf ceiling and every other score must equal the integer model
+    bit for bit."""
+    from log_analysis_system_spark.queries.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        SUPP_OFFSET,
+        q_hits_trade_graph,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 1)], "l_orderkey long, l_suppkey long"
+    ).write.parquet(f"{d}/lineitem.parquet")
+
+    edges = [(1, 1), (1, 2), (2, 1)]  # (cust, supp)
+    h = {1: HITS_SCALE, 2: HITS_SCALE}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        raw_a = {}
+        for c, s in edges:
+            raw_a[s] = raw_a.get(s, 0) + h[c]
+        m = max(raw_a.values())
+        a = {s: v * HITS_SCALE // m for s, v in raw_a.items()}
+        raw_h = {}
+        for c, s in edges:
+            raw_h[c] = raw_h.get(c, 0) + a[s]
+        m = max(raw_h.values())
+        h = {c: v * HITS_SCALE // m for c, v in raw_h.items()}
+
+    got = {
+        (r["node"], r["role"]): r["score_ppm"]
+        for r in q_hits_trade_graph(spark, d).collect()
+    }
+    assert got[(1, "hub")] == HITS_SCALE
+    assert got[(SUPP_OFFSET + 1, "authority")] == HITS_SCALE
+    for c, v in h.items():
+        assert got[(c, "hub")] == v
+    for s, v in a.items():
+        assert got[(SUPP_OFFSET + s, "authority")] == v
