@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     # round-7 flagships (pins in the BASELINE.md round-7 table)
     "mmr_diversified_topk",
     "point_in_time_features",
+    # round-7 second-wave additions (pins in the BASELINE.md addendum)
+    "retrieval_eval_ndcg",
+    "coreset_kcenter",
+    "discriminator_auc",
+    "rolling_distinct_users",
+    "kcore_trade_graph",
+    "hits_trade_graph",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

@@ -642,8 +642,16 @@ def kcore_peel(
     edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
 ) -> DataFrame:
     """Run the fixed-round k-core peel on a doubled-undirected (src, dst)
-    edge list; returns surviving (node, degree)."""
+    edge list; returns surviving (node, degree).
+
+    Early-exits on the edge-count fixpoint (a bounded per-round scalar,
+    the dedup_components precedent): once a peel removes nothing, every
+    further peel is the identity, so stopping produces the SAME table
+    the oracle's full fixed-round unroll computes — the count also
+    eagerly materializes each round's checkpoint, which the next round
+    reuses anyway."""
     edges = edges.localCheckpoint(eager=False)
+    n_edges = edges.count()
     for _ in range(rounds):
         keep = (
             edges.groupBy("src")
@@ -659,6 +667,10 @@ def kcore_peel(
             .select("src", "dst")
             .localCheckpoint(eager=False)
         )
+        n2 = edges.count()
+        if n2 == n_edges:
+            break
+        n_edges = n2
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
