@@ -1345,3 +1345,178 @@ def q_frequent_event_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", "c", "n_occurrences", "n_users",
         (F.col("rnk") + 1).cast("long").alias("rnk"),
     )
+
+
+# ----------------------------- CUPED variance-reduced experiment lift
+
+CUPED_SPLIT_DAY = 19738  # 2024-01-16: pre-period before, experiment after
+_SS = "CASE WHEN {a} >= 0 THEN ({a}) // ({b}) ELSE -((-({a})) // ({b})) END"
+_SS_SPARK = (
+    "CASE WHEN {a} >= 0 THEN ({a}) div ({b}) "
+    "ELSE -((-({a})) div ({b})) END"
+)
+
+_CUPED_ORACLE = f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS arm,
+           CAST(sum(CASE WHEN epoch_us(ts) // 86400000000
+                              < {CUPED_SPLIT_DAY}
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN epoch_us(ts) // 86400000000
+                              >= {CUPED_SPLIT_DAY}
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+g AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM u
+),
+t AS (
+    SELECT n, sx, sy,
+           n * sxy - sx * sy AS tnum,
+           n * sxx - sx * sx AS tden,
+           n * syy - sy * sy AS yden
+    FROM g
+),
+arms AS (
+    SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+    FROM u GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.sxa AS sum_x_cents, a.sya AS sum_y_cents,
+       {_SS.format(a='a.sya * 1000', b='a.n_users')} AS raw_mean_y_milli,
+       CASE WHEN t.tden = 0 THEN NULL ELSE
+           {_SS.format(a='a.sya * 1000', b='a.n_users')}
+           - ({_SS.format(
+               a=("(" + _SS.format(a='t.tnum * 1000', b='t.tden') + ") * ("
+                  + _SS.format(a='a.sxa * 1000', b='a.n_users') + " - ("
+                  + _SS.format(a='t.sx * 1000', b='t.n') + "))"),
+               b='1000')})
+       END AS adj_mean_y_milli,
+       CASE WHEN t.tden = 0 THEN NULL
+            ELSE {_SS.format(a='t.tnum * 1000', b='t.tden')}
+       END AS theta_milli,
+       CASE WHEN t.tden = 0 OR t.yden = 0 THEN NULL ELSE
+           {_SS.format(
+               a=("(" + _SS.format(a='t.tnum * 1000000', b='t.tden')
+                  + ") * (" + _SS.format(a='t.tnum * 1000000', b='t.yden')
+                  + ")"),
+               b='1000000')}
+       END AS rho2_ppm
+FROM arms a CROSS JOIN t
+"""
+
+
+@query("cuped_adjusted_lift", oracle=_CUPED_ORACLE)
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013, the
+    controlled-experiment standard): users md5-split into two arms, the
+    experiment-period metric y (event value cents after day
+    {CUPED_SPLIT_DAY}) adjusted by the pre-period covariate x via
+    y' = y - theta(x - mean(x)), theta = cov(x,y)/var(x) from the pooled
+    sufficient statistics. Reported per arm: raw and adjusted mean
+    (milli-cents), pooled theta (milli) and rho-squared (ppm) — the
+    fraction of metric variance the covariate removes, i.e. how much
+    less traffic the same test needs.
+
+    Exact integer contract: sums/cross-moments are bigint; every
+    division is the SAME truncate-toward-zero sign-split in both
+    engines (negative numerators arise from deviations and theta), so
+    the whole readout value-hash-matches. Zero-variance covariates are
+    NULL-guarded. Scale: one user-keyed hash-agg (two conditional
+    sums), one 6-scalar global aggregate broadcast back as a 1-row
+    cross join, one 2-row arm aggregate — the fact table is scanned
+    once and nothing data-sized moves."""
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir)
+    day = (epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    u = (
+        ev.select(
+            "user_id",
+            F.when(day < CUPED_SPLIT_DAY, cents).otherwise(0).alias("xv"),
+            F.when(day >= CUPED_SPLIT_DAY, cents).otherwise(0).alias(
+                "yv"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("xv").cast("long").alias("x"),
+            F.sum("yv").cast("long").alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string").cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2,
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "tnum"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "tden"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "yden"
+        ),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("sxa"),
+        F.sum("y").cast("long").alias("sya"),
+    )
+    ss = _SS_SPARK.format
+    raw = ss(a="sya * 1000", b="n_users")
+    theta = ss(a="tnum * 1000", b="tden")
+    dev = f"({ss(a='sxa * 1000', b='n_users')} - ({ss(a='sx * 1000', b='n')}))"
+    adj = f"{raw} - ({ss(a=f'({theta}) * {dev}', b='1000')})"
+    rho_a = ss(a="tnum * 1000000", b="tden")
+    rho_b = ss(a="tnum * 1000000", b="yden")
+    rho2 = ss(a=f"({rho_a}) * ({rho_b})", b="1000000")
+    return arms.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "n_users",
+        F.col("sxa").alias("sum_x_cents"),
+        F.col("sya").alias("sum_y_cents"),
+        F.expr(f"CAST({raw} AS BIGINT)").alias("raw_mean_y_milli"),
+        F.expr(
+            f"CAST(CASE WHEN tden = 0 THEN NULL ELSE {adj} END AS BIGINT)"
+        ).alias("adj_mean_y_milli"),
+        F.expr(
+            f"CAST(CASE WHEN tden = 0 THEN NULL ELSE {theta} END "
+            f"AS BIGINT)"
+        ).alias("theta_milli"),
+        F.expr(
+            f"CAST(CASE WHEN tden = 0 OR yden = 0 THEN NULL ELSE {rho2} "
+            f"END AS BIGINT)"
+        ).alias("rho2_ppm"),
+    )

@@ -1845,3 +1845,94 @@ def q_hll_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_bounded"
         ),
     )
+
+
+# -------------------------------- exact weighted percentiles per group
+
+WPCT_PCTS = (50, 90)  # weighted nearest-rank percentile targets
+
+
+@query(
+    "weighted_value_percentiles",
+    oracle="""
+WITH pre AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(sum(l_quantity) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT l_returnflag, l_linestatus, cents, w,
+           CAST(sum(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                             ORDER BY cents) AS BIGINT) AS cw,
+           CAST(sum(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+                AS BIGINT) AS tot
+    FROM pre
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(max(tot) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN cw * 100 >= 50 * tot THEN cents END)
+            AS BIGINT) AS p50_cents,
+       CAST(min(CASE WHEN cw * 100 >= 90 * tot THEN cents END)
+            AS BIGINT) AS p90_cents
+FROM cum GROUP BY 1, 2
+""",
+)
+def q_weighted_value_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT quantity-WEIGHTED price percentiles per (returnflag,
+    linestatus): the smallest price at which the running quantity share
+    reaches 50% / 90% — 'half the shipped units cost at most X cents'.
+    Weighted percentiles are the inventory/revenue-share form of
+    `value_percentiles` and do not reduce to row-rank percentiles (one
+    100-unit line outweighs fifty 2-unit lines). The nearest-rank
+    threshold is the DIVISION-FREE integer inequality cw*100 >= p*tot,
+    so both engines compare exact bigints — no interpolation, no floats.
+
+    Scale: pre-aggregating to one row per (group, price) bounds the
+    ranked table by price cardinality, then `grouped_prefix_sum`
+    supplies the running weight — the scale-safe replacement for the
+    per-group ORDER BY window when groups are few and huge (the Q1-key
+    shape: 6 groups at any corpus size would otherwise be 6 straggler
+    tasks). One extra broadcast of the O(groups) totals closes the
+    thresholds."""
+    from ..operators.sampling import grouped_prefix_sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pre = (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("w"))
+    )
+    cum = grouped_prefix_sum(
+        pre,
+        ["l_returnflag", "l_linestatus"],
+        [F.col("cents")],
+        F.col("w"),
+        out_col="cw",
+    )
+    tot = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("w").cast("long").alias("tot")
+    )
+    j = cum.join(
+        F.broadcast(tot), ["l_returnflag", "l_linestatus"]
+    )
+    return j.groupBy("l_returnflag", "l_linestatus").agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.min(
+            F.when(F.col("cw") * 100 >= 50 * F.col("tot"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(
+            F.when(F.col("cw") * 100 >= 90 * F.col("tot"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p90_cents"),
+    )

@@ -121,6 +121,8 @@ EXTRA_QUERIES = [
     "kcore_trade_graph",
     "hits_trade_graph",
     "rolling_distinct_users",
+    "weighted_value_percentiles",
+    "cuped_adjusted_lift",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

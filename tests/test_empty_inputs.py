@@ -116,6 +116,8 @@ EMPTY_SAFE_QUERIES = [
     "kcore_trade_graph",
     "hits_trade_graph",
     "rolling_distinct_users",
+    "weighted_value_percentiles",
+    "cuped_adjusted_lift",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -2935,3 +2935,108 @@ def test_hits_trade_graph_pure_python_model(spark, tmp_path):
         assert got[(c, "hub")] == v
     for s, v in a.items():
         assert got[(SUPP_OFFSET + s, "authority")] == v
+
+
+def test_weighted_value_percentiles_hand_case(spark, tmp_path):
+    """Weighted nearest-rank by hand: one group with prices/quantities
+    (100c x 10u, 200c x 5u, 300c x 5u): total 20 units, running shares
+    50%/75%/100% -> weighted p50 = 100c (10*100 >= 50*20), p90 = 300c
+    (15*100 < 90*20 but 20*100 >= 90*20). Row-rank percentiles would
+    say p50 = 200c — the weighting is what's under test."""
+    from log_analysis_system_spark.queries.olap_extras import (
+        q_weighted_value_percentiles,
+    )
+
+    rows = (
+        [("A", "F", 1.00, 1.0)] * 10
+        + [("A", "F", 2.00, 1.0)] * 5
+        + [("A", "F", 3.00, 1.0)] * 5
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, l_extendedprice double, "
+        "l_quantity double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    row = q_weighted_value_percentiles(spark, d).collect()[0]
+    assert row["total_weight"] == 20
+    assert row["p50_cents"] == 100
+    assert row["p90_cents"] == 300
+
+
+def test_cuped_adjusted_lift_pure_python_model(spark, tmp_path):
+    """CUPED pin vs an exact pure-Python model on planted per-user
+    (pre, post) value pairs with a strong covariate: every reported
+    integer (means, theta, rho2) must match the model bit for bit, and
+    the adjusted arm gap must shrink relative to the raw gap (variance
+    reduction actually happened)."""
+    from datetime import datetime, timedelta
+
+    from log_analysis_system_spark.queries.behavior import (
+        CUPED_SPLIT_DAY,
+        q_cuped_adjusted_lift,
+    )
+
+    # per-user (pre_cents, post_cents): post tracks pre closely; all
+    # values are quarter-dollar multiples so value*100 is float-exact
+    users = {uid: (100 * (uid % 7 + 1), 100 * (uid % 7 + 1) + 25 * (uid % 3))
+             for uid in range(1, 41)}
+    pre_t = datetime(2024, 1, 5)
+    post_t = datetime(2024, 1, 25)
+    rows = []
+    eid = 0
+    for uid, (x, y) in users.items():
+        rows.append((eid, pre_t + timedelta(minutes=uid), uid, "click",
+                     x / 100.0, ""))
+        eid += 1
+        rows.append((eid, post_t + timedelta(minutes=uid), uid, "click",
+                     y / 100.0, ""))
+        eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    import hashlib
+
+    def ssdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    arms = {}
+    n = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxx = sum(x * x for x, _ in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    syy = sum(y * y for _, y in users.values())
+    tnum, tden = n * sxy - sx * sy, n * sxx - sx * sx
+    yden = n * syy - sy * sy
+    theta = ssdiv(tnum * 1000, tden)
+    for uid, (x, y) in users.items():
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        na, sxa, sya = arms.get(arm, (0, 0, 0))
+        arms[arm] = (na + 1, sxa + x, sya + y)
+    exp = {}
+    for arm, (na, sxa, sya) in arms.items():
+        raw = ssdiv(sya * 1000, na)
+        dev = ssdiv(sxa * 1000, na) - ssdiv(sx * 1000, n)
+        exp[arm] = (na, raw, raw - ssdiv(theta * dev, 1000))
+
+    got = {r["arm"]: r for r in q_cuped_adjusted_lift(spark, d).collect()}
+    assert set(got) == set(exp)
+    rho2 = ssdiv(
+        ssdiv(tnum * 1000000, tden) * ssdiv(tnum * 1000000, yden), 1000000
+    )
+    for arm, (na, raw, adj) in exp.items():
+        r = got[arm]
+        assert r["n_users"] == na
+        assert r["raw_mean_y_milli"] == raw
+        assert r["adj_mean_y_milli"] == adj
+        assert r["theta_milli"] == theta
+        assert r["rho2_ppm"] == rho2
+    a0, a1 = (got[a] for a in sorted(got))
+    raw_gap = abs(a0["raw_mean_y_milli"] - a1["raw_mean_y_milli"])
+    adj_gap = abs(a0["adj_mean_y_milli"] - a1["adj_mean_y_milli"])
+    assert adj_gap <= raw_gap
