@@ -35,8 +35,10 @@ FAMILY_REPRESENTATIVES = {
     # officially covered by dedup_minhash_lsh + embedding_near_dup;
     # ann_ivf_trained_topk rotated out late round 6 — its trained coarse
     # quantizer runs inside ann_ivfpq_topk; ann_pq_topk round 7 — flat-PQ
-    # training/ADC runs inside ann_ivfpq_topk + pq_index_refresh)
-    "ann_brute_topk",
+    # training/ADC runs inside ann_ivfpq_topk + pq_index_refresh;
+    # ann_brute_topk late round 7 — the brute truth kernel runs inside
+    # retrieval_eval_ndcg, which scores it with NDCG/MRR on top)
+    "retrieval_eval_ndcg",
     "embedding_near_dup",
     # round-6 ANN additions: the IVF-PQ composition and the
     # staleness-triggered index refresh (both verdict oracles)
@@ -67,16 +69,24 @@ FAMILY_REPRESENTATIVES = {
     # round-5 flagships (TPC-H shipping_priority / local_supplier_volume /
     # pricing_summary rotated out — join+agg shapes redundant with the
     # session/OLAP rows and Q1's pushdown stays plan-gated; driver_sim +
-    # pytest + bench keep them)
-    "score_correlation", "dedup_containment_capped", "unigram_lm_vocab",
+    # pytest + bench keep them; score_correlation rotated out late round 7
+    # — the exact-rank-statistic class passes to the Mann-Whitney ROC-AUC
+    # row, whose histogram+prefix-sum shape is the scale path)
+    "discriminator_auc", "dedup_containment_capped", "unigram_lm_vocab",
     # round-6 flagships: the decontamination pipeline end-to-end
     "decontaminate_spans", "decontaminate_scrub",
     # OLAP extras (round 7: asof_join_orders → scd2_asof_enrich, same
     # as-of class with interval validity; rollup_lineitem → incremental_
     # agg_maintenance, the IVM contract — rollup stays covered by
-    # hypertable_rollup)
-    "scd2_asof_enrich", "incremental_agg_maintenance", "value_percentiles",
-    "pivot_event_matrix", "analytic_functions", "range_join_events",
+    # hypertable_rollup; late round 7: value_percentiles → rolling_
+    # distinct_users — the non-decomposable sliding-distinct class had no
+    # row, exact percentiles stay via quantile_transform + bench;
+    # analytic_functions → coreset_kcenter — window surface exercised by
+    # the rank/lag windows in the session/topn/scd2 rows, the iterative
+    # data-selection class had none)
+    "scd2_asof_enrich", "incremental_agg_maintenance",
+    "rolling_distinct_users",
+    "pivot_event_matrix", "coreset_kcenter", "range_join_events",
     "skew_safe_event_totals", "hypertable_rollup",
 }
 
