@@ -1007,3 +1007,110 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("class_size").alias("rows_total"),
     )
+
+
+# ------------------------------------------------- t-closeness audit
+
+T_CLOSE_PPM = 300_000  # max allowed TVD between class and global sensitive
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+WITH cls AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / {K_ANON_BAL_W}) AS BIGINT) AS bal_band,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cs
+    FROM customer GROUP BY 1, 2, 3
+),
+ctot AS (
+    SELECT c_nationkey, bal_band, CAST(sum(n_cs) AS BIGINT) AS n_c
+    FROM cls GROUP BY 1, 2
+),
+gtot AS (
+    SELECT c_mktsegment, CAST(sum(n_cs) AS BIGINT) AS n_s FROM cls GROUP BY 1
+),
+n AS (SELECT CAST(sum(n_cs) AS BIGINT) AS nn FROM cls),
+grid AS (
+    SELECT t.c_nationkey, t.bal_band, t.n_c, g.n_s, n.nn,
+           coalesce(c.n_cs, 0) AS n_cs
+    FROM ctot t CROSS JOIN gtot g CROSS JOIN n
+    LEFT JOIN cls c ON c.c_nationkey = t.c_nationkey
+                   AND c.bal_band = t.bal_band
+                   AND c.c_mktsegment = g.c_mktsegment
+),
+tvd AS (
+    SELECT c_nationkey, bal_band, max(n_c) AS class_size,
+           CAST(sum(abs(n_cs * nn - n_s * n_c)) * 1000000
+                // (2 * max(n_c) * max(nn)) AS BIGINT) AS tvd_ppm
+    FROM grid GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(max(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+       CAST(sum(CASE WHEN tvd_ppm > {T_CLOSE_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS classes_above_t,
+       CAST(sum(CASE WHEN tvd_ppm > {T_CLOSE_PPM} THEN class_size
+                ELSE 0 END) AS BIGINT) AS rows_at_risk
+FROM tvd
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    `k_anonymity_audit` (class size) and `l_diversity_audit` (distinct
+    sensitive values): a class can be large AND diverse yet still leak
+    if its sensitive-value DISTRIBUTION deviates from the global one
+    (90/10 where the population is 20/80 tells an attacker plenty).
+    Per quasi-identifier class, the total-variation distance between
+    the class's market-segment distribution and the global distribution
+    in exact integer ppm — TVD = sum |n_cs·N - N_s·n_c| / (2·n_c·N),
+    cross-multiplied so the only division is one final floor-div of a
+    non-negative numerator. Audit rollup flags classes above
+    t = {T_CLOSE_PPM} ppm.
+
+    Scale: one (class, sensitive) hash-agg over the scan, then every
+    table is class- or |sensitive|-sized; the completion grid is a
+    broadcast of the |sensitive|-row global distribution (5 segments)
+    against the class totals — zeros for absent combinations are what
+    make TVD exact."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cls = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / K_ANON_BAL_W).cast("long").alias(
+            "bal_band"
+        ),
+        "c_mktsegment",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_cs"))
+    ctot = cls.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n_cs").cast("long").alias("n_c")
+    )
+    gtot = cls.groupBy("c_mktsegment").agg(
+        F.sum("n_cs").cast("long").alias("n_s")
+    )
+    n = cls.agg(F.sum("n_cs").cast("long").alias("nn"))
+    grid = (
+        ctot.crossJoin(F.broadcast(gtot))
+        .crossJoin(F.broadcast(n))
+        .join(
+            cls,
+            ["c_nationkey", "bal_band", "c_mktsegment"],
+            "left",
+        )
+        .withColumn("n_cs", F.coalesce("n_cs", F.lit(0)))
+    )
+    tvd = grid.groupBy("c_nationkey", "bal_band").agg(
+        F.max("n_c").alias("class_size"),
+        F.expr(
+            "CAST(sum(abs(n_cs * nn - n_s * n_c)) * 1000000 "
+            "div (2 * max(n_c) * max(nn)) AS BIGINT)"
+        ).alias("tvd_ppm"),
+    )
+    above = F.col("tvd_ppm") > T_CLOSE_PPM
+    return tvd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+        F.sum(above.cast("long")).cast("long").alias("classes_above_t"),
+        F.sum(F.when(above, F.col("class_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

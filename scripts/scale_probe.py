@@ -123,6 +123,7 @@ EXTRA_QUERIES = [
     "rolling_distinct_users",
     "weighted_value_percentiles",
     "cuped_adjusted_lift",
+    "t_closeness_audit",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -118,6 +118,7 @@ EMPTY_SAFE_QUERIES = [
     "rolling_distinct_users",
     "weighted_value_percentiles",
     "cuped_adjusted_lift",
+    "t_closeness_audit",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
