@@ -95,6 +95,19 @@ SHOWCASE = {
     "point_in_time_features": "strictly-before window frames over the "
     "(customer, day) rollup + a densified day-minus-one equi-join — "
     "leak-freedom is structural, and no inequality as-of join exists",
+    # round-7 second-wave flagships
+    "discriminator_auc": "scores histogram to one row per distinct value "
+    "before ranking; the negatives-below prefix runs through "
+    "grouped_prefix_sum — never all-pairs, zero order-only windows",
+    "rolling_distinct_users": "the non-decomposable sliding distinct is a "
+    "plain COUNT over disjoint per-user coverage intervals joined against "
+    "the broadcast bounded hour table — no window-sized state",
+    "kcore_trade_graph": "each peel round is one degree hash-agg + two "
+    "semi-joins on the shrinking edge list; early-exits on the edge-count "
+    "fixpoint (bounded scalar)",
+    "cuped_adjusted_lift": "one user-keyed hash-agg; the pooled "
+    "6-scalar moment aggregate broadcasts back as a 1-row cross join — "
+    "nothing data-sized moves after the fact scan",
 }
 
 HEADER = """\
