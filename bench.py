@@ -105,6 +105,12 @@ BENCH_QUERIES = [
     "rolling_distinct_users",
     "kcore_trade_graph",
     "hits_trade_graph",
+    # round-8 flagships
+    "survival_churn_hazard",
+    "seasonal_decompose_daily",
+    "conformal_forecast_interval",
+    "bootstrap_revenue_ci",
+    "sorted_neighborhood_dedup",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

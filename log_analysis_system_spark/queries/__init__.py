@@ -48,7 +48,12 @@ PRIORITY: tuple[str, ...] = (
     # dedup_containment_capped holds the window row for the shared
     # pair_overlap_stats machinery; driver_sim + pytest + bench keep both)
     # in favor of the round-6 decontamination flagships below
-    "dedup_exact",
+    # dedup_exact rotated out round 8: the md5 hash-agg distinct shape
+    # also runs INSIDE corpus_pipeline's window row (exact-dedup stage)
+    # and stays in driver_sim + pytest + golden fixtures; its slot passes
+    # to sorted-neighborhood blocking — the FOURTH candidate-generation
+    # strategy (sort-order windows), an op class no row exercised.
+    "sorted_neighborhood_dedup",
     "dedup_minhash_lsh",
     # round 7: PPJoin prefix-filtered exact set-similarity join — the
     # third candidate-generation strategy (prefix filter) next to banded
@@ -100,16 +105,24 @@ PRIORITY: tuple[str, ...] = (
     # mapInPandas plumbing) with a DCT perceptual hash and a banded
     # Hamming join — strictly more of the pipeline under one oracle;
     # driver_sim + pytest keep decode as its own row.
+    # multimodal_audio rotated out round 8: the mapInPandas codec
+    # plumbing (schema/batch/partitioning) keeps its official row via
+    # multimodal_phash_neardup (PPM decode + DCT + banded Hamming join);
+    # the WAV-PCM16 parser itself stays pinned in pytest (byte-exact
+    # fixture) + driver_sim + bench.
     "multimodal_phash_neardup",
-    "multimodal_audio",
     # streaming batch oracles (§2.11 / A10-A13); top3/sliding rotated out
     # round 3, cumulative round 6 (A11's state loop is pinned by the
     # streaming pytest suite + driver_sim; blacklist keeps the family row)
     "stream_blacklist",
     # behavior analytics family — event_transitions rotated out round 6
     # (lag-window sequence shape also exercised by funnel +
-    # analytic_functions; cohort_retention keeps the family row)
-    "cohort_retention",
+    # analytic_functions; cohort_retention keeps the family row).
+    # cohort_retention rotated out round 8: both rows read the same
+    # per-customer order-date sequence, and the survival row strictly
+    # extends it (censoring + risk sets + hazard vs. period counting);
+    # cohort_retention stays in driver_sim + pytest + bench.
+    "survival_churn_hazard",
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
@@ -146,9 +159,23 @@ PRIORITY: tuple[str, ...] = (
     # rolling-origin backtest, an op class no other row exercises;
     # driver_sim + pytest cover the rotated-out rows)
     "corpus_pipeline",
-    "forecast_backtest_mase",
+    # forecast_backtest_mase rotated out round 8: point-error backtesting
+    # stays covered by its pytest pins + driver_sim + bench, and the slot
+    # passes to conformal prediction intervals — the uncertainty-
+    # quantification eval class (finite-sample-valid interval coverage)
+    # had no official row, and it composes the same Holt recurrence the
+    # backtest evaluates. seasonal_decompose_daily takes the second
+    # temporal slot (trend/seasonal/residual decomposition — the series-
+    # model class dow_seasonality's static index only hints at).
+    "conformal_forecast_interval",
+    "seasonal_decompose_daily",
     "dq_checks",
-    "sample_weighted_docs",
+    # sample_weighted_docs rotated out round 8: weighted A-res sampling
+    # stays covered by stratified_sample's window row (the sampling
+    # family) + driver_sim + pytest; the slot passes to the Poisson
+    # bootstrap — the resampling-INFERENCE class (uncertainty over an
+    # estimator, not corpus selection) had no official row.
+    "bootstrap_revenue_ci",
     "balanced_shards",
     "pagerank_trade_graph",
     # late round 6: deterministic sync label propagation — community
@@ -239,6 +266,8 @@ def load_all() -> None:
         unigram_lm,
         layout_audit,
         model_eval,
+        stats_models,
+        dedup_blocking,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

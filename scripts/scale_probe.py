@@ -124,6 +124,14 @@ EXTRA_QUERIES = [
     "weighted_value_percentiles",
     "cuped_adjusted_lift",
     "t_closeness_audit",
+    # round-8 additions (the five windowed flagships arrive via
+    # BENCH_QUERIES; these are the two sim-pass rows)
+    "grouped_ols_two_factor",
+    "winsorized_price_stats",
+    "sprt_conversion_monitor",
+    "diff_in_diff_lift",
+    "zipf_law_fit",
+    "xmr_control_chart",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

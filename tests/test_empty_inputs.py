@@ -119,6 +119,20 @@ EMPTY_SAFE_QUERIES = [
     "weighted_value_percentiles",
     "cuped_adjusted_lift",
     "t_closeness_audit",
+    # round-8 additions
+    "survival_churn_hazard",
+    "seasonal_decompose_daily",
+    "conformal_forecast_interval",
+    "grouped_ols_two_factor",
+    "winsorized_price_stats",
+    "bootstrap_revenue_ci",
+    "sorted_neighborhood_dedup",
+    "sprt_conversion_monitor",
+    "zipf_law_fit",
+    "xmr_control_chart",
+    # on empty input the 2x2 sums are all NULL, which propagates through
+    # the cell-mean divisions to a well-formed 1-row all-NULL readout
+    "diff_in_diff_lift",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -131,6 +131,32 @@ FROM x
 """
 
 
+_ZIPF_SQL = """
+WITH tf AS (
+    SELECT w AS term, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w
+          FROM read_parquet('{d}/documents.parquet')) u
+    GROUP BY 1
+),
+cut AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 512),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY freq DESC, term) AS r, freq FROM cut
+),
+x AS (
+    SELECT ln(CAST(r AS DOUBLE)) * 1000000 AS x FROM ranked
+    UNION ALL
+    SELECT ln(CAST(freq AS DOUBLE)) * 1000000 FROM ranked
+)
+-- rank 1 / freq 1 produce ln(1) = 0.0, IEEE-exact on every engine
+-- (a structural zero, same policy as the JSD zero branches) — the
+-- clearance min is over the non-structural values only.
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(abs(x - round(x))) FILTER (WHERE x <> 0) AS min_dist,
+       CAST(count(*) FILTER (WHERE x = round(x) AND x <> 0)
+            AS BIGINT) AS exact_nonzero
+FROM x
+"""
+
 _DSIR_SQL = """
 WITH occ AS (
     SELECT source IN ('src2', 'src3') AS is_target,
@@ -196,7 +222,7 @@ FROM x
     "name,sql",
     [("bigram_lm", _LM_SQL), ("sequence_entropy", _ENT_SQL),
      ("source_jsd", _JSD_SQL), ("unigram_lm", None),
-     ("dsir_llr", _DSIR_SQL)],
+     ("dsir_llr", _DSIR_SQL), ("zipf_law_fit", _ZIPF_SQL)],
 )
 def test_micro_nat_values_clear_integer_boundaries(name, sql, sf_dir):
     if sql is None:

@@ -382,6 +382,9 @@ def test_mixture_schedule_heap_cut_no_bare_source_window(spark):
 # the justification lives here and in each query's docstring.
 BOUNDED_FRAME_WINDOWS = {
     "bm25_rank": "rank over the already-cut global_topn result (10 rows)",
+    "conformal_forecast_interval": "lag/rank/count windows over the "
+    "per-MONTH Holt series and its residual table (calendar-bounded; "
+    "orders collapse to months first)",
     "cusum_change_point": "prefix sum over the per-DAY series "
     "(calendar-bounded; raw scan collapses first)",
     "forecast_backtest_mase": "rolling-origin lags/prefix means over the "
@@ -397,6 +400,18 @@ BOUNDED_FRAME_WINDOWS = {
     "(calendar-bounded; raw scan collapses first)",
     "repeat_purchase_cadence": "percentile cut over the day-gap histogram "
     "(calendar-bounded)",
+    "seasonal_decompose_daily": "centered 7-day moving average over the "
+    "densified per-DAY series (calendar-bounded; raw scan collapses first)",
+    "sprt_conversion_monitor": "LLR prefix sum over the per-DAY "
+    "(successes, trials) table (calendar-bounded; raw scan collapses "
+    "first)",
+    "xmr_control_chart": "moving-range lag over the densified per-DAY "
+    "series (calendar-bounded; raw scan collapses first)",
+    "zipf_law_fit": "rank over the already-cut top-512 term table (the "
+    "TakeOrdered heap runs BEFORE the window — bm25_rank's argument)",
+    "survival_churn_hazard": "risk-set and cumulative-hazard prefix sums "
+    "over the duration HISTOGRAM (O(distinct gap lengths in days), "
+    "calendar-bounded; the custkey-partitioned lead collapses first)",
     "unimax_mixture_allocation": "waterfilling prefix over the per-SOURCE "
     "cap table (source-cardinality, a bounded categorical dimension)",
 }
