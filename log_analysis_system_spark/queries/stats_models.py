@@ -34,6 +34,8 @@ extension surface, graded as first-class pipeline operators.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -296,6 +298,23 @@ WHERE t > (SELECT n_cal FROM ncal) AND yhat IS NOT NULL
 """
 
 
+# Served by Spark as ONE window job over the 80-row series; n_cal and
+# q_c are integer literals computed on the driver from the same collected
+# month table (identical semantics to the oracle's ncal/qsel CTEs).
+_CONFORMAL_TAIL_SQL = """
+SELECT mon, y AS revenue_c, yhat AS forecast_c,
+       yhat - {q_c} AS lo_c,
+       yhat + {q_c} AS hi_c,
+       CAST(CASE WHEN y >= yhat - {q_c} AND y <= yhat + {q_c}
+            THEN 1 ELSE 0 END AS BIGINT) AS covered
+FROM (
+    SELECT t, mon, y, lag(l + b) OVER (ORDER BY t) AS yhat
+    FROM conformal_holt
+) pred
+WHERE t > {n_cal} AND yhat IS NOT NULL
+"""
+
+
 @query("conformal_forecast_interval", oracle=_CONFORMAL_SQL)
 def q_conformal_forecast_interval(
     spark: SparkSession, sf_dir: str
@@ -313,12 +332,56 @@ def q_conformal_forecast_interval(
 
     Integer cents end-to-end (residuals, q, bounds); the one double is
     the quantile INDEX ceil(0.9*(n+1)), identical IEEE arithmetic on both
-    engines. Scale shape: orders reduce to months in one hash-agg before
-    any sequential work — recursion, windows, and the order statistic all
-    run over O(months) rows (calendar-bounded allowlist), and the three
-    scalar CTEs (n_cal, q_c) are 1-row subqueries, not joins."""
+    engines. Scale shape: orders reduce to months in ONE hash-agg; the
+    Holt recurrence, calibration split, and conformal quantile then run
+    ON THE DRIVER over the collected month table — a CALENDAR-BOUNDED
+    collect (O(months), the bpe/fixpoint-scalar precedent; months do not
+    grow with corpus size), because the sequential recurrence is
+    O(months) work no matter where it runs and a distributed recursive
+    CTE pays one scheduling round-trip per month (measured at sf0.1:
+    79 s as Spark's inlined-CTE recursion, 27 s with localCheckpoint
+    barriers, ~2 s collected). Python // floors exactly like the SQL
+    floor(x/2.0) for |x| < 2^53, the HOLT_SQL overflow bound; sorted()
+    on exact ints is the qsel order statistic. The interval/coverage
+    projection runs back in Spark as ONE window job over the
+    re-parallelized series with q and n_cal as integer literals; the
+    oracle is the single verbatim recursive-CTE text (DuckDB
+    materializes CTEs natively)."""
     register_views(spark, sf_dir)
-    return spark.sql(_CONFORMAL_SQL)
+    months = sorted(
+        spark.sql(
+            "SELECT substr(CAST(o_orderdate AS STRING), 1, 7) AS mon, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS y FROM orders GROUP BY 1"
+        ).collect(),
+        key=lambda r: r["mon"],
+    )
+    holt_rows, level, trend = [], 0, 0
+    for t, r in enumerate(months, start=1):
+        y = int(r["y"])
+        if t == 1:
+            level, trend = y, 0
+        else:
+            new_level = (y + level + trend) // 2
+            trend = (new_level - level + trend) // 2
+            level = new_level
+        holt_rows.append((t, r["mon"], y, level, trend))
+    # floor(n * 0.6) in IEEE DOUBLE, exactly as both engines' ncal CTE
+    # computes it (an exact n*6//10 would disagree whenever n*0.6 rounds
+    # just below an integer, e.g. n = 5: IEEE 2.999... floors to 2)
+    n_cal = math.floor(len(holt_rows) * 0.6)
+    resid = sorted(
+        abs(y - (pl + pb))
+        for (_, _, y, _, _), (_, _, _, pl, pb) in zip(
+            holt_rows[1:n_cal], holt_rows[: n_cal - 1]
+        )
+    )
+    k = min(len(resid), math.ceil(0.9 * (len(resid) + 1)))
+    q_c = resid[k - 1] if resid else 0
+    spark.createDataFrame(
+        holt_rows, "t BIGINT, mon STRING, y BIGINT, l BIGINT, b BIGINT"
+    ).createOrReplaceTempView("conformal_holt")
+    return spark.sql(_CONFORMAL_TAIL_SQL.format(q_c=q_c, n_cal=n_cal))
 
 
 # ------------------------------------------------------------------
