@@ -268,6 +268,7 @@ def load_all() -> None:
         model_eval,
         stats_models,
         dedup_blocking,
+        trend_stats,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

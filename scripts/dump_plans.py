@@ -108,6 +108,21 @@ SHOWCASE = {
     "cuped_adjusted_lift": "one user-keyed hash-agg; the pooled "
     "6-scalar moment aggregate broadcasts back as a 1-row cross join — "
     "nothing data-sized moves after the fact scan",
+    # round-8 flagships
+    "survival_churn_hazard": "custkey-partitioned lead collapses to the "
+    "duration histogram; risk sets and cumulative hazard are prefix sums "
+    "over O(distinct gap lengths) — the fact table never re-shuffles",
+    "bootstrap_revenue_ci": "all 40 Poisson replicas in one map-side-"
+    "combinable aggregate (shuffle carries 40 partial sums per task); "
+    "the CI sorts the 40-row replica list inside an aggregate — no "
+    "window, no resampled data movement",
+    "sorted_neighborhood_dedup": "block-partitioned sort windows (no "
+    "global sort), O(n*w) candidates, exact shingle verify joins the "
+    "slim candidate list — candidate volume independent of similarity "
+    "structure",
+    "winsorized_price_stats": "exact p05/p95 order statistics from the "
+    "per-(group, cent-value) histogram — group-partitioned windows over "
+    "bounded value domains, never a per-row sort",
 }
 
 HEADER = """\

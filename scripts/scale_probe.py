@@ -132,6 +132,9 @@ EXTRA_QUERIES = [
     "diff_in_diff_lift",
     "zipf_law_fit",
     "xmr_control_chart",
+    "theil_sen_trend",
+    "mann_kendall_trend",
+    "acf_daily_revenue",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

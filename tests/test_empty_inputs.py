@@ -133,6 +133,9 @@ EMPTY_SAFE_QUERIES = [
     # on empty input the 2x2 sums are all NULL, which propagates through
     # the cell-mean divisions to a well-formed 1-row all-NULL readout
     "diff_in_diff_lift",
+    "theil_sen_trend",
+    "mann_kendall_trend",
+    "acf_daily_revenue",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

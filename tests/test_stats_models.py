@@ -329,3 +329,84 @@ def test_xmr_limits_match_pure_python(spark):
         assert r["out_of_control"] == int(
             r["y"] * 1000 < lcl or r["y"] * 1000 > ucl
         )
+
+
+# ------------------------------------------------------------------
+# trend_stats: theil_sen / mann_kendall / acf (shared daily spine)
+# ------------------------------------------------------------------
+
+
+def _py_daily_revenue() -> list[int]:
+    """Zero-filled dense daily revenue series (cents), pure pandas."""
+    o = _pd("orders")
+    day = pd.Series(
+        o["o_orderdate"].to_numpy().astype("datetime64[D]").astype("int64")
+    )
+    cents = (o["o_totalprice"] * 100).round().astype("int64")
+    by_day = cents.groupby(day).sum()
+    lo, hi = int(day.min()), int(day.max())
+    return [int(by_day.get(d, 0)) for d in range(lo, hi + 1)]
+
+
+def _trunc_div(a: int, b: int) -> int:
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def test_theil_sen_matches_pure_python(spark):
+    (r,) = QUERIES["theil_sen_trend"](spark, SF_DIR).collect()
+    y = _py_daily_revenue()
+    n = len(y)
+    slopes = [
+        _trunc_div((y[j] - y[i]) * 1_000_000, j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    slopes.sort()
+    assert r["n_days"] == n
+    assert r["n_pairs"] == len(slopes)
+    assert r["theil_sen_slope_ppm"] == slopes[(len(slopes) - 1) // 2]
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    (r,) = QUERIES["mann_kendall_trend"](spark, SF_DIR).collect()
+    y = np.array(_py_daily_revenue(), dtype=np.int64)
+    n = len(y)
+    diff_sign = np.sign(y[None, :] - y[:, None])
+    s = int(np.triu(diff_sign, k=1).sum())
+    ties = collections.Counter(y.tolist())
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    s_corr = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = s_corr / math.sqrt(var18 / 18.0)
+    assert (r["n_days"], r["s_stat"], r["var_s_x18"]) == (n, s, var18)
+    assert r["z_score"] == pytest.approx(z, abs=1e-9)
+    expected = (
+        "no_trend"
+        if abs(z) <= 1.959963985
+        else "increasing" if s > 0 else "decreasing"
+    )
+    assert r["verdict"] == expected
+
+
+def test_acf_matches_pure_python(spark):
+    rows = {
+        r["lag"]: r
+        for r in QUERIES["acf_daily_revenue"](spark, SF_DIR).collect()
+    }
+    cents = np.array(_py_daily_revenue(), dtype=np.int64)
+    dollars = cents // 100
+    mu = int(dollars.sum()) // len(dollars)
+    y = dollars - mu
+    assert set(rows) == set(range(1, 15))
+    for lag, r in rows.items():
+        a, b = y[:-lag].astype(float), y[lag:].astype(float)
+        n = len(a)
+        num = n * (a * b).sum() - a.sum() * b.sum()
+        den = math.sqrt(
+            (n * (a * a).sum() - a.sum() ** 2)
+            * (n * (b * b).sum() - b.sum() ** 2)
+        )
+        assert r["n_pairs"] == n
+        assert r["acf"] == pytest.approx(num / den, abs=1e-6)
