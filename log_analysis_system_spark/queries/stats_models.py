@@ -785,14 +785,29 @@ def q_sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline, so the whole statistic is exact bigint arithmetic — neither
     engine evaluates a logarithm. Scale shape: events collapse to the
     per-DAY (successes, trials) table in one hash-agg; the prefix sum
-    runs over O(days) rows (calendar-bounded allowlist)."""
+    runs over O(days) rows (calendar-bounded allowlist). The
+    `sprt_daily_counts` / `sprt_score` split is shared with the
+    streaming monitor (streaming/drift.py) so batch and served verdicts
+    can never diverge — the equivalence is test-pinned."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+    return sprt_score(sprt_daily_counts(ev))
+
+
+def sprt_daily_counts(ev: DataFrame) -> DataFrame:
+    """Per-DAY (successes, trials) — the SPRT's mergeable partial: both
+    columns sum across micro-batches covering the same day."""
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def sprt_score(d: DataFrame) -> DataFrame:
+    """Score a (day, s, n) table: per-day and cumulative LLR in exact
+    integer micro-nats plus the Wald accept/continue verdict. Shared by
+    the batch query and the streaming monitor's serve path."""
     llr = d.withColumn(
         "llr_micro",
         F.col("s") * SPRT_L1 + (F.col("n") - F.col("s")) * SPRT_L0,

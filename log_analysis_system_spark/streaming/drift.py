@@ -122,3 +122,54 @@ def level_shift_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: st
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ------------------------------------------- streaming sequential test
+
+def append_sprt_batch(batch_df: DataFrame, store_dir: str, batch_id: int) -> None:
+    """foreachBatch body for the SPRT monitor: persist one micro-batch's
+    per-day (successes, trials) partials (overwrite-idempotent under
+    replay; same-day partials from different batches sum at serve time)."""
+    from ..queries.stats_models import sprt_daily_counts
+
+    sprt_daily_counts(batch_df).write.mode("overwrite").parquet(
+        f"{store_dir}/sprt/batch={batch_id}"
+    )
+
+
+def serve_sprt(spark, store_dir: str) -> DataFrame:
+    """Merge the streamed (day, s, n) partials and run the SAME exact-
+    integer Wald scoring the batch query uses (`stats_models.sprt_score`)
+    — the continuously-updatable "can we already call the experiment"
+    monitor: every appended batch can only extend or tighten the verdict
+    sequence, never rewrite history (partials are additive). State is
+    O(days), never O(events)."""
+    from ..queries.stats_models import sprt_score
+
+    broot = os.path.join(store_dir, "sprt")
+    dirs = [
+        os.path.join(broot, d)
+        for d in sorted(os.listdir(broot))
+        if d.startswith("batch=")
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no sprt partials under {store_dir}")
+    parts = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        parts = parts.unionByName(spark.read.parquet(d))
+    daily = parts.groupBy("day").agg(
+        F.sum("s").cast("long").alias("s"),
+        F.sum("n").cast("long").alias("n"),
+    )
+    return sprt_score(daily)
+
+
+def sprt_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Attach the sequential-test monitor to a streaming events frame."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: append_sprt_batch(b, store_dir, i)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

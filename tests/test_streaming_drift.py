@@ -94,3 +94,51 @@ def test_streamed_change_point_equals_batch_query(spark, tmp_path):
         tuple(r) for r in QUERIES["cusum_change_point"](spark, SF_DIR).collect()
     }
     assert served == batch and served
+
+
+def test_streamed_sprt_equals_batch_query(spark, tmp_path):
+    """Served SPRT verdicts over a streamed event feed must EQUAL the
+    batch sprt_conversion_monitor on the same data — the scoring body
+    (stats_models.sprt_score) is shared, so only the partial-merge path
+    is under test, including same-day counts split across micro-batches."""
+    ev = read_events(spark, SF_DIR)
+    inp = str(tmp_path / "input")
+    # split by event parity so most DAYS straddle both micro-batches —
+    # the merge must sum same-day partials, not just concatenate them
+    ev.where(F.col("event_id") % 2 == 0).write.parquet(f"{inp}/c1.parquet")
+    ev.where(F.col("event_id") % 2 == 1).write.parquet(f"{inp}/c2.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*.parquet")
+    )
+    from log_analysis_system_spark.streaming.drift import (
+        append_sprt_batch,
+        serve_sprt,
+        sprt_monitor,
+    )
+
+    store = str(tmp_path / "store")
+    q = sprt_monitor(stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert len(os.listdir(os.path.join(store, "sprt"))) >= 2
+
+    served = {
+        tuple(r) for r in serve_sprt(spark, store).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in QUERIES["sprt_conversion_monitor"](spark, SF_DIR).collect()
+    }
+    assert served == batch and served
+
+    # crash-replay idempotence: re-appending batch 0 changes nothing
+    append_sprt_batch(
+        read_events(spark, SF_DIR).where(F.col("event_id") % 2 == 0),
+        store,
+        0,
+    )
+    again = {tuple(r) for r in serve_sprt(spark, store).collect()}
+    assert again == served
