@@ -199,8 +199,9 @@ seas AS (
     SELECT dow, {ssdiv("sum(detr_milli)", "count(*)")} AS seasonal_milli
     FROM det WHERE detr_milli IS NOT NULL GROUP BY dow
 )
-SELECT d.day, d.y, d.trend_milli, s.seasonal_milli,
-       d.detr_milli - s.seasonal_milli AS resid_milli
+SELECT d.day, d.y, CAST(d.trend_milli AS BIGINT) AS trend_milli,
+       CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+       CAST(d.detr_milli - s.seasonal_milli AS BIGINT) AS resid_milli
 FROM det d JOIN seas s ON s.dow = d.dow
 """
 
