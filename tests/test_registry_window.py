@@ -21,15 +21,22 @@ FAMILY_REPRESENTATIVES = {
     # cumulative round 6 (streaming pytest suite + driver_sim cover them)
     "stream_blacklist",
     # behavior analytics family (event_transitions rotated out round 6 —
-    # lag-window shape also exercised by funnel + analytic_functions)
-    "cohort_retention",
+    # lag-window shape also exercised by funnel + analytic_functions;
+    # cohort_retention rotated out round 8 — the survival row reads the
+    # same per-customer order-date sequence and strictly extends it with
+    # censoring + risk sets; driver_sim + pytest + bench keep it)
+    "survival_churn_hazard",
     # scalar + set ops (§2.7/2.8)
     "scalar_functions", "set_ops_users",
     # dedup family (simhash/ngram_jaccard rotated out round 6: banded
     # signatures stay covered by dedup_minhash_lsh, the capped
     # pair_overlap_stats path by dedup_containment_capped; round 7 adds
     # the PPJoin prefix-filter candidate strategy)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    # dedup_exact rotated out round 8 — the md5 hash-agg distinct shape
+    # runs inside corpus_pipeline's window row; the slot passes to
+    # sorted-neighborhood blocking, the fourth candidate-generation
+    # strategy (sort-order windows)
+    "sorted_neighborhood_dedup", "dedup_minhash_lsh", "dedup_components",
     "ppjoin_jaccard",
     # ANN family (ann_lsh_topk rotated out round 3 — LSH banding stays
     # officially covered by dedup_minhash_lsh + embedding_near_dup;
@@ -59,9 +66,19 @@ FAMILY_REPRESENTATIVES = {
     # (multimodal_decode rotated out round 7 — the pHash near-dup row
     # composes the same PPM decode + mapInPandas plumbing with a DCT
     # hash and banded Hamming join)
+    # multimodal_audio rotated out round 8 — the mapInPandas codec
+    # plumbing keeps its row via multimodal_phash_neardup; the WAV parser
+    # stays pinned byte-exact in pytest + driver_sim + bench
     "multimodal_phash_neardup",
-    "multimodal_audio", "corpus_pipeline", "forecast_backtest_mase",
-    "dq_checks", "sample_weighted_docs", "balanced_shards",
+    # forecast_backtest_mase rotated out round 8 — the temporal slots
+    # pass to split-conformal intervals (uncertainty eval) and STL-lite
+    # decomposition (series modeling); MASE stays in driver_sim + pytest
+    # + bench. sample_weighted_docs rotated out round 8 — weighted A-res
+    # sampling stays covered by stratified_sample + driver_sim; the slot
+    # passes to the Poisson bootstrap (resampling INFERENCE).
+    "corpus_pipeline", "conformal_forecast_interval",
+    "seasonal_decompose_daily",
+    "dq_checks", "bootstrap_revenue_ci", "balanced_shards",
     "pagerank_trade_graph", "label_propagation_communities",
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
     # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
