@@ -798,3 +798,122 @@ def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("score_ppm"),
     )
     return hubs.unionByName(auths)
+
+
+# ---------------------------------------------------------- link prediction
+
+LP_DEG_CAP = 48   # drop hub customers with more distinct suppliers than this
+LP_MIN_CN = 4     # emit supplier pairs sharing at least this many customers
+
+_LP_SQL = f"""
+WITH cs AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM cs GROUP BY 1),
+capped AS (
+    SELECT cs.c, cs.s, cdeg.dc FROM cs
+    JOIN cdeg ON cdeg.c = cs.c AND cdeg.dc <= {LP_DEG_CAP}
+),
+sdeg AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM capped GROUP BY 1),
+pairs AS (
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(count(*) AS BIGINT) AS common_n,
+           CAST(sum(1000000 // a.dc) AS BIGINT) AS ra_micro,
+           CAST(sum(CAST(floor(1000000 / ln(a.dc)) AS BIGINT)) AS BIGINT)
+               AS aa_micro
+    FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+    GROUP BY 1, 2
+    HAVING count(*) >= {LP_MIN_CN}
+)
+SELECT p.supp_a, p.supp_b, p.common_n,
+       CAST(p.common_n * 1000000 //
+            (da.ds + db.ds - p.common_n) AS BIGINT) AS jaccard_ppm,
+       p.ra_micro, p.aa_micro
+FROM pairs p
+JOIN sdeg da ON da.s = p.supp_a
+JOIN sdeg db ON db.s = p.supp_b
+"""
+
+
+@query("link_prediction_scores", oracle=_LP_SQL)
+def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the bipartite customer->supplier trade graph:
+    for every supplier pair sharing >= {MIN_CN} customers, emit the
+    classic neighborhood scores — common neighbors, Jaccard (integer ppm),
+    resource allocation (Zhou et al. 2009: sum of 1/deg over shared
+    neighbors, exact integer micro-units), and Adamic-Adar (sum of
+    1/ln(deg), per-term floored to micro-units so the bigint sum is
+    order-independent; the floor boundary clearance for every reachable
+    degree 2..{CAP} is audited in tests/test_micro_nat_boundary.py).
+
+    Scale shape: the quadratic term keys the self-join on the SHARED
+    CUSTOMER, so its size is sum_c deg(c)^2 — bounded by the degree cap
+    {CAP} (hub customers, who carry near-zero link signal and all of the
+    blow-up risk, are dropped BEFORE the pair join; the cap is the same
+    hot-key bound `dedup_containment_capped` applies to shingles, and the
+    oracle mirrors it). Everything else is a hash aggregate or a slim
+    degree-table join keyed by supplier. No stage is ever all-pairs in
+    the supplier count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cdeg = cs.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    # One materialization: the (join + distinct + degree-filter) subtree
+    # feeds FOUR consumers (both pair-join sides and two degree lookups);
+    # without the pin each consumer would recompute the fact-table join.
+    capped = cs.join(
+        cdeg.where(F.col("dc") <= LP_DEG_CAP), "c"
+    ).localCheckpoint(eager=False)
+    sdeg = capped.groupBy("s").agg(F.count(F.lit(1)).alias("ds"))
+    b = capped.select(
+        F.col("c"), F.col("s").alias("s_b")
+    )
+    pairs = (
+        capped.join(b, "c")
+        .where(F.col("s") < F.col("s_b"))
+        .groupBy(F.col("s").alias("supp_a"), F.col("s_b").alias("supp_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_n"),
+            F.sum(F.floor(F.lit(1_000_000) / F.col("dc")))
+            .cast("long").alias("ra_micro"),
+            F.sum(
+                F.floor(F.lit(1_000_000) / F.log(F.col("dc")))
+            ).cast("long").alias("aa_micro"),
+        )
+        .where(F.col("common_n") >= LP_MIN_CN)
+    )
+    return (
+        pairs.join(
+            sdeg.select(F.col("s").alias("supp_a"), F.col("ds").alias("da")),
+            "supp_a",
+        )
+        .join(
+            sdeg.select(F.col("s").alias("supp_b"), F.col("ds").alias("db")),
+            "supp_b",
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_n",
+            F.floor(
+                F.col("common_n") * 1_000_000
+                / (F.col("da") + F.col("db") - F.col("common_n"))
+            ).cast("long").alias("jaccard_ppm"),
+            "ra_micro",
+            "aa_micro",
+        )
+    )
+
+
+q_link_prediction_scores.__doc__ = q_link_prediction_scores.__doc__.format(
+    MIN_CN=LP_MIN_CN, CAP=LP_DEG_CAP
+)

@@ -133,3 +133,81 @@ def q_zorder_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT))) * 1000000 div count(1) AS BIGINT)"
         ).alias("skipped_ppm"),
     )
+
+
+# ------------------------------------------------------- compaction planner
+
+CP_TARGET_ROWS = 5_000   # rows per compacted output file
+CP_SMALL_MAX = 4_000     # files at/above this size are left alone
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1
+),
+small AS (SELECT * FROM files WHERE n_rows < {CP_SMALL_MAX}),
+cum AS (
+    SELECT day, n_rows,
+           sum(n_rows) OVER (ORDER BY day) - n_rows AS prev_rows
+    FROM small
+)
+SELECT CAST(prev_rows // {CP_TARGET_ROWS} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(day) AS first_day, max(day) AS last_day
+FROM cum GROUP BY 1
+"""
+
+
+@query("compaction_plan", oracle=_COMPACT_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance op every
+    lakehouse at 100 TB runs nightly: model the file inventory as one file
+    per ship-day (deterministic stand-in for a real catalog listing),
+    keep only files below {SMALL} rows (large files are never rewritten),
+    and pack them IN DAY ORDER into target-size bins of {TARGET} rows via
+    an exclusive running sum (bin = floor(prev_rows / target)). Day-order
+    packing preserves sort-key contiguity, so each output file keeps a
+    tight min-max day envelope and the `zorder_skipping_stats` pruning
+    story survives compaction — round-robin packing (cf. `balanced_shards`,
+    which optimizes balance, not locality) would destroy it.
+
+    Scale shape: the planner's input is FILE METADATA — one row per file,
+    catalog-sized (millions of rows at 100 TB, not billions) — produced
+    here by a two-column pushdown scan + hash agg. The running sum goes
+    through `operators.sampling.grouped_prefix_sum` (range-sliced, no
+    single-task global window); binning + per-bin stats are one hash agg."""
+    from ..operators.sampling import grouped_prefix_sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    files = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") < CP_SMALL_MAX)
+    )
+    cum = grouped_prefix_sum(
+        files.withColumn("g", F.lit(1)),
+        ["g"],
+        [F.col("day")],
+        F.col("n_rows"),
+        out_col="cum_rows",
+    ).withColumn("prev_rows", F.col("cum_rows") - F.col("n_rows"))
+    return (
+        cum.groupBy(
+            F.floor(F.col("prev_rows") / CP_TARGET_ROWS)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.format(
+    SMALL=CP_SMALL_MAX, TARGET=CP_TARGET_ROWS
+)

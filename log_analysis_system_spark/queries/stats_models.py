@@ -1132,3 +1132,148 @@ def q_xmr_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long"),
     )
+
+
+# ------------------------------------------- empirical-Bayes rate shrinkage
+
+EB_MIN_TOKENS = 40  # quality pass: at least this many whitespace tokens
+EB_LEN_LO, EB_LEN_HI = 3, 8  # ... and mean token length in [lo, hi] chars
+
+_EB_ORACLE = f"""
+WITH feat AS (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha
+    FROM documents
+),
+per_src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (
+               WHERE n_tokens >= {EB_MIN_TOKENS}
+                 AND n_alpha >= {EB_LEN_LO} * n_tokens
+                 AND n_alpha <= {EB_LEN_HI} * n_tokens
+           ) AS BIGINT) AS pass_n
+    FROM feat GROUP BY 1
+),
+rates AS (
+    SELECT source, n_docs, pass_n,
+           pass_n * 1000000 // n_docs AS raw_ppm
+    FROM per_src
+),
+mom AS (
+    SELECT CAST(sum(raw_ppm) // count(*) AS BIGINT) AS m_ppm,
+           CAST(count(*) AS BIGINT) AS nsrc
+    FROM rates
+),
+varr AS (
+    SELECT CAST(sum((r.raw_ppm - m.m_ppm) * (r.raw_ppm - m.m_ppm))
+                // any_value(m.nsrc) AS BIGINT) AS v_pp2
+    FROM rates r CROSS JOIN mom m
+),
+prior AS (
+    SELECT m.m_ppm,
+           CAST(greatest(
+               CASE WHEN v.v_pp2 > 0
+                    THEN m.m_ppm * (1000000 - m.m_ppm) // v.v_pp2 - 1
+                    ELSE 0 END, 0) AS BIGINT) AS strength
+    FROM mom m CROSS JOIN varr v
+)
+SELECT r.source, r.n_docs, r.pass_n, r.raw_ppm,
+       CAST((r.pass_n * 1000000 + p.strength * p.m_ppm)
+            // (r.n_docs + p.strength) AS BIGINT) AS shrunk_ppm,
+       p.strength AS prior_strength
+FROM rates r CROSS JOIN prior p
+"""
+
+
+@query("eb_shrunk_quality", oracle=_EB_ORACLE)
+def q_eb_shrunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source quality pass rates (the
+    beta-binomial method-of-moments estimator): fit a Beta prior to the
+    observed per-source rates — prior mean = mean rate, prior strength
+    s = m(1-m)/Var(rate) - 1 — then shrink each source's raw rate toward
+    the corpus mean with weight s/(n+s). Small/new sources get pulled to
+    the prior; big sources keep their evidence — the standard guard
+    against over-trusting a 50-doc source's perfect pass rate when
+    curating a 100 TB mixture (cf. `ctr_wilson_rank`, which bounds a
+    single rate; this POOLS strength across sources).
+
+    Determinism: rates, moments, strength, and the shrunk posterior mean
+    all live in integer ppm with floor division at each step, mirrored
+    exactly in the oracle — no IEEE summation anywhere. Scale shape: one
+    documents scan reduces to a per-source (n, k) tuple; everything after
+    runs on the O(sources) table with 1-row broadcast cross joins."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    ok = (
+        (n_tokens >= EB_MIN_TOKENS)
+        & (n_alpha >= EB_LEN_LO * n_tokens)
+        & (n_alpha <= EB_LEN_HI * n_tokens)
+    )
+    rates = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("pass_n"),
+        )
+        .withColumn(
+            "raw_ppm",
+            F.floor(F.col("pass_n") * 1_000_000 / F.col("n_docs")).cast(
+                "long"
+            ),
+        )
+    )
+    mom = rates.agg(
+        F.floor(F.sum("raw_ppm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m_ppm"),
+        F.count(F.lit(1)).cast("long").alias("nsrc"),
+    )
+    varr = (
+        rates.join(F.broadcast(mom))
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("raw_ppm") - F.col("m_ppm"))
+                    * (F.col("raw_ppm") - F.col("m_ppm"))
+                )
+                / F.first("nsrc")
+            )
+            .cast("long")
+            .alias("v_pp2")
+        )
+    )
+    prior = (
+        mom.join(F.broadcast(varr))
+        .select(
+            "m_ppm",
+            F.greatest(
+                F.when(
+                    F.col("v_pp2") > 0,
+                    F.floor(
+                        F.col("m_ppm")
+                        * (F.lit(1_000_000) - F.col("m_ppm"))
+                        / F.col("v_pp2")
+                    ).cast("long")
+                    - 1,
+                ).otherwise(F.lit(0).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("strength"),
+        )
+    )
+    return rates.join(F.broadcast(prior)).select(
+        "source",
+        "n_docs",
+        "pass_n",
+        "raw_ppm",
+        F.floor(
+            (F.col("pass_n") * 1_000_000 + F.col("strength") * F.col("m_ppm"))
+            / (F.col("n_docs") + F.col("strength"))
+        )
+        .cast("long")
+        .alias("shrunk_ppm"),
+        F.col("strength").alias("prior_strength"),
+    )

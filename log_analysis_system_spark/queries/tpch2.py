@@ -641,3 +641,67 @@ def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_cents("c_acctbal")) / 100.0).alias("totacctbal"),
         )
     )
+
+
+# -------------------------------------------------------------------- Q16
+
+Q16_SIZES = (3, 9, 14, 23, 36, 45, 49)
+Q16_BRAND = "Brand#13"
+Q16_TYPE_PREFIX = "PROMO"
+
+
+@query(
+    "supplier_attr_counts",
+    oracle=f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{Q16_BRAND}'
+  AND p.p_type NOT LIKE '{Q16_TYPE_PREFIX}%'
+  AND p.p_size IN {Q16_SIZES}
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_attr_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for the absent partsupp as the
+    part<->supplier bridge; negative account balance standing in for the
+    comment-matched complaint suppliers): distinct-supplier counts per
+    (brand, type, size) over a multi-predicate part slice, EXCLUDING a
+    blacklist of suppliers — the canonical NOT IN → anti-join + grouped
+    COUNT(DISTINCT) battery entry, the last of the 22 TPC-H shapes
+    (reference has no OLAP battery at all; cf. `UserVisitSessionAnalyzeSpark
+    .java`'s bespoke aggregations).
+
+    Scale shape: the part slice's three predicates all push to the parquet
+    scan; the slim (partkey, brand, type, size) dim broadcasts into the
+    fact scan, as does the tiny blacklist (left-anti). COUNT(DISTINCT
+    suppkey) expands to the two-phase partial-distinct aggregate on the
+    (brand, type, size) grouping — no stage keys on anything
+    data-proportional except the grouped distinct itself, whose key space
+    is bounded by |dim slice| x |suppliers|."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != Q16_BRAND)
+            & ~F.col("p_type").startswith(Q16_TYPE_PREFIX)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -136,6 +136,10 @@ EMPTY_SAFE_QUERIES = [
     "theil_sen_trend",
     "mann_kendall_trend",
     "acf_daily_revenue",
+    "supplier_attr_counts",
+    "link_prediction_scores",
+    "compaction_plan",
+    "eb_shrunk_quality",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

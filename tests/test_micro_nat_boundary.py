@@ -274,3 +274,28 @@ FROM x
     assert n > 0
     assert exact_nonzero == 0
     assert min_dist is not None and min_dist > GUARD_BAND
+
+
+def test_adamic_adar_micro_boundary():
+    """link_prediction_scores floors 1e6/ln(d) to micro-units per shared
+    neighbor. The reachable degree domain is the INTEGERS 2..LP_DEG_CAP
+    (degrees above the cap are dropped before the pair join), so the audit
+    sweeps the whole domain, not just the degrees present in one dataset:
+    every pre-floor value must clear the guard band around the next-lower
+    integer on both engines. d=1 cannot reach the score (a degree-1
+    customer produces no pair), so ln(d)=0 never divides."""
+    from log_analysis_system_spark.queries.graph import LP_DEG_CAP
+
+    rows = duckdb.sql(
+        f"""
+        WITH d AS (SELECT unnest(generate_series(2, {LP_DEG_CAP})) AS d),
+        x AS (SELECT 1000000 / ln(d) AS x FROM d)
+        SELECT CAST(count(*) AS BIGINT),
+               min(x - floor(x)),
+               min(ceil(x) - x)
+        FROM x
+        """
+    ).fetchone()
+    n, dist_lo, dist_hi = rows
+    assert n == LP_DEG_CAP - 1
+    assert dist_lo > GUARD_BAND and dist_hi > GUARD_BAND
