@@ -111,6 +111,11 @@ BENCH_QUERIES = [
     "conformal_forecast_interval",
     "bootstrap_revenue_ci",
     "sorted_neighborhood_dedup",
+    # round-8 second-wave additions (pins in the BASELINE.md addendum)
+    "supplier_attr_counts",
+    "link_prediction_scores",
+    "compaction_plan",
+    "eb_shrunk_quality",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)

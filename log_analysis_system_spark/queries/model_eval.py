@@ -319,3 +319,152 @@ def q_discriminator_group_fairness(
         ))
         .alias("fpr_ppm"),
     )
+
+
+# ------------------------------------------ isotonic calibration (PAV)
+
+ISO_BUCKET_W = 2     # token-count bucket width
+ISO_BUCKET_CAP = 200  # token counts clamp here (same cap as quality_score)
+
+_ISO_PASS_SQL = """
+    CAST(len(string_split(text, ' ')) AS BIGINT) >= 40
+    AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+        >= 3 * CAST(len(string_split(text, ' ')) AS BIGINT)
+    AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+        <= 8 * CAST(len(string_split(text, ' ')) AS BIGINT)
+"""
+
+_ISO_ORACLE = f"""
+WITH bk AS (
+    SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT),
+                 {ISO_BUCKET_CAP}) // {ISO_BUCKET_W} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE {_ISO_PASS_SQL}) AS BIGINT) AS pass_n
+    FROM documents GROUP BY 1
+),
+pre AS (
+    SELECT a.bucket, any_value(a.n_docs) AS n_docs,
+           any_value(a.pass_n) AS pass_n,
+           CAST(sum(b.pass_n) AS BIGINT) AS ps,
+           CAST(sum(b.n_docs) AS BIGINT) AS pc
+    FROM bk a JOIN bk b ON b.bucket <= a.bucket
+    GROUP BY 1
+),
+segs AS (
+    SELECT j.bucket AS jb, k.bucket AS kb,
+           (k.ps - j.ps + j.pass_n) / CAST(k.pc - j.pc + j.n_docs AS DOUBLE)
+               AS seg_mean
+    FROM pre j JOIN pre k ON j.bucket <= k.bucket
+),
+inner_min AS (
+    SELECT i.bucket AS ib, s.jb, min(s.seg_mean) AS mn
+    FROM bk i JOIN segs s ON s.jb <= i.bucket AND s.kb >= i.bucket
+    GROUP BY 1, 2
+),
+iso AS (SELECT ib AS bucket, max(mn) AS iso_rate FROM inner_min GROUP BY 1)
+SELECT b.bucket, b.n_docs, b.pass_n,
+       round(b.pass_n / CAST(b.n_docs AS DOUBLE), 6) AS raw_rate,
+       round(i.iso_rate, 6) AS iso_rate
+FROM bk b JOIN iso i ON i.bucket = b.bucket
+"""
+
+
+@query("isotonic_calibration", oracle=_ISO_ORACLE)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the quality pass
+    rate against document length — the PAV fit every score-calibration
+    stack runs before thresholding a classifier, computed here through the
+    exact minimax characterization iso(i) = max_{{j<=i}} min_{{k>=i}}
+    mean(y[j..k]) instead of the sequential pool-adjacent-violators loop
+    (identical output, but expressible as joins + aggregates on BOTH
+    engines — no driver-side recursion, no order-dependent pooling).
+
+    Determinism: every segment mean is ONE IEEE division of two exact
+    bigints (prefix sums of pass/doc counts), so both engines produce
+    bit-identical doubles; min/max over identical doubles are
+    order-independent, and rounding happens once at the output edge.
+
+    Scale shape: the corpus reduces to B <= {CAP}/{W}+1 length buckets in
+    one scan + hash agg; the O(B^2) segment table and the O(B^3) minimax
+    join run on that BOUNDED table via broadcast joins — data volume never
+    enters the quadratic/cubic terms (the same reduce-first seam as
+    `discriminator_auc`'s score histogram). No windows, no driver loop."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    ok = (
+        (n_tokens >= 40)
+        & (n_alpha >= 3 * n_tokens)
+        & (n_alpha <= 8 * n_tokens)
+    )
+    bk = (
+        docs.groupBy(
+            F.floor(F.least(n_tokens, F.lit(ISO_BUCKET_CAP)) / ISO_BUCKET_W)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("pass_n"),
+        )
+    )
+    b2 = bk.select(
+        F.col("bucket").alias("b2"),
+        F.col("n_docs").alias("n2"),
+        F.col("pass_n").alias("p2"),
+    )
+    pre = (
+        bk.join(F.broadcast(b2), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("pass_n").alias("pass_n"),
+            F.sum("p2").cast("long").alias("ps"),
+            F.sum("n2").cast("long").alias("pc"),
+        )
+    )
+    jside = pre.select(
+        F.col("bucket").alias("jb"),
+        (F.col("ps") - F.col("pass_n")).alias("ps_excl"),
+        (F.col("pc") - F.col("n_docs")).alias("pc_excl"),
+    )
+    kside = pre.select(
+        F.col("bucket").alias("kb"),
+        F.col("ps").alias("ps_k"),
+        F.col("pc").alias("pc_k"),
+    )
+    segs = jside.join(F.broadcast(kside), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("ps_k") - F.col("ps_excl"))
+            / (F.col("pc_k") - F.col("pc_excl")).cast("double")
+        ).alias("seg_mean"),
+    )
+    inner_min = (
+        bk.select(F.col("bucket").alias("ib"))
+        .join(
+            F.broadcast(segs),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("seg_mean").alias("mn"))
+    )
+    iso = inner_min.groupBy(F.col("ib").alias("bucket")).agg(
+        F.max("mn").alias("iso_rate")
+    )
+    return bk.join(iso, "bucket").select(
+        "bucket",
+        "n_docs",
+        "pass_n",
+        F.round(
+            F.col("pass_n") / F.col("n_docs").cast("double"), 6
+        ).alias("raw_rate"),
+        F.round("iso_rate", 6).alias("iso_rate"),
+    )
+
+
+q_isotonic_calibration.__doc__ = q_isotonic_calibration.__doc__.format(
+    CAP=ISO_BUCKET_CAP, W=ISO_BUCKET_W
+)

@@ -140,6 +140,7 @@ EMPTY_SAFE_QUERIES = [
     "link_prediction_scores",
     "compaction_plan",
     "eb_shrunk_quality",
+    "isotonic_calibration",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -410,3 +410,70 @@ def test_acf_matches_pure_python(spark):
         )
         assert r["n_pairs"] == n
         assert r["acf"] == pytest.approx(num / den, abs=1e-6)
+
+
+# ------------------------------------------------------------------
+# isotonic_calibration
+# ------------------------------------------------------------------
+
+
+def test_isotonic_matches_pure_python_pav(spark):
+    """The minimax-join formulation must equal the classic sequential
+    pool-adjacent-violators sweep (stack-based, exact rational pooling)
+    on the same buckets, and the fit must be monotone non-decreasing."""
+    from log_analysis_system_spark.queries.model_eval import (
+        ISO_BUCKET_CAP,
+        ISO_BUCKET_W,
+    )
+
+    docs = _pd("documents")
+    toks = docs["text"].str.split(" ").str.len()
+    alpha = docs["text"].str.replace(" ", "", regex=False).str.len()
+    ok = (toks >= 40) & (alpha >= 3 * toks) & (alpha <= 8 * toks)
+    bucket = np.minimum(toks, ISO_BUCKET_CAP) // ISO_BUCKET_W
+    g = (
+        pd.DataFrame({"bucket": bucket, "ok": ok.astype(int)})
+        .groupby("bucket")
+        .agg(n_docs=("ok", "size"), pass_n=("ok", "sum"))
+        .sort_index()
+    )
+    # classic PAV: pool adjacent blocks while means decrease; compare
+    # means by cross-multiplication so pooling is exact
+    blocks = [
+        [int(p), int(n)] for p, n in zip(g["pass_n"], g["n_docs"])
+    ]
+    stack: list[list[int]] = []
+    for b in blocks:
+        stack.append(list(b))
+        while (
+            len(stack) > 1
+            and stack[-2][0] * stack[-1][1] > stack[-1][0] * stack[-2][1]
+        ):
+            p2, n2 = stack.pop()
+            stack[-1][0] += p2
+            stack[-1][1] += n2
+    # expand: walk blocks again tracking how many buckets each absorbed
+    expanded = []
+    i = 0
+    for p, n in stack:
+        acc_p, acc_n, cnt = 0, 0, 0
+        while acc_p != p or acc_n != n:
+            acc_p += blocks[i + cnt][0]
+            acc_n += blocks[i + cnt][1]
+            cnt += 1
+        expanded.extend([p / n] * cnt)
+        i += cnt
+    got = {
+        r["bucket"]: r["iso_rate"]
+        for r in QUERIES["isotonic_calibration"](spark, SF_DIR).collect()
+    }
+    assert len(got) == len(g)
+    iso_sorted = [got[b] for b in g.index]
+    assert all(
+        iso_sorted[i] <= iso_sorted[i + 1] + 1e-12
+        for i in range(len(iso_sorted) - 1)
+    ), "isotonic fit is not monotone"
+    for b, want in zip(g.index, expanded):
+        assert abs(got[b] - round(want, 6)) <= 1e-6, (
+            b, got[b], want,
+        )
