@@ -1936,3 +1936,135 @@ def q_weighted_value_percentiles(
         .cast("long")
         .alias("p90_cents"),
     )
+
+
+# ---------------------------------------- join-cardinality estimation (CMS)
+
+JC_W = 4096  # counters per row — sized ~2x the key space so collision noise (Na*Nb/W) stays near the true cardinality
+JC_D = 4    # independent hash rows; estimate = min over rows
+JC_BRANDS = ("Brand#11", "Brand#22", "Brand#33", "Brand#44")
+
+
+def _jc_hash_rows(key_sql: str) -> str:
+    """(d, bucket) VALUES rows for one key under the shared affine md5
+    family — the DuckDB mirror of the Spark expression below."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    return ", ".join(
+        f"({d}, ((CAST(('0x' || substr(md5({key_sql}), 1, 7)) AS BIGINT) "
+        f"* {MINHASH_A[d]} + {MINHASH_B[d]}) % {MINHASH_P}) % {JC_W})"
+        for d in range(JC_D)
+    )
+
+
+def _jc_oracle() -> str:
+    brands = ", ".join(f"'{b}'" for b in JC_BRANDS)
+    return f"""
+WITH a_keys AS (SELECT l_partkey AS pk FROM lineitem),
+b_keys AS (SELECT p_partkey AS pk FROM part WHERE p_brand IN ({brands})),
+a_sk AS (
+    SELECT v.d, v.bucket, CAST(count(*) AS BIGINT) AS ca
+    FROM a_keys, (VALUES {_jc_hash_rows("CAST(pk AS VARCHAR)")}) v(d, bucket)
+    GROUP BY 1, 2
+),
+b_sk AS (
+    SELECT v.d, v.bucket, CAST(count(*) AS BIGINT) AS cb
+    FROM b_keys, (VALUES {_jc_hash_rows("CAST(pk AS VARCHAR)")}) v(d, bucket)
+    GROUP BY 1, 2
+),
+ip AS (
+    SELECT a.d, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
+    FROM a_sk a JOIN b_sk b ON b.d = a.d AND b.bucket = a.bucket
+    GROUP BY 1
+),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS cms_n FROM ip),
+truth AS (
+    SELECT CAST(count(*) AS BIGINT) AS true_n
+    FROM a_keys a JOIN b_keys b ON b.pk = a.pk
+)
+SELECT t.true_n, e.cms_n,
+       CAST(e.cms_n * 1000000 // t.true_n AS BIGINT) AS ratio_ppm,
+       e.cms_n >= t.true_n AS never_underestimates
+FROM truth t CROSS JOIN est e
+"""
+
+
+@query("join_cardinality_estimate", oracle=_jc_oracle())
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimation from mergeable sketches — the
+    optimizer-advisory pass a 100 TB engine runs BEFORE committing to a
+    join strategy: |A join B on k| equals the inner product of the two
+    key-frequency vectors, and the count-min estimate of that inner
+    product is min_d sum_w A_d[w]*B_d[w] (Cormode & Muthukrishnan 2005,
+    sec. 4.2 — one-sided: collisions only ADD, so it never
+    underestimates, checked exactly by the oracle). Probed here on
+    lineitem.l_partkey vs a brand-filtered part slice, next to the exact
+    join count and the overestimate ratio.
+
+    Scale shape: each side reduces to a fixed {D}x{W} counter table in
+    one map-side-combinable hash agg (same mergeable-summary class as
+    `countmin_terms`/`sketch_rollup_users`); the estimate itself joins
+    two KB-sized sketches. The exact-truth join exists for the audit and
+    would be OMITTED in production — the entire point is answering the
+    size question without running the join."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    def sketch(keys: DataFrame, out: str) -> DataFrame:
+        base = F.conv(
+            F.substring(F.md5(F.col("pk").cast("string").cast("binary")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        return (
+            keys.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"),
+                                (
+                                    (base * MINHASH_A[d] + MINHASH_B[d])
+                                    % MINHASH_P
+                                    % JC_W
+                                ).alias("bucket"),
+                            )
+                            for d in range(JC_D)
+                        ]
+                    )
+                ).alias("h")
+            )
+            .groupBy("h.d", "h.bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a_keys = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("pk")
+    )
+    b_keys = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_brand").isin(*JC_BRANDS))
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    ip = (
+        sketch(a_keys, "ca")
+        .join(F.broadcast(sketch(b_keys, "cb")), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    est = ip.agg(F.min("dot").cast("long").alias("cms_n"))
+    truth = a_keys.join(F.broadcast(b_keys), "pk").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return truth.join(F.broadcast(est)).select(
+        "true_n",
+        "cms_n",
+        F.floor(F.col("cms_n") * 1_000_000 / F.col("true_n"))
+        .cast("long")
+        .alias("ratio_ppm"),
+        (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
+    )
+
+
+q_join_cardinality_estimate.__doc__ = q_join_cardinality_estimate.__doc__.format(
+    D=JC_D, W=JC_W
+)

@@ -141,6 +141,7 @@ EMPTY_SAFE_QUERIES = [
     "compaction_plan",
     "eb_shrunk_quality",
     "isotonic_calibration",
+    "join_cardinality_estimate",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
