@@ -1591,3 +1591,117 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (count(1) * bucket_len) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+# ---------------------------------------- jackknife source influence
+
+_JK_ORACLE = """
+WITH pts AS (
+    SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+           n_chars AS y
+    FROM documents
+),
+per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+    FROM pts GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+           CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxx) AS BIGINT) AS sxx,
+           CAST(sum(sxy) AS BIGINT) AS sxy
+    FROM per_src
+)
+SELECT p.source, p.n AS n_docs,
+       round((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+             / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)), 6)
+           AS beta_full,
+       round((CAST(g.n - p.n AS DOUBLE) * CAST(g.sxy - p.sxy AS DOUBLE)
+              - CAST(g.sx - p.sx AS DOUBLE) * CAST(g.sy - p.sy AS DOUBLE))
+             / (CAST(g.n - p.n AS DOUBLE) * CAST(g.sxx - p.sxx AS DOUBLE)
+              - CAST(g.sx - p.sx AS DOUBLE) * CAST(g.sx - p.sx AS DOUBLE)),
+             6) AS beta_loo,
+       round((CAST(g.n - p.n AS DOUBLE) * CAST(g.sxy - p.sxy AS DOUBLE)
+              - CAST(g.sx - p.sx AS DOUBLE) * CAST(g.sy - p.sy AS DOUBLE))
+             / (CAST(g.n - p.n AS DOUBLE) * CAST(g.sxx - p.sxx AS DOUBLE)
+              - CAST(g.sx - p.sx AS DOUBLE) * CAST(g.sx - p.sx AS DOUBLE))
+             - (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE))
+             / (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)), 6)
+           AS influence
+FROM per_src p CROSS JOIN tot g
+"""
+
+
+@query("source_influence_jackknife", oracle=_JK_ORACLE)
+def q_source_influence_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation by the jackknife: each source's influence on a
+    corpus-level model is beta(without source) - beta(all), here for the
+    chars-per-token regression (n_chars on token count) — the cheap
+    leave-one-SOURCE-out analogue of leave-one-example-out influence
+    functions, and the screen that catches a feed whose tokenization
+    statistics drag the corpus-wide relationship (cf. `drift_psi`, which
+    compares distributions; this attributes a MODEL shift to a source).
+
+    Scale shape: the corpus reduces ONCE to per-source sufficient
+    statistics (five exact bigint sums — the `grouped_ols_two_factor`
+    seam); the global row is a re-aggregation of the per-source table,
+    and every leave-one-out refit is O(1) arithmetic on (global - source)
+    tuples. |sources| refits cost |sources| rows of math, not |sources|
+    passes over the data — the property that makes jackknife valuation
+    feasible at 100 TB where per-example influence is not. Betas are
+    Cramer ratios evaluated in double from identical exact operands on
+    both engines (the trend_fit precedent); rounding at the output edge."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    per_src = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    glob = per_src.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sx").cast("long").alias("gsx"),
+        F.sum("sy").cast("long").alias("gsy"),
+        F.sum("sxx").cast("long").alias("gsxx"),
+        F.sum("sxy").cast("long").alias("gsxy"),
+    )
+
+    def beta(n, sx, sy, sxx, sxy):
+        return (
+            n.cast("double") * sxy.cast("double")
+            - sx.cast("double") * sy.cast("double")
+        ) / (
+            n.cast("double") * sxx.cast("double")
+            - sx.cast("double") * sx.cast("double")
+        )
+
+    j = per_src.join(F.broadcast(glob))
+    b_full = beta(F.col("gn"), F.col("gsx"), F.col("gsy"), F.col("gsxx"),
+                  F.col("gsxy"))
+    b_loo = beta(
+        F.col("gn") - F.col("n"),
+        F.col("gsx") - F.col("sx"),
+        F.col("gsy") - F.col("sy"),
+        F.col("gsxx") - F.col("sxx"),
+        F.col("gsxy") - F.col("sxy"),
+    )
+    return j.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(b_full, 6).alias("beta_full"),
+        F.round(b_loo, 6).alias("beta_loo"),
+        F.round(b_loo - b_full, 6).alias("influence"),
+    )
