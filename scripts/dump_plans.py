@@ -123,6 +123,23 @@ SHOWCASE = {
     "winsorized_price_stats": "exact p05/p95 order statistics from the "
     "per-(group, cent-value) histogram — group-partitioned windows over "
     "bounded value domains, never a per-row sort",
+    # round-8 second-wave flagships
+    "link_prediction_scores": "the quadratic pair term keys on the SHARED "
+    "customer with hub degrees capped before the self-join; the capped "
+    "bipartite table materializes once and feeds all four consumers",
+    "isotonic_calibration": "PAV via the minimax identity: the corpus "
+    "reduces to <=101 length buckets in one hash-agg; the O(B^3) minimax "
+    "runs entirely on broadcast joins of that bounded table",
+    "compaction_plan": "planner input is file METADATA (one row per file); "
+    "the running sum goes through grouped_prefix_sum — no single-task "
+    "global window — and day-order bins preserve min-max pruning",
+    "join_cardinality_estimate": "both join sides reduce to fixed 4x4096 "
+    "CMS counter tables in map-side-combinable aggregates; the estimate "
+    "joins two KB-sized sketches — the join size question answered "
+    "without the join",
+    "source_influence_jackknife": "one pass to per-source sufficient "
+    "statistics; every leave-one-out refit is O(1) arithmetic on "
+    "(global - source) tuples — |sources| refits, zero re-scans",
 }
 
 HEADER = """\
