@@ -1520,3 +1520,234 @@ def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"END AS BIGINT)"
         ).alias("rho2_ppm"),
     )
+
+
+# ------------------------------------ Markov removal-effect attribution
+
+MARKOV_ITERS = 24          # fixpoint rounds (identical on both engines)
+MARKOV_CHANNELS = ("view", "click", "signup", "error")
+_MK_FULL = "__FULL__"      # variant label for the unremoved chain
+
+_MK_TRANS_SQL = """
+rn_tbl AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS rn
+    FROM events
+),
+numbered AS (
+    SELECT user_id, event_type, rn,
+           min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id) AS first_pk
+    FROM rn_tbl
+),
+kept AS (
+    SELECT user_id, rn,
+           CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS st,
+           max(rn) OVER (PARTITION BY user_id) AS last_rn
+    FROM numbered
+    WHERE rn <= coalesce(first_pk, 9223372036854775807)
+),
+seq AS (
+    SELECT user_id, rn, st,
+           coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+                    'START') AS src
+    FROM kept
+),
+trans AS (
+    SELECT src, st AS dst, CAST(count(*) AS BIGINT) AS n FROM seq
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT st AS src, 'NULL' AS dst, CAST(count(*) AS BIGINT) AS n
+    FROM kept WHERE rn = last_rn AND st <> 'CONV'
+    GROUP BY 1
+),
+tr AS (SELECT src, dst, CAST(sum(n) AS BIGINT) AS n FROM trans GROUP BY 1, 2)
+"""
+
+
+def _mk_oracle() -> str:
+    variants = ", ".join(
+        f"('{v}')" for v in (_MK_FULL, *MARKOV_CHANNELS)
+    )
+    steps = []
+    prev = "p0"
+    for k in range(1, MARKOV_ITERS + 1):
+        steps.append(f"""
+p{k} AS MATERIALIZED (
+    SELECT t.v, t.src AS state,
+           CAST(sum(t.n * CASE WHEN t.dst = 'CONV' THEN 1000000
+                               WHEN t.dst = 'NULL' THEN 0
+                               ELSE coalesce(q.p, 0) END)
+                // any_value(o.n_out) AS BIGINT) AS p
+    FROM vtrans t
+    JOIN odeg o ON o.v = t.v AND o.src = t.src
+    LEFT JOIN {prev} q ON q.v = t.v AND q.state = t.dst
+    GROUP BY 1, 2
+)""")
+        prev = f"p{k}"
+    chans = ", ".join(f"('{c}')" for c in MARKOV_CHANNELS)
+    return f"""
+WITH {_MK_TRANS_SQL},
+variants(v) AS (VALUES {variants}),
+vtrans AS (
+    -- removal drops the channel's OUTGOING rows (so its p stays 0) but
+    -- keeps edges INTO it in the denominator: mass routed to a removed
+    -- channel is LOST (-> NULL), not redistributed
+    SELECT v.v, t.src, t.dst, t.n
+    FROM tr t CROSS JOIN variants v
+    WHERE t.src <> v.v
+),
+odeg AS (SELECT v, src, CAST(sum(n) AS BIGINT) AS n_out
+         FROM vtrans GROUP BY 1, 2),
+p0 AS (SELECT v, src AS state, CAST(0 AS BIGINT) AS p
+       FROM odeg),
+{",".join(steps)},
+finals AS (
+    SELECT v, p FROM {prev} WHERE state = 'START'
+),
+full_p AS (SELECT p AS p_full FROM finals WHERE v = '{_MK_FULL}'),
+re AS (
+    SELECT c.ch, f.p_full,
+           coalesce(fv.p, 0) AS p_removed,
+           f.p_full - coalesce(fv.p, 0) AS removal_micro
+    FROM (VALUES {chans}) c(ch)
+    CROSS JOIN full_p f
+    LEFT JOIN finals fv ON fv.v = c.ch
+),
+tot AS (SELECT CAST(sum(removal_micro) AS BIGINT) AS t FROM re)
+SELECT re.ch AS channel,
+       CAST(re.p_full AS BIGINT) AS conv_full_micro,
+       CAST(re.p_removed AS BIGINT) AS conv_removed_micro,
+       CAST(re.removal_micro AS BIGINT) AS removal_micro,
+       CAST(CASE WHEN tot.t > 0
+                 THEN re.removal_micro * 1000000 // tot.t
+                 ELSE 0 END AS BIGINT) AS share_ppm
+FROM re CROSS JOIN tot
+"""
+
+
+@query("markov_attribution", oracle=_mk_oracle)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016): model user
+    journeys as an absorbing Markov chain (START -> touch channels ->
+    CONV/NULL, truncated at the first purchase), estimate conversion
+    probability from START by iterating the absorption recurrence
+    {K} rounds in integer micro-units (floor division each step — the
+    pagerank determinism recipe), then credit each channel by how much
+    conversion DROPS when the channel is removed from the chain.
+    Principled where `multi_touch_attribution`'s linear credit is a
+    heuristic: a channel earns credit only if journeys fail without it.
+
+    Scale shape: the fact table reduces to (src, dst, n) transition
+    counts — bounded by |channels|^2, map-side combinable — in one
+    window+aggregate pass; the chain solve runs on that BOUNDED matrix
+    (driver-side here, mirrored by the oracle's unrolled CTE rounds —
+    the same bounded-model collect as the Holt/conformal recurrences).
+    Removal variants re-solve the tiny matrix, never re-scan events."""
+    events = read_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_all = Window.partitionBy("user_id")
+    from ..functions.scalar import epoch_us
+
+    numbered = (
+        events.withColumn("ts_us", epoch_us(F.col("ts")))
+        .withColumn("rn", F.row_number().over(w_user))
+        .withColumn(
+            "first_pk",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("rn"))
+            ).over(w_all),
+        )
+    )
+    kept = (
+        numbered.where(
+            F.col("rn")
+            <= F.coalesce(F.col("first_pk"), F.lit(2**63 - 1))
+        )
+        .withColumn(
+            "st",
+            F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn("last_rn", F.max("rn").over(w_all))
+    )
+    seq = kept.withColumn(
+        "src",
+        F.coalesce(
+            F.lag("st").over(Window.partitionBy("user_id").orderBy("rn")),
+            F.lit("START"),
+        ),
+    )
+    trans = (
+        seq.select(F.col("src"), F.col("st").alias("dst"))
+        .unionByName(
+            kept.where(
+                (F.col("rn") == F.col("last_rn")) & (F.col("st") != "CONV")
+            ).select(F.col("st").alias("src"), F.lit("NULL").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows = trans.collect()  # bounded by |states|^2, never data-sized
+
+    def solve(removed: str | None) -> int:
+        # drop only OUTGOING rows of the removed channel: its p stays 0,
+        # but edges into it keep their denominator share (mass is lost)
+        tr = {
+            (r["src"], r["dst"]): r["n"]
+            for r in rows
+            if r["src"] != removed
+        }
+        n_out: dict[str, int] = {}
+        for (s, _), n in tr.items():
+            n_out[s] = n_out.get(s, 0) + n
+        p = {s: 0 for s in n_out}
+        for _ in range(MARKOV_ITERS):
+            nxt = {}
+            for s in n_out:
+                acc = 0
+                for (a, b), n in tr.items():
+                    if a != s:
+                        continue
+                    if b == "CONV":
+                        acc += n * 1_000_000
+                    elif b == "NULL":
+                        acc += 0
+                    else:
+                        acc += n * p.get(b, 0)
+                nxt[s] = acc // n_out[s]
+            p = nxt
+        return p.get("START", 0)
+
+    p_full = solve(None)
+    removed = {c: solve(c) for c in MARKOV_CHANNELS}
+    res = [
+        (c, p_full, removed[c], p_full - removed[c])
+        for c in MARKOV_CHANNELS
+    ]
+    tot = sum(r[3] for r in res)
+    out = [
+        (
+            c,
+            pf,
+            pr,
+            rm,
+            (rm * 1_000_000 // tot) if tot > 0 else 0,
+        )
+        for c, pf, pr, rm in res
+    ]
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "channel string, conv_full_micro long, conv_removed_micro long,"
+            " removal_micro long, share_ppm long"
+        ),
+    )
+
+
+q_markov_attribution.__doc__ = q_markov_attribution.__doc__.format(
+    K=MARKOV_ITERS
+)
