@@ -142,7 +142,13 @@ PRIORITY: tuple[str, ...] = (
     # sliding-window distinct count — an op class (non-decomposable
     # windowed distinct, solved by interval coverage) no row exercised.
     "rolling_distinct_users",
-    "pivot_event_matrix",
+    # pivot_event_matrix rotated out late round 8: the pivot reshape IS
+    # the fixed-column conditional-agg shape session_stats' A3 histogram
+    # row already witnesses (driver_sim + pytest keep the pivot query);
+    # the slot passes to Markov removal-effect attribution — the
+    # absorbing-chain solve over a bounded transition matrix, an op
+    # class with no official row.
+    "markov_attribution",
     # analytic_functions rotated out round 7 (the window-function surface
     # is exercised by the rank/lag windows inside top10_session_per_
     # category, area_top3, funnel, and scd2 rows; driver_sim + pytest +
@@ -178,9 +184,14 @@ PRIORITY: tuple[str, ...] = (
     "bootstrap_revenue_ci",
     "balanced_shards",
     "pagerank_trade_graph",
-    # late round 6: deterministic sync label propagation — community
-    # detection, a graph op class pagerank's sum-recurrence doesn't cover
-    "label_propagation_communities",
+    # late round 6: label_propagation_communities held this slot (sync
+    # LPA community detection). Rotated out late round 8: its vote-count
+    # + integer-argmax rounds stay pinned by pytest + driver_sim + bench;
+    # the slot passes to degree-capped link prediction — the
+    # neighborhood-scoring join class (CN/Jaccard/RA/Adamic-Adar over
+    # shared-neighbor equi-joins) had no official row, and its hub-cap
+    # bound is the scale story the window should witness.
+    "link_prediction_scores",
     # round-4 flagship: distributed BPE training (iterative trained-state
     # op over the text family — no other row exercises it)
     "bpe_vocab_train",

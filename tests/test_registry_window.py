@@ -79,7 +79,11 @@ FAMILY_REPRESENTATIVES = {
     "corpus_pipeline", "conformal_forecast_interval",
     "seasonal_decompose_daily",
     "dq_checks", "bootstrap_revenue_ci", "balanced_shards",
-    "pagerank_trade_graph", "label_propagation_communities",
+    "pagerank_trade_graph",
+    # label_propagation_communities rotated out late round 8 (LPA rounds
+    # stay pinned by pytest + driver_sim + bench); the graph slot passes
+    # to the neighborhood-scoring link-prediction class
+    "link_prediction_scores",
     # round-4 flagships (TPC-H important_parts / promo_revenue_share /
     # priority_by_line_status rotated out — redundant with Q1/Q3/Q5)
     "exact_substring_spans", "bpe_vocab_train",
@@ -103,7 +107,12 @@ FAMILY_REPRESENTATIVES = {
     # data-selection class had none)
     "scd2_asof_enrich", "incremental_agg_maintenance",
     "rolling_distinct_users",
-    "pivot_event_matrix", "coreset_kcenter", "range_join_events",
+    # pivot_event_matrix rotated out late round 8 (the conditional-agg
+    # reshape is witnessed by session_stats' A3 histogram row; driver_sim
+    # + pytest keep it); the slot passes to the absorbing-chain
+    # attribution class
+    "markov_attribution",
+    "coreset_kcenter", "range_join_events",
     "skew_safe_event_totals", "hypertable_rollup",
 }
 
