@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "link_prediction_scores",
     "compaction_plan",
     "eb_shrunk_quality",
+    "isotonic_calibration",
+    "join_cardinality_estimate",
+    "source_influence_jackknife",
+    "markov_attribution",
 ]
 
 CALIB_ITERS = 20_000_000  # fixed single-thread work unit (~1-2 s idle)
