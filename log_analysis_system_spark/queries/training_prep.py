@@ -1705,3 +1705,201 @@ def q_source_influence_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b_loo, 6).alias("beta_loo"),
         F.round(b_loo - b_full, 6).alias("influence"),
     )
+
+
+# ------------------------------------ mutual-information feature screen
+
+MI_LEN_BUCKET = 50  # token-count bucket width for the length feature
+
+_MI_FEATS_SQL = f"""
+feat AS (
+    SELECT doc_id, source, lang,
+           CAST(least(len(string_split(text, ' ')), 400)
+                // {MI_LEN_BUCKET} AS BIGINT) AS len_b,
+           (CAST(len(string_split(text, ' ')) AS BIGINT) >= 40
+            AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+                >= 3 * CAST(len(string_split(text, ' ')) AS BIGINT)
+            AND CAST(length(replace(text, ' ', '')) AS BIGINT)
+                <= 8 * CAST(len(string_split(text, ' ')) AS BIGINT))
+               AS y
+    FROM documents
+),
+cells AS (
+    SELECT 'source' AS f, source AS v, y, CAST(count(*) AS BIGINT) AS n
+    FROM feat GROUP BY 2, 3
+    UNION ALL
+    SELECT 'lang' AS f, lang AS v, y, CAST(count(*) AS BIGINT) AS n
+    FROM feat GROUP BY 2, 3
+    UNION ALL
+    SELECT 'len_bucket' AS f, CAST(len_b AS VARCHAR) AS v, y,
+           CAST(count(*) AS BIGINT) AS n
+    FROM feat GROUP BY 2, 3
+),
+tots AS (SELECT f, CAST(sum(n) AS BIGINT) AS big_n FROM cells GROUP BY 1),
+margx AS (SELECT f, v, CAST(sum(n) AS BIGINT) AS nx FROM cells GROUP BY 1, 2),
+margy AS (SELECT f, y, CAST(sum(n) AS BIGINT) AS ny FROM cells GROUP BY 1, 2),
+terms AS (
+    SELECT c.f,
+           c.n * CAST(floor(1000000 * ln(
+               CAST(c.n * t.big_n AS DOUBLE)
+               / CAST(mx.nx * my.ny AS DOUBLE))) AS BIGINT) AS mi_term,
+           t.big_n
+    FROM cells c
+    JOIN tots t ON t.f = c.f
+    JOIN margx mx ON mx.f = c.f AND mx.v = c.v
+    JOIN margy my ON my.f = c.f AND my.y = c.y
+),
+hterms AS (
+    SELECT y.f,
+           y.ny * CAST(floor(1000000 * ln(
+               CAST(t.big_n AS DOUBLE) / CAST(y.ny AS DOUBLE)))
+               AS BIGINT) AS h_term
+    FROM margy y JOIN tots t ON t.f = y.f
+)
+"""
+
+_MI_ORACLE = f"""
+WITH {_MI_FEATS_SQL},
+mi AS (
+    SELECT f, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(mi_term) // any_value(big_n) AS BIGINT) AS mi_micronat
+    FROM terms GROUP BY 1
+),
+hy AS (
+    SELECT h.f, CAST(sum(h.h_term) // any_value(t.big_n) AS BIGINT)
+               AS h_label_micronat
+    FROM hterms h JOIN tots t ON t.f = h.f GROUP BY 1
+)
+SELECT mi.f AS feature, mi.n_cells, mi.mi_micronat, hy.h_label_micronat,
+       CAST(CASE WHEN hy.h_label_micronat > 0
+                 THEN mi.mi_micronat * 1000000 // hy.h_label_micronat
+                 ELSE 0 END AS BIGINT) AS nmi_ppm
+FROM mi JOIN hy ON hy.f = mi.f
+"""
+
+
+@query("mutual_information_features", oracle=_MI_ORACLE)
+def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature screening: I(label; feature) for three
+    candidate features (source, language, length bucket) against the
+    quality pass label, plus the label entropy and the normalized score
+    MI/H(label) — the filter-method ranking a feature-selection pass
+    runs before training a quality classifier at scale (cf.
+    `chi2_contingency`, which tests ONE table for independence; this
+    RANKS features by dependence strength in comparable nat units).
+
+    Determinism: each cell's ln((n_xy*N)/(nx*ny)) is one libm call on a
+    bit-identical double (exact bigint products, one IEEE division),
+    floored to micro-nats per cell before the bigint sum — the
+    `bigram_lm_perplexity` recipe, with the boundary clearance of every
+    reachable cell argument audited on real data at both oracle SFs in
+    tests/test_micro_nat_boundary.py.
+
+    Scale shape: one documents scan fans into three conditional hash-aggs
+    whose key spaces are |feature values| x 2 — bounded, map-side
+    combinable; marginals and MI terms join those bounded cell tables.
+    Adding a feature adds one bounded agg, never a second scan pass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    y = (
+        (n_tokens >= 40)
+        & (n_alpha >= 3 * n_tokens)
+        & (n_alpha <= 8 * n_tokens)
+    )
+    feat = docs.select(
+        "source",
+        "lang",
+        F.floor(F.least(n_tokens, F.lit(400)) / MI_LEN_BUCKET)
+        .cast("long")
+        .alias("len_b"),
+        y.alias("y"),
+    )
+
+    def cell(fname: str, col) -> DataFrame:
+        return (
+            feat.groupBy(col.alias("v"), "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit(fname).alias("f"), "v", "y", "n")
+        )
+
+    cells = (
+        cell("source", F.col("source"))
+        .unionByName(cell("lang", F.col("lang")))
+        .unionByName(cell("len_bucket", F.col("len_b").cast("string")))
+    )
+    tots = cells.groupBy("f").agg(F.sum("n").cast("long").alias("big_n"))
+    margx = cells.groupBy("f", "v").agg(
+        F.sum("n").cast("long").alias("nx")
+    )
+    margy = cells.groupBy("f", "y").agg(
+        F.sum("n").cast("long").alias("ny")
+    )
+    terms = (
+        cells.join(F.broadcast(tots), "f")
+        .join(F.broadcast(margx), ["f", "v"])
+        .join(F.broadcast(margy), ["f", "y"])
+        .select(
+            "f",
+            "big_n",
+            (
+                F.col("n")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(
+                        (F.col("n") * F.col("big_n")).cast("double")
+                        / (F.col("nx") * F.col("ny")).cast("double")
+                    )
+                ).cast("long")
+            ).alias("mi_term"),
+        )
+    )
+    mi = terms.groupBy("f").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.floor(F.sum("mi_term") / F.first("big_n"))
+        .cast("long")
+        .alias("mi_micronat"),
+    )
+    hy = (
+        margy.join(F.broadcast(tots), "f")
+        .select(
+            "f",
+            "big_n",
+            (
+                F.col("ny")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(
+                        F.col("big_n").cast("double")
+                        / F.col("ny").cast("double")
+                    )
+                ).cast("long")
+            ).alias("h_term"),
+        )
+        .groupBy("f")
+        .agg(
+            F.floor(F.sum("h_term") / F.first("big_n"))
+            .cast("long")
+            .alias("h_label_micronat")
+        )
+    )
+    return (
+        mi.join(hy, "f")
+        .select(
+            F.col("f").alias("feature"),
+            "n_cells",
+            "mi_micronat",
+            "h_label_micronat",
+            F.when(
+                F.col("h_label_micronat") > 0,
+                F.floor(
+                    F.col("mi_micronat")
+                    * 1_000_000
+                    / F.col("h_label_micronat")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("nmi_ppm"),
+        )
+    )

@@ -135,6 +135,9 @@ EXTRA_QUERIES = [
     "theil_sen_trend",
     "mann_kendall_trend",
     "acf_daily_revenue",
+    # round-8 post-battery addition (bench carries the other second-wave
+    # rows; MI is cheap but its cell-table joins deserve a slope curve)
+    "mutual_information_features",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

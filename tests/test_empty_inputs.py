@@ -144,6 +144,7 @@ EMPTY_SAFE_QUERIES = [
     "join_cardinality_estimate",
     "source_influence_jackknife",
     "markov_attribution",
+    "mutual_information_features",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

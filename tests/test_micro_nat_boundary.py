@@ -299,3 +299,43 @@ def test_adamic_adar_micro_boundary():
     n, dist_lo, dist_hi = rows
     assert n == LP_DEG_CAP - 1
     assert dist_lo > GUARD_BAND and dist_hi > GUARD_BAND
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_mutual_information_micro_nat_boundary(sf_dir):
+    """Boundary clearance for mutual_information_features' per-cell
+    floor(1e6 * ln((n_xy*N)/(nx*ny))) and the label-entropy
+    floor(1e6 * ln(N/ny)), on the exact cell tables the oracle builds.
+    A cell with n_xy*N == nx*ny is structurally ln(1)=0 (exact on every
+    engine) and allowed; everything else must clear the guard band."""
+    from log_analysis_system_spark.queries.training_prep import (
+        _MI_FEATS_SQL,
+    )
+
+    ctes = _MI_FEATS_SQL.replace(
+        "FROM documents", f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+WITH {ctes},
+args AS (
+    SELECT DISTINCT 1000000 * ln(CAST(c.n * t.big_n AS DOUBLE)
+                                 / CAST(mx.nx * my.ny AS DOUBLE)) AS x
+    FROM cells c
+    JOIN tots t ON t.f = c.f
+    JOIN margx mx ON mx.f = c.f AND mx.v = c.v
+    JOIN margy my ON my.f = c.f AND my.y = c.y
+    UNION
+    SELECT DISTINCT 1000000 * ln(CAST(t.big_n AS DOUBLE)
+                                 / CAST(y.ny AS DOUBLE)) AS x
+    FROM margy y JOIN tots t ON t.f = y.f
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(abs(x - round(x))) FILTER (WHERE x <> 0) AS min_dist,
+       CAST(count(*) FILTER (WHERE x = round(x) AND x <> 0)
+            AS BIGINT) AS exact_nonzero
+FROM args
+"""
+    n, min_dist, exact_nonzero = duckdb.sql(sql).fetchone()
+    assert n > 0
+    assert exact_nonzero == 0
+    assert min_dist is not None and min_dist > GUARD_BAND
