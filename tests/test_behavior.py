@@ -245,3 +245,115 @@ def test_hourly_anomalies_flags_injected_burst(spark):
         out = QUERIES["hourly_anomalies"](spark, d).collect()
     flagged = {r.hour_ts.hour for r in out if r.is_anomaly}
     assert flagged == {7}
+
+
+# ------------------------------------ markov_attribution model pins
+
+
+def test_markov_fixpoint_matches_exact_linear_solve(spark):
+    """The 24-round integer fixpoint must approximate the EXACT absorbing-
+    chain conversion probability (numpy linear solve on the same
+    transition counts) from below, within the tolerance the geometric
+    convergence rate implies, and removal effects must be non-negative
+    (removing outgoing edges only LOSES mass under the kept-denominator
+    semantics)."""
+    import numpy as np
+
+    from log_analysis_system_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["markov_attribution"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4
+    # independent exact solve on independently recomputed transitions
+    import pandas as pd
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    trans: dict = {}
+    for _, g in ev.groupby("user_id"):
+        states = []
+        for t in g["event_type"]:
+            if t == "purchase":
+                states.append("CONV")
+                break
+            states.append(t)
+        seq = ["START"] + states
+        if seq[-1] != "CONV":
+            seq.append("NULL")
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    srcs = sorted({a for a, _ in trans})
+    idx = {s: i for i, s in enumerate(srcs)}
+    P = np.zeros((len(srcs), len(srcs)))
+    r = np.zeros(len(srcs))
+    out = {s: 0 for s in srcs}
+    for (a, b), n in trans.items():
+        out[a] += n
+    for (a, b), n in trans.items():
+        if b == "CONV":
+            r[idx[a]] += n / out[a]
+        elif b != "NULL" and b in idx:
+            P[idx[a], idx[b]] += n / out[a]
+    exact = np.linalg.solve(np.eye(len(srcs)) - P, r)[idx["START"]]
+    got = rows[0]["conv_full_micro"] / 1e6
+    assert got <= exact + 1e-9, "fixpoint must approach from below"
+    assert exact - got < 5e-3, (got, exact)
+    for row in rows:
+        assert row["removal_micro"] >= 0
+        assert 0 <= row["share_ppm"] <= 1_000_000
+
+
+def test_link_prediction_matches_pandas_model(spark):
+    """Scores for every emitted pair must equal a pure-pandas recompute
+    of the capped bipartite graph (degree cap, shared-neighbor counts,
+    jaccard/RA/AA integer arithmetic)."""
+    import math
+
+    import pandas as pd
+
+    from log_analysis_system_spark.queries import QUERIES, load_all
+    from log_analysis_system_spark.queries.graph import (
+        LP_DEG_CAP,
+        LP_MIN_CN,
+    )
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["supp_a"], r["supp_b"]): r
+        for r in QUERIES["link_prediction_scores"](spark, sf).collect()
+    }
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    o = pd.read_parquet(f"{sf}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cs = li.merge(
+        o, left_on="l_orderkey", right_on="o_orderkey"
+    )[["o_custkey", "l_suppkey"]].drop_duplicates()
+    deg = cs.groupby("o_custkey").size()
+    capped = cs[cs["o_custkey"].map(deg) <= LP_DEG_CAP]
+    sdeg = capped.groupby("l_suppkey").size().to_dict()
+    want: dict = {}
+    for c, g in capped.groupby("o_custkey"):
+        supps = sorted(g["l_suppkey"])
+        dc = len(supps)
+        for i in range(len(supps)):
+            for j in range(i + 1, len(supps)):
+                k = (supps[i], supps[j])
+                cn, ra, aa = want.get(k, (0, 0, 0))
+                want[k] = (
+                    cn + 1,
+                    ra + 1_000_000 // dc,
+                    aa + math.floor(1_000_000 / math.log(dc)),
+                )
+    want = {k: v for k, v in want.items() if v[0] >= LP_MIN_CN}
+    assert set(got) == set(want)
+    for k, (cn, ra, aa) in want.items():
+        row = got[k]
+        assert row["common_n"] == cn
+        assert row["ra_micro"] == ra
+        assert row["aa_micro"] == aa
+        da, db = sdeg[k[0]], sdeg[k[1]]
+        assert row["jaccard_ppm"] == cn * 1_000_000 // (da + db - cn)
