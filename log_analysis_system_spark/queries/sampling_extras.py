@@ -592,3 +592,120 @@ def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "pos", (F.col("pos") % EPOCH_SHARDS).cast("long").alias("shard")
     )
+
+
+# --------------------------------------- rendezvous (HRW) sharding audit
+
+HRW_BEFORE = 8   # shard count before the topology change
+HRW_AFTER = 9    # ... and after adding one shard
+
+
+def _hrw_oracle() -> str:
+    def h(shard: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || "
+            f"CAST({shard} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+
+    return f"""
+WITH pairs AS (
+    SELECT d.doc_id, s.shard, {h("s.shard")} AS hkey
+    FROM documents d
+    CROSS JOIN (SELECT unnest(generate_series(0, {HRW_AFTER - 1}))
+                AS shard) s
+),
+before AS (
+    SELECT doc_id, arg_max(shard, hkey) AS sh
+    FROM pairs WHERE shard < {HRW_BEFORE} GROUP BY 1
+),
+after AS (
+    SELECT doc_id, arg_max(shard, hkey) AS sh FROM pairs GROUP BY 1
+),
+assign AS (
+    SELECT a.doc_id, a.sh AS sh_after, b.sh AS sh_before
+    FROM after a JOIN before b ON b.doc_id = a.doc_id
+),
+per_after AS (
+    SELECT sh_after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+           CAST(count(*) FILTER (WHERE sh_before = sh_after) AS BIGINT)
+               AS stayed
+    FROM assign GROUP BY 1
+),
+per_before AS (
+    SELECT sh_before AS shard, CAST(count(*) AS BIGINT) AS n_before
+    FROM assign GROUP BY 1
+)
+SELECT pa.shard, coalesce(pb.n_before, 0) AS n_before, pa.n_after,
+       pa.stayed
+FROM per_after pa LEFT JOIN per_before pb ON pb.shard = pa.shard
+"""
+
+
+@query("rendezvous_sharding", oracle=_hrw_oracle())
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit: assign
+    every document to argmax_shard md5(doc#shard) under {B} shards and
+    again under {A}, and report per-shard counts plus how many documents
+    STAYED — measuring consistent hashing's defining guarantee (adding a
+    node moves only ~1/(N+1) of keys, all of them TO the new node)
+    exactly, not asserting it. mod-N sharding would move ~{B}/{A} of
+    everything; HRW is how a 100 TB corpus adds capacity without a full
+    reshuffle (cf. `balanced_shards`, which balances a STATIC topology).
+
+    Scale shape: the only data-sized work is one explode to {A} hash
+    rows per doc + one max_by hash-agg keyed on doc_id; the audit join
+    is doc-keyed. Plain column expressions end to end (md5 shared
+    bit-for-bit with the oracle), no windows, no collects."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(HRW_AFTER)])
+        ).alias("shard"),
+    ).withColumn(
+        "hkey",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("shard").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    before = (
+        pairs.where(F.col("shard") < HRW_BEFORE)
+        .groupBy("doc_id")
+        .agg(F.max_by("shard", "hkey").alias("sh_b"))
+    )
+    after = pairs.groupBy("doc_id").agg(
+        F.max_by("shard", "hkey").alias("sh")
+    )
+    assign = after.join(before, "doc_id")
+    per_after = assign.groupBy(F.col("sh").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum(F.when(F.col("sh_b") == F.col("sh"), 1).otherwise(0))
+        .cast("long")
+        .alias("stayed"),
+    )
+    per_before = assign.groupBy(F.col("sh_b").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    return per_after.join(F.broadcast(per_before), "shard", "left").select(
+        "shard",
+        F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+        "n_after",
+        "stayed",
+    )
+
+
+q_rendezvous_sharding.__doc__ = q_rendezvous_sharding.__doc__.format(
+    B=HRW_BEFORE, A=HRW_AFTER
+)

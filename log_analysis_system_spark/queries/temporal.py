@@ -1044,3 +1044,76 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy(F.col("wh").alias("hour_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("active_users_24h")
     )
+
+
+# ----------------------------------------- sweep-line peak concurrency
+
+_PEAK_ORACLE = """
+WITH iv AS (
+    SELECT CAST(ts AS DATE) AS day, user_id,
+           min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+    FROM events GROUP BY 1, 2
+),
+bnd AS (
+    SELECT day, s_us AS t_us, CAST(1 AS BIGINT) AS delta, user_id FROM iv
+    UNION ALL
+    SELECT day, e_us + 1 AS t_us, CAST(-1 AS BIGINT) AS delta, user_id
+    FROM iv
+),
+runsum AS (
+    SELECT day,
+           sum(delta) OVER (PARTITION BY day
+                            ORDER BY t_us, delta, user_id) AS cur
+    FROM bnd
+)
+SELECT day, CAST(max(cur) AS BIGINT) AS peak_concurrency,
+       CAST(count(*) // 2 AS BIGINT) AS n_intervals
+FROM runsum GROUP BY 1
+"""
+
+
+@query("peak_concurrency", oracle=_PEAK_ORACLE)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: each user's daily activity span
+    [first event, last event] becomes a +1/-1 boundary pair; the maximum
+    of the running boundary sum per day is the day's peak number of
+    simultaneously-active users — the capacity metric behind "how many
+    concurrent sessions must this tier serve". Ends sort at e+1us with
+    delta -1 BEFORE any same-instant start (inclusive-span semantics),
+    and (t, delta, user_id) totally orders the sweep so the running
+    maximum is partition-placement-independent on both engines.
+
+    Scale shape: the fact table reduces to one interval per (day, user)
+    in a single hash-agg; the sweep itself is a day-partitioned window
+    over 2 boundaries per interval — days are numerous (no few-huge-group
+    straggler risk; contrast `grouped_prefix_sum`'s use cases), and the
+    final peak is one more hash-agg."""
+    events = read_events(spark, sf_dir)
+    iv = (
+        events.withColumn("ts_us", epoch_us(F.col("ts")))
+        .groupBy(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        .agg(
+            F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+        )
+    )
+    bnd = iv.select(
+        "day", F.col("s_us").alias("t_us"),
+        F.lit(1).cast("long").alias("delta"), "user_id"
+    ).unionByName(
+        iv.select(
+            "day", (F.col("e_us") + 1).alias("t_us"),
+            F.lit(-1).cast("long").alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t_us", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runsum = bnd.withColumn("cur", F.sum("delta").over(w))
+    return runsum.groupBy("day").agg(
+        F.max("cur").cast("long").alias("peak_concurrency"),
+        F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

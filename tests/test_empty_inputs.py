@@ -145,6 +145,8 @@ EMPTY_SAFE_QUERIES = [
     "source_influence_jackknife",
     "markov_attribution",
     "mutual_information_features",
+    "rendezvous_sharding",
+    "peak_concurrency",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
