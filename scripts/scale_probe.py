@@ -138,6 +138,8 @@ EXTRA_QUERIES = [
     # round-8 post-battery addition (bench carries the other second-wave
     # rows; MI is cheap but its cell-table joins deserve a slope curve)
     "mutual_information_features",
+    "rendezvous_sharding",
+    "peak_concurrency",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.
