@@ -1,0 +1,53 @@
+"""Bench/probe wiring pins: every bench headline query must be a
+registered query WITH a recorded BASELINE.md pin (the per-query 2x gate
+is meaningless for an unpinned row — exactly the drift the round-6
+verdict flagged), and every scale-probe extra must be registered. Fails
+at commit time instead of at the next round's adjudication."""
+
+from __future__ import annotations
+
+import re
+
+from bench import BENCH_QUERIES
+from log_analysis_system_spark.queries import ORACLES, QUERIES, load_all
+from scripts.scale_probe import EXTRA_QUERIES
+
+load_all()
+
+
+def _baseline_pins() -> dict[str, float]:
+    pins: dict[str, float] = {}
+    with open("BASELINE.md") as f:
+        for line in f:
+            m = re.match(
+                r"\|\s*([a-z0-9_]+)\s*(?:\([^)]*\))?\s*\|"
+                r"\s*(?:sec\s*\|\s*)?([0-9.]+)\s*\|",
+                line,
+            )
+            if m:
+                pins[m.group(1)] = float(m.group(2))
+    return pins
+
+
+def test_bench_queries_registered_and_pinned():
+    pins = _baseline_pins()
+    unregistered = [q for q in BENCH_QUERIES if q not in QUERIES]
+    assert not unregistered, unregistered
+    unpinned = [q for q in BENCH_QUERIES if q not in pins]
+    assert not unpinned, (
+        f"bench entries without a BASELINE.md pin (add the 3-run-median "
+        f"row before shipping): {unpinned}"
+    )
+
+
+def test_bench_queries_have_oracles():
+    missing = [q for q in BENCH_QUERIES if q not in ORACLES]
+    assert not missing, missing
+
+
+def test_probe_extras_registered():
+    # overlap with BENCH_QUERIES is fine (promoted entries keep their
+    # EXTRA row for history; the probe dedupes via dict.fromkeys) —
+    # what must never happen is probing an unregistered name
+    unregistered = [q for q in EXTRA_QUERIES if q not in QUERIES]
+    assert not unregistered, unregistered
