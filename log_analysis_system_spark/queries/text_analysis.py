@@ -2092,3 +2092,83 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum("ll_micro") / (n_ok * F.lit(float(LM_SCALE))), 6),
         ).alias("xent_nats"),
     )
+
+
+# --------------------------------- unseen-vocabulary coverage estimation
+
+_VOCAB_COV_ORACLE = """
+WITH terms AS (
+    SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tc AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS n
+    FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+coc AS (
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS f1,
+           CAST(count(*) FILTER (WHERE n = 2) AS BIGINT) AS f2
+    FROM tc GROUP BY 1
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       CAST(vocab + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT)
+           AS chao1_richness,
+       CAST(f1 * 1000000 // n_tokens AS BIGINT) AS missing_mass_ppm
+FROM coc
+"""
+
+
+@query("vocab_coverage_estimate", oracle=_VOCAB_COV_ORACLE)
+def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation per source: the Good-Turing missing
+    mass f1/N (the probability the NEXT token is a type never seen — the
+    classic answer to "is this source mined out or still novel") and the
+    bias-corrected Chao1 richness V + f1(f1-1)/(2(f2+1)) (a lower bound
+    on the source's TRUE vocabulary size) from the singleton/doubleton
+    counts — the curation signal that decides whether to keep crawling a
+    source at 100 TB (cf. `ngram_diversity`, which measures repetition
+    WITHIN what was seen; this extrapolates to what was NOT).
+
+    Determinism: all inputs are exact counts; both estimators are
+    integer floor divisions. Scale shape: explode -> per-(source, term)
+    hash-agg -> per-source count-of-counts hash-agg; both aggregates are
+    map-side combinable and the second's input is vocabulary-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    coc = tc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    return coc.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab")
+            + F.floor(
+                F.col("f1")
+                * (F.col("f1") - 1)
+                / (2 * (F.col("f2") + 1))
+            ).cast("long")
+        ).cast("long").alias("chao1_richness"),
+        F.floor(F.col("f1") * 1_000_000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("missing_mass_ppm"),
+    )

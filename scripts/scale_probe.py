@@ -140,6 +140,7 @@ EXTRA_QUERIES = [
     "mutual_information_features",
     "rendezvous_sharding",
     "peak_concurrency",
+    "vocab_coverage_estimate",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -147,6 +147,7 @@ EMPTY_SAFE_QUERIES = [
     "mutual_information_features",
     "rendezvous_sharding",
     "peak_concurrency",
+    "vocab_coverage_estimate",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
