@@ -1692,6 +1692,18 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     rows = trans.collect()  # bounded by |states|^2, never data-sized
+    if not rows:
+        # 0-row input: the oracle's full_p CTE is empty, so its final
+        # CROSS JOIN yields 0 rows — mirror that shape instead of
+        # emitting 4 all-zero channel rows (round-8 advice item).
+        return spark.createDataFrame(
+            [],
+            schema=(
+                "channel string, conv_full_micro long,"
+                " conv_removed_micro long, removal_micro long,"
+                " share_ppm long"
+            ),
+        )
 
     def solve(removed: str | None) -> int:
         # drop only OUTGOING rows of the removed channel: its p stays 0,

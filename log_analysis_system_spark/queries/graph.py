@@ -917,3 +917,94 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_link_prediction_scores.__doc__ = q_link_prediction_scores.__doc__.format(
     MIN_CN=LP_MIN_CN, CAP=LP_DEG_CAP
 )
+
+
+# ------------------------------------------ TextRank keyword extraction
+
+TEXTRANK_TOP_K = 20
+
+
+def _textrank_oracle(iters: int = PR_ITERS) -> str:
+    """Unroll the damped integer PageRank recurrence over the DOUBLED
+    term co-occurrence edge list — `_pagerank_oracle`'s generated-CTE
+    technique pointed at the term graph instead of the trade graph."""
+    ctes = [
+        """t AS (
+    SELECT DISTINCT doc_id, u.term
+    FROM documents, unnest(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> ''
+)""",
+        f"""p AS (
+    SELECT a.term AS ta, b.term AS tb
+    FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING count(*) >= {COOC_MIN_DOCS}
+)""",
+        """edges AS (
+    SELECT ta AS src, tb AS dst FROM p
+    UNION ALL
+    SELECT tb AS src, ta AS dst FROM p
+)""",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        f"pr0 AS (SELECT DISTINCT src AS node, CAST({PR_START} AS BIGINT)"
+        " AS pr FROM edges)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"pr{i + 1} AS ("
+            f"SELECT e.dst AS node, "
+            f"CAST(150000 + (85 * sum(p.pr // d.outdeg)) // 100 AS BIGINT)"
+            f" AS pr "
+            f"FROM edges e "
+            f"JOIN pr{i} p ON p.node = e.src "
+            f"JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS term, pr AS pr_micro FROM pr{iters}"
+        + f"\nORDER BY pr DESC, node LIMIT {TEXTRANK_TOP_K}"
+    )
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): run
+    the damped PageRank recurrence over the document-level term
+    co-occurrence graph (`term_pair_edges`, doubled to undirected) and
+    keep the top-{K} terms by centrality — the classic unsupervised
+    keyword/keyphrase ranker, and the corpus-level "what is this corpus
+    about" signal a curation pass reads before weighting sources.
+
+    Exactly the `pagerank_trade_graph` integer recurrence (micro-unit
+    ranks, per-edge floor division, fixed {ITERS} iterations) pointed at
+    a different graph — the iterative kernel is shared code, so the
+    determinism argument (bit-identical under any partitioning) is
+    inherited. The final cut is a global top-{K} — TakeOrderedAndProject,
+    never a full sort.
+
+    Scale shape: the edge list is bounded by co-occurrence support
+    (>= {MIN_DOCS} shared docs — rare-pair noise never becomes edges);
+    each PageRank round is one join + one hash-agg over that bounded
+    edge list; `localCheckpoint` truncates lineage per round. The
+    pair-generation stage is the same per-document self-join as
+    `term_cooccurrence` (documents are short; per-doc term sets are
+    bounded by doc length, so pair volume is sum_d |terms_d|^2, never
+    corpus-quadratic)."""
+    e = term_pair_edges(spark, sf_dir).select("term_a", "term_b")
+    edges = e.select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("term_b").alias("src"), F.col("term_a").alias("dst"))
+    )
+    pr = pagerank(edges)
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(TEXTRANK_TOP_K)
+        .select(F.col("node").alias("term"), F.col("pr").alias("pr_micro"))
+    )
+
+
+q_textrank_keywords.__doc__ = q_textrank_keywords.__doc__.format(
+    K=TEXTRANK_TOP_K, ITERS=PR_ITERS, MIN_DOCS=COOC_MIN_DOCS
+)

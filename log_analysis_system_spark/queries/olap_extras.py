@@ -2068,3 +2068,136 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_join_cardinality_estimate.__doc__ = q_join_cardinality_estimate.__doc__.format(
     D=JC_D, W=JC_W
 )
+
+
+# ------------------------------- ANALYZE-style optimizer statistics
+
+# (column, integer scale) — numeric columns are integerized at the scale
+# that makes them exact (the cents/milli house rule); categoricals get
+# scale None and skip the quantile row.
+ANALYZE_NUMERIC = (
+    ("l_quantity", 1000),
+    ("l_extendedprice", 100),
+    ("l_discount", 1000),
+)
+ANALYZE_CATEGORICAL = ("l_returnflag", "l_linestatus")
+
+
+def _analyze_col_sql(col: str, scale: int | None) -> str:
+    v = f"CAST(round({col} * {scale}) AS BIGINT)" if scale else col
+    val_str = "CAST(v AS VARCHAR)"
+    pct = (
+        "round(quantile_cont(v, 0.25), 4) AS p25,"
+        " round(quantile_cont(v, 0.50), 4) AS p50,"
+        " round(quantile_cont(v, 0.75), 4) AS p75"
+        if scale
+        else "CAST(NULL AS DOUBLE) AS p25, CAST(NULL AS DOUBLE) AS p50,"
+        " CAST(NULL AS DOUBLE) AS p75"
+    )
+    return f"""
+SELECT '{col}' AS col_name,
+       s.n_rows, s.n_nulls, s.ndv, s.min_v, s.max_v,
+       m.mcv_value, m.mcv_n, s.p25, s.p50, s.p75
+FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           CAST(min(v) AS VARCHAR) AS min_v,
+           CAST(max(v) AS VARCHAR) AS max_v,
+           {pct}
+    FROM (SELECT {v} AS v FROM lineitem)
+) s CROSS JOIN (
+    SELECT {val_str} AS mcv_value, CAST(n AS BIGINT) AS mcv_n
+    FROM (SELECT v, count(*) AS n FROM (SELECT {v} AS v FROM lineitem)
+          WHERE v IS NOT NULL GROUP BY v)
+    ORDER BY n DESC, v ASC LIMIT 1
+) m
+"""
+
+
+_ANALYZE_ORACLE = "\nUNION ALL\n".join(
+    [_analyze_col_sql(c, s) for c, s in ANALYZE_NUMERIC]
+    + [_analyze_col_sql(c, None) for c in ANALYZE_CATEGORICAL]
+)
+
+
+@query("table_stats_analyze", oracle=_ANALYZE_ORACLE)
+def q_table_stats_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer-statistics collection over lineitem: per
+    column, the row/null counts, exact NDV, min/max, the most-common
+    value with its frequency, and (numerics) the exact equi-depth
+    quartile boundaries — the statistics a cost-based optimizer's
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` materializes, and
+    the table this engine's `join_cardinality_estimate` row would read
+    instead of re-sketching at plan time.
+
+    Scale shape: each column's stats derive from ONE column-pruned scan
+    (columnar parquet reads just that column) feeding a per-value hash
+    aggregate — map-side combinable, keyed on the value, so the heavy
+    input reduces to the value histogram before NDV/MCV/min/max are
+    taken from the bounded histogram table; the quartiles are Spark's
+    sort-based exact percentile over the integerized value. This is the
+    exact-audit tier: at 100 TB production swaps NDV for HLL and the
+    quartiles for a mergeable quantile sketch (the
+    `approx_distinct_users` / `approx_value_percentiles` serving tier)
+    under the same output contract. Numerics are integerized
+    (cents/milli) before any aggregate, so every statistic is exact and
+    partitioning-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = None
+    specs = [(c, s) for c, s in ANALYZE_NUMERIC] + [
+        (c, None) for c in ANALYZE_CATEGORICAL
+    ]
+    for col, scale in specs:
+        v = (
+            F.round(F.col(col) * scale).cast("long")
+            if scale
+            else F.col(col)
+        )
+        vals = li.select(v.alias("v"))
+        hist = vals.where(F.col("v").isNotNull()).groupBy("v").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        stats = vals.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("ndv"),
+            F.min("v").cast("string").alias("min_v"),
+            F.max("v").cast("string").alias("max_v"),
+            *(
+                [
+                    F.round(F.expr("percentile(v, 0.25)"), 4).alias("p25"),
+                    F.round(F.expr("percentile(v, 0.50)"), 4).alias("p50"),
+                    F.round(F.expr("percentile(v, 0.75)"), 4).alias("p75"),
+                ]
+                if scale
+                else [
+                    F.lit(None).cast("double").alias("p25"),
+                    F.lit(None).cast("double").alias("p50"),
+                    F.lit(None).cast("double").alias("p75"),
+                ]
+            ),
+        )
+        mcv = (
+            hist.orderBy(F.desc("n"), F.asc("v"))
+            .limit(1)
+            .select(
+                F.col("v").cast("string").alias("mcv_value"),
+                F.col("n").cast("long").alias("mcv_n"),
+            )
+        )
+        row = stats.crossJoin(mcv).select(
+            F.lit(col).alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            "ndv",
+            "min_v",
+            "max_v",
+            "mcv_value",
+            "mcv_n",
+            "p25",
+            "p50",
+            "p75",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

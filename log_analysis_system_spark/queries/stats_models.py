@@ -1220,27 +1220,25 @@ def q_eb_shrunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("pass_n"),
         )
         .withColumn(
+            # `div` = exact bigint division (non-negative numerator, so
+            # trunc == floor == the oracle's `//`); the double path can
+            # misround past 2^53 at corpus scale (round-8 advice item).
             "raw_ppm",
-            F.floor(F.col("pass_n") * 1_000_000 / F.col("n_docs")).cast(
-                "long"
-            ),
+            F.expr(
+                "pass_n * CAST(1000000 AS BIGINT) div n_docs"
+            ).cast("long"),
         )
     )
     mom = rates.agg(
-        F.floor(F.sum("raw_ppm") / F.count(F.lit(1)))
-        .cast("long")
-        .alias("m_ppm"),
+        F.expr("sum(raw_ppm) div count(*)").cast("long").alias("m_ppm"),
         F.count(F.lit(1)).cast("long").alias("nsrc"),
     )
     varr = (
         rates.join(F.broadcast(mom))
         .agg(
-            F.floor(
-                F.sum(
-                    (F.col("raw_ppm") - F.col("m_ppm"))
-                    * (F.col("raw_ppm") - F.col("m_ppm"))
-                )
-                / F.first("nsrc")
+            F.expr(
+                "sum((raw_ppm - m_ppm) * (raw_ppm - m_ppm))"
+                " div first(nsrc)"
             )
             .cast("long")
             .alias("v_pp2")
@@ -1250,13 +1248,15 @@ def q_eb_shrunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         mom.join(F.broadcast(varr))
         .select(
             "m_ppm",
+            # strength can reach m(1-m)/1 ~ 2.5e11 when the
+            # inter-source variance is tiny; every product it enters
+            # stays < 2^58, within exact bigint range for `div`.
             F.greatest(
                 F.when(
                     F.col("v_pp2") > 0,
-                    F.floor(
-                        F.col("m_ppm")
-                        * (F.lit(1_000_000) - F.col("m_ppm"))
-                        / F.col("v_pp2")
+                    F.expr(
+                        "m_ppm * (CAST(1000000 AS BIGINT) - m_ppm)"
+                        " div v_pp2"
                     ).cast("long")
                     - 1,
                 ).otherwise(F.lit(0).cast("long")),
@@ -1269,9 +1269,9 @@ def q_eb_shrunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "pass_n",
         "raw_ppm",
-        F.floor(
-            (F.col("pass_n") * 1_000_000 + F.col("strength") * F.col("m_ppm"))
-            / (F.col("n_docs") + F.col("strength"))
+        F.expr(
+            "(pass_n * CAST(1000000 AS BIGINT) + strength * m_ppm)"
+            " div (n_docs + strength)"
         )
         .cast("long")
         .alias("shrunk_ppm"),

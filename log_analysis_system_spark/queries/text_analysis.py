@@ -2160,15 +2160,16 @@ def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         "f1",
         "f2",
+        # `div` = exact bigint division. f1*(f1-1) exceeds 2^53 once a
+        # source has > ~9.4e7 singleton types (plausible at 100 TB), and
+        # a double quotient can then floor differently from the oracle's
+        # exact `//` (round-8 advice item); operands are non-negative so
+        # trunc == floor.
         (
             F.col("vocab")
-            + F.floor(
-                F.col("f1")
-                * (F.col("f1") - 1)
-                / (2 * (F.col("f2") + 1))
-            ).cast("long")
+            + F.expr("f1 * (f1 - 1) div (2 * (f2 + 1))").cast("long")
         ).cast("long").alias("chao1_richness"),
-        F.floor(F.col("f1") * 1_000_000 / F.col("n_tokens"))
+        F.expr("f1 * CAST(1000000 AS BIGINT) div n_tokens")
         .cast("long")
         .alias("missing_mass_ppm"),
     )

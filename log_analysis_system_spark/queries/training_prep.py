@@ -1761,8 +1761,14 @@ hterms AS (
 _MI_ORACLE = f"""
 WITH {_MI_FEATS_SQL},
 mi AS (
+    -- greatest(.., 0): MI >= 0 by theory, but the per-cell floored ln
+    -- terms are negative for anti-correlated cells, so the floored SUM
+    -- can dip below zero on a near-independent feature; clamping on BOTH
+    -- engines keeps the subsequent integer division in the non-negative
+    -- regime where trunc == floor (round-8 advice item).
     SELECT f, CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(mi_term) // any_value(big_n) AS BIGINT) AS mi_micronat
+           CAST(greatest(sum(mi_term), 0) // any_value(big_n) AS BIGINT)
+               AS mi_micronat
     FROM terms GROUP BY 1
 ),
 hy AS (
@@ -1855,9 +1861,16 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("mi_term"),
         )
     )
+    # greatest(.., 0): the floored per-cell terms can sum below zero on a
+    # near-independent feature even though MI >= 0 by theory; clamping
+    # (mirrored in the oracle) keeps the division non-negative so
+    # trunc == floor, and `div` keeps it EXACT bigint arithmetic — no
+    # double rounding past 2^53 at any corpus size (round-8 advice item).
     mi = terms.groupBy("f").agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.floor(F.sum("mi_term") / F.first("big_n"))
+        F.expr(
+            "greatest(sum(mi_term), CAST(0 AS BIGINT)) div first(big_n)"
+        )
         .cast("long")
         .alias("mi_micronat"),
     )
@@ -1879,7 +1892,9 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("f")
         .agg(
-            F.floor(F.sum("h_term") / F.first("big_n"))
+            # h_term is non-negative (ny <= N -> ln >= 0); `div` keeps
+            # the division exact bigint like the oracle's `//`.
+            F.expr("sum(h_term) div first(big_n)")
             .cast("long")
             .alias("h_label_micronat")
         )
@@ -1893,10 +1908,9 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
             "h_label_micronat",
             F.when(
                 F.col("h_label_micronat") > 0,
-                F.floor(
-                    F.col("mi_micronat")
-                    * 1_000_000
-                    / F.col("h_label_micronat")
+                F.expr(
+                    "(mi_micronat * CAST(1000000 AS BIGINT))"
+                    " div h_label_micronat"
                 ).cast("long"),
             )
             .otherwise(F.lit(0).cast("long"))

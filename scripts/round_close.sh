@@ -18,6 +18,22 @@ cd "$(dirname "$0")/.."
 
 TESTDATA="${SPARK_GRAFT_TESTDATA:-/root/testdata}"
 echo "== loadavg: $(cat /proc/loadavg)"
+
+# Load guard (round-8 verdict item 5): bench/probe numbers are only
+# trustworthy when the host is idle. Wait up to 10 min for the 1-min
+# loadavg to drop below 1.5 before the timed steps; proceed with a loud
+# warning if it never does (bench.py also tags the artifact with
+# load_ok, so a loaded run can't become the official record silently).
+wait_for_idle() {
+  for _ in $(seq 1 60); do
+    load1="$(cut -d' ' -f1 /proc/loadavg)"
+    ok="$(python3 -c "print(1 if ${load1} < 1.5 else 0)")"
+    if [ "$ok" = "1" ]; then return 0; fi
+    echo "== load guard: loadavg ${load1} >= 1.5, waiting 10s..."
+    sleep 10
+  done
+  echo "== WARNING: host still loaded after 10 min; timed numbers suspect"
+}
 echo "== 1/5 pytest"
 python -m pytest tests/ -x -q
 echo "== 2/5 driver_sim (default parallelism)"
@@ -25,7 +41,9 @@ python scripts/driver_sim.py "$TESTDATA/sf0.01"
 echo "== 3/5 driver_sim (SPARK_GRAFT_CPUS=5)"
 SPARK_GRAFT_CPUS=5 python scripts/driver_sim.py "$TESTDATA/sf0.01"
 echo "== 4/5 scale probe"
+wait_for_idle
 python scripts/scale_probe.py
 echo "== 5/5 bench"
+wait_for_idle
 python bench.py
 echo "== round-close battery green"

@@ -141,6 +141,10 @@ EXTRA_QUERIES = [
     "rendezvous_sharding",
     "peak_concurrency",
     "vocab_coverage_estimate",
+    # round-9 additions
+    "textrank_keywords",
+    "fellegi_sunter_em",
+    "table_stats_analyze",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

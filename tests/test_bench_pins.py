@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from bench import BENCH_QUERIES
+from bench import BENCH_QUERIES, HELPER_TIMINGS, final_line
 from log_analysis_system_spark.queries import ORACLES, QUERIES, load_all
 from scripts.scale_probe import EXTRA_QUERIES
 
@@ -43,6 +43,34 @@ def test_bench_queries_registered_and_pinned():
 def test_bench_queries_have_oracles():
     missing = [q for q in BENCH_QUERIES if q not in ORACLES]
     assert not missing, missing
+
+
+def test_helper_timings_pinned():
+    pins = _baseline_pins()
+    unpinned = [q for q in HELPER_TIMINGS if q not in pins]
+    assert not unpinned, (
+        f"lifecycle-helper timings without a BASELINE.md pin: {unpinned}"
+    )
+
+
+def test_final_line_stays_compact():
+    """The driver keeps only a ~2 KB tail of bench stdout; round 8's
+    76-entry per-query map made the final line ~3.3 KB and the head
+    (with "metric"/"value") was truncated away -> BENCH_r08.json
+    "parsed": null. The final line must never carry per-query detail
+    and must stay well under the capture window."""
+    line = final_line(
+        999999.999, "0.1", 99, [99.99, 99.99, 99.99], 9.999, 99.999
+    )
+    assert len(line) < 1500, len(line)
+    assert '"queries"' not in line
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall_clock"
+    assert parsed["value"] == 999999.999
+    assert parsed["load_ok"] is False
+    assert parsed["n_queries"] == 99
 
 
 def test_probe_extras_registered():

@@ -148,6 +148,10 @@ EMPTY_SAFE_QUERIES = [
     "rendezvous_sharding",
     "peak_concurrency",
     "vocab_coverage_estimate",
+    # round-9 additions
+    "textrank_keywords",
+    "fellegi_sunter_em",
+    "table_stats_analyze",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
@@ -171,3 +175,11 @@ def test_query_survives_empty_input(spark, empty_dir, name):
     rows = df.collect()  # must not raise
     assert rows is not None
     assert df.columns  # schema survives
+
+
+def test_markov_attribution_empty_matches_oracle_shape(spark, empty_dir):
+    """On 0-row events the oracle's full_p CTE is empty, so its final
+    CROSS JOIN emits 0 rows — the engine must NOT emit 4 all-zero
+    channel rows (round-8 advice item: shape, not just no-raise)."""
+    rows = QUERIES["markov_attribution"](spark, empty_dir).collect()
+    assert rows == []
