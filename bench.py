@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     "join_cardinality_estimate",
     "source_influence_jackknife",
     "markov_attribution",
+    # round-9 additions (pins in the BASELINE.md round-9 addendum)
+    "textrank_keywords",
+    "fellegi_sunter_em",
+    "table_stats_analyze",
 ]
 
 # Timings produced by the bench_* lifecycle helpers rather than registered

@@ -1008,3 +1008,170 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_textrank_keywords.__doc__ = q_textrank_keywords.__doc__.format(
     K=TEXTRANK_TOP_K, ITERS=PR_ITERS, MIN_DOCS=COOC_MIN_DOCS
 )
+
+
+# ---------------------------- k-source betweenness centrality (Brandes)
+
+BET_SOURCES = 8  # fixed pivot set: the lowest customer node ids
+BET_DEPTH = 3  # BFS levels (bipartite trade graph: depth 3 = c->s->c->s)
+BET_MICRO = 1_000_000
+
+
+def _betweenness_oracle() -> str:
+    """Unroll Brandes' algorithm (Brandes 2001) for the fixed pivot set:
+    {BET_DEPTH} level-synchronous BFS rounds (path counts sigma via
+    grouped sums, new nodes via NOT EXISTS against visited levels), then
+    the backward dependency accumulation with per-edge floored
+    micro-unit terms — the same generated-CTE technique as
+    `_pagerank_oracle`."""
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        f"""srcs AS (
+    SELECT src AS s FROM (SELECT DISTINCT src FROM edges
+                          WHERE src < {SUPP_OFFSET})
+    ORDER BY src LIMIT {BET_SOURCES}
+)""",
+        "l0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM srcs)",
+    ]
+    visited = ["l0"]
+    for d in range(1, BET_DEPTH + 1):
+        not_exists = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM {lv} v WHERE v.s = c.s"
+            f" AND v.node = c.node)"
+            for lv in visited
+        )
+        ctes.append(
+            f"""c{d} AS (
+    SELECT st.s, e.dst AS node, CAST(sum(st.sigma) AS BIGINT) AS sigma
+    FROM l{d - 1} st JOIN edges e ON e.src = st.node
+    GROUP BY 1, 2
+)"""
+        )
+        ctes.append(f"l{d} AS (SELECT c.* FROM c{d} c WHERE {not_exists})")
+        visited.append(f"l{d}")
+    ctes.append(
+        f"d{BET_DEPTH} AS (SELECT s, node, sigma,"
+        f" CAST(0 AS BIGINT) AS delta FROM l{BET_DEPTH})"
+    )
+    for d in range(BET_DEPTH - 1, 0, -1):
+        ctes.append(
+            f"""d{d} AS (
+    SELECT v.s, v.node, v.sigma,
+           CAST(coalesce(sum(v.sigma * ({BET_MICRO} + w.delta)
+                             // w.sigma), 0) AS BIGINT) AS delta
+    FROM l{d} v
+    LEFT JOIN edges e ON e.src = v.node
+    LEFT JOIN d{d + 1} w ON w.s = v.s AND w.node = e.dst
+    GROUP BY 1, 2, 3
+)"""
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT node, delta FROM d{d}" for d in range(1, BET_DEPTH)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro
+FROM ({acc})
+GROUP BY node HAVING sum(delta) > 0
+"""
+    )
+
+
+@query("betweenness_centrality", oracle=_betweenness_oracle())
+def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source betweenness centrality (Brandes 2001, pivot-sampled as in
+    Brandes & Pich 2007): from a FIXED set of {K} pivot customers, run
+    {D} level-synchronous BFS rounds over the doubled trade graph
+    accumulating shortest-path counts (sigma), then the backward
+    dependency pass delta(v) = sum over depth-(d+1) successors w of
+    sigma_v * (1 + delta_w) / sigma_w, per-edge floored to micro-units
+    so the bigint sums are order-independent. Output: every node with a
+    positive accumulated dependency — the brokers/bridges of the trade
+    network, the shortest-PATH centrality class that the eigenvector
+    family (`pagerank_trade_graph`, `hits_trade_graph`) cannot see
+    (a low-degree node on the only path between two regions scores high
+    here and low there).
+
+    Scale shape: exact all-sources Brandes is O(V*E) — the pivot set
+    bounds every state table to {K} x |reached nodes| (the standard
+    sampled-betweenness estimator, exact for the chosen pivots and
+    hash-pinned as such); each BFS round is one join + hash-agg on
+    (s, node) plus a left-anti join against the visited set; the
+    backward pass is one join per depth against the bounded level
+    tables. `localCheckpoint` per level truncates lineage. Depth {D}
+    covers customer->supplier->customer->supplier reach; deeper levels
+    on the bipartite graph add rapidly-vanishing dependency mass."""
+    edges = trade_edges(spark, sf_dir)
+    srcs = (
+        edges.select("src")
+        .where(F.col("src") < SUPP_OFFSET)
+        .distinct()
+        .orderBy("src")
+        .limit(BET_SOURCES)
+    )
+    l0 = srcs.select(
+        F.col("src").alias("s"),
+        F.col("src").alias("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    levels = [l0.localCheckpoint(eager=False)]
+    visited = levels[0]
+    for _ in range(BET_DEPTH):
+        prev = levels[-1]
+        cand = (
+            prev.join(edges, prev.node == edges.src)
+            .groupBy("s", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+        )
+        ld = cand.join(visited, ["s", "node"], "left_anti").localCheckpoint(
+            eager=False
+        )
+        visited = visited.unionByName(ld).localCheckpoint(eager=False)
+        levels.append(ld)
+    dep = levels[BET_DEPTH].withColumn("delta", F.lit(0).cast("long"))
+    acc = None
+    for d in range(BET_DEPTH - 1, 0, -1):
+        v = levels[d]
+        w = dep.select(
+            F.col("s").alias("ws"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("delta").alias("wdelta"),
+        )
+        dep = (
+            v.join(edges, v.node == edges.src, "left")
+            .join(
+                w,
+                (F.col("ws") == F.col("s"))
+                & (F.col("wnode") == F.col("dst")),
+                "left",
+            )
+            .groupBy("s", "node", "sigma")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            f"sigma * ({BET_MICRO} + wdelta) div wsigma"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("delta")
+            )
+            .localCheckpoint(eager=False)
+        )
+        part = dep.select("node", "delta")
+        acc = part if acc is None else acc.unionByName(part)
+    return (
+        acc.groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("bc_micro"))
+        .where(F.col("bc_micro") > 0)
+    )
+
+
+q_betweenness_centrality.__doc__ = q_betweenness_centrality.__doc__.format(
+    K=BET_SOURCES, D=BET_DEPTH
+)

@@ -933,6 +933,11 @@ def search_ivfpq_index(
             "cell_id",
             F.expr(_pq_lut_expr(cb_sql, "qres")).alias("lut"),
         )
+        # One materialization: the (queries x centroids + window + LUT)
+        # subtree feeds the probe-cell collect below AND the broadcast
+        # side of the ADC join; without the pin the serve job recomputes
+        # it. Bounded: N_QUERIES x n_probe rows.
+        .localCheckpoint(eager=True)
     )
     probe_cells = sorted({r["cell_id"] for r in probes.select("cell_id").collect()})
     store = spark.read.parquet(f"{index_dir}/codes").where(

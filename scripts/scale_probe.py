@@ -145,6 +145,7 @@ EXTRA_QUERIES = [
     "textrank_keywords",
     "fellegi_sunter_em",
     "table_stats_analyze",
+    "betweenness_centrality",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

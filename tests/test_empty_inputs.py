@@ -152,6 +152,7 @@ EMPTY_SAFE_QUERIES = [
     "textrank_keywords",
     "fellegi_sunter_em",
     "table_stats_analyze",
+    "betweenness_centrality",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
