@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "textrank_keywords",
     "fellegi_sunter_em",
     "table_stats_analyze",
+    "betweenness_centrality",
 ]
 
 # Timings produced by the bench_* lifecycle helpers rather than registered

@@ -1103,7 +1103,10 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables. `localCheckpoint` per level truncates lineage. Depth {D}
     covers customer->supplier->customer->supplier reach; deeper levels
     on the bipartite graph add rapidly-vanishing dependency mass."""
-    edges = trade_edges(spark, sf_dir)
+    # One materialization: the lineitem x orders + distinct + double
+    # subtree feeds every forward AND backward round (5 joins) — without
+    # the pin each round recomputes the fact-table join.
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     srcs = (
         edges.select("src")
         .where(F.col("src") < SUPP_OFFSET)
