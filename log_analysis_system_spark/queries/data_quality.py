@@ -1114,3 +1114,134 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+# ------------------------- 1-D Wasserstein (earth-mover) source drift
+
+W1_GRID_W = 100  # n_chars bucket width -> bounded grid (~tens of buckets)
+
+_W1_ORACLE = f"""
+WITH b AS (
+    SELECT source, CAST(n_chars // {W1_GRID_W} AS BIGINT) AS bucket
+    FROM documents
+),
+cnt AS (
+    SELECT source, bucket, CAST(count(*) AS BIGINT) AS ca
+    FROM b GROUP BY 1, 2
+),
+gtot AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b GROUP BY 1
+),
+cells AS (
+    SELECT s.source, g.bucket, coalesce(c.ca, 0) AS ca,
+           g.ct - coalesce(c.ca, 0) AS cb
+    FROM (SELECT DISTINCT source FROM b) s
+    CROSS JOIN gtot g
+    LEFT JOIN cnt c ON c.source = s.source AND c.bucket = g.bucket
+),
+cdf AS (
+    SELECT source, bucket,
+           CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+           CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+           lead(bucket) OVER w AS nxt
+    FROM cells
+    WINDOW w AS (PARTITION BY source ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING)
+),
+st AS (
+    SELECT source, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT)
+        AS nb
+    FROM cells GROUP BY 1
+)
+SELECT c.source, st.na AS n_docs,
+       CAST(sum(CASE WHEN c.nxt IS NULL THEN 0
+                ELSE (c.nxt - c.bucket)
+                     * abs(c.cum_a * st.nb - c.cum_b * st.na) END)
+            * 1000 // (st.na * st.nb) AS BIGINT) AS w1_milli
+FROM cdf c JOIN st ON st.source = c.source
+GROUP BY 1, 2, st.na, st.nb
+"""
+
+
+@query("wasserstein_source_drift", oracle=_W1_ORACLE)
+def q_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between each source's
+    document-length distribution and the REST of the corpus — the
+    transport-cost member of the distribution-distance panel (PSI
+    weights per-bucket ratios, JSD information overlap, KS the single
+    worst CDF crossing, total-variation the mass overlap; W1 is the only
+    one that knows HOW FAR the mass moved, so a source whose lengths
+    shifted one bucket and one whose lengths doubled score differently
+    even when their histograms disjoint equally).
+
+    Exact integer form: on the bucket grid, W1 = sum over grid segments
+    of segment-width x |CDF_a - CDF_b|; cross-multiplying the CDFs by
+    the two totals makes every term the exact bigint
+    gap * |cum_a*nb - cum_b*na|, summed then floor-divided ONCE by
+    na*nb (milli bucket-units at the output edge). Per-term products
+    are bounded by na*nb — exact in bigint through corpus sizes where
+    na*nb < 2^63; beyond that, pre-reduce the CDFs to ppm (documented
+    trade, the `ks_drift` scaling).
+
+    Scale shape: the documents scan collapses to the (source x bucket)
+    cell table (both aggregates map-side combinable, grid bounded by
+    the length domain / {W1_GRID_W}) before any window runs; the CDF
+    prefix sums and the final per-source reduce touch only that bounded
+    table — the `ks_drift` reduce-first contract, per source."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.select(
+        "source",
+        F.expr(f"CAST(n_chars div {W1_GRID_W} AS BIGINT)").alias("bucket"),
+    )
+    cnt = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    gtot = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    cells = (
+        cnt.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(gtot))
+        .join(cnt, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            (F.col("ct") - F.coalesce("ca", F.lit(0)))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("source").orderBy("bucket")
+    cdf = cells.select(
+        "source",
+        "bucket",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+        F.lead("bucket").over(wl).alias("nxt"),
+    )
+    st = cells.groupBy("source").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        cdf.join(F.broadcast(st), "source")
+        .groupBy("source", F.col("na").alias("n_docs"))
+        .agg(
+            F.expr(
+                "sum(CASE WHEN nxt IS NULL THEN CAST(0 AS BIGINT) "
+                "ELSE (nxt - bucket) * abs(cum_a * nb - cum_b * na) END)"
+                " * 1000 div (first(na) * first(nb))"
+            )
+            .cast("long")
+            .alias("w1_milli")
+        )
+    )

@@ -1178,3 +1178,145 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_betweenness_centrality.__doc__ = q_betweenness_centrality.__doc__.format(
     K=BET_SOURCES, D=BET_DEPTH
 )
+
+
+# ------------------- rank-biased overlap: centrality vs frequency
+
+RBO_K = TEXTRANK_TOP_K  # evaluation depth (both rankings are this long)
+# (1-p) * p^(d-1) weights for p = 9/10, exact-rational floored to ppb:
+# 10^9 * 9^(d-1) // 10^d — Python bigints, embedded as shared literals
+# in BOTH the engine expression and the oracle SQL.
+RBO_W_PPB = [(10**9 * 9 ** (d - 1)) // 10**d for d in range(1, RBO_K + 1)]
+
+
+def _rbo_oracle() -> str:
+    """Reuse the TextRank unrolled-CTE recurrence for ranking A, a plain
+    occurrence-count ranking for B, then the truncated RBO sum with the
+    shared ppb weight literals."""
+    pr_body = _textrank_oracle().split("\nSELECT node AS term")[0]
+    w_list = ", ".join(str(w) for w in RBO_W_PPB)
+    return (
+        pr_body
+        + f""",
+ra AS (
+    SELECT node AS term,
+           CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT) AS r
+    FROM pr{PR_ITERS} ORDER BY pr DESC, node LIMIT {RBO_K}
+),
+freq AS (
+    SELECT u.term, CAST(count(*) AS BIGINT) AS n
+    FROM documents, unnest(string_split(text, ' ')) AS u(term)
+    WHERE u.term <> '' GROUP BY 1
+),
+rb AS (
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS r
+    FROM freq ORDER BY n DESC, term LIMIT {RBO_K}
+),
+matched AS (
+    SELECT greatest(ra.r, rb.r) AS m
+    FROM ra JOIN rb ON rb.term = ra.term
+),
+depths AS (
+    SELECT unnest(range(1, {RBO_K + 1})) AS d
+),
+xd AS (
+    SELECT d.d, CAST(count(m.m) AS BIGINT) AS x
+    FROM depths d LEFT JOIN matched m ON m.m <= d.d
+    GROUP BY 1
+)
+SELECT CAST({RBO_K} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM matched) AS BIGINT) AS overlap_at_k,
+       CAST(sum(([{w_list}][d] * x) // d) AS BIGINT) AS rbo_ppb
+FROM xd
+"""
+    )
+
+
+@query("rbo_rank_agreement", oracle=_rbo_oracle())
+def q_rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    two keyword rankings of the same corpus: TextRank centrality vs raw
+    occurrence frequency — the ranking-agreement metric a retrieval
+    deployment runs when it swaps rankers (does the expensive ranker
+    actually reorder anything?). RBO = (1-p) * sum over depths d of
+    p^(d-1) * |A_d intersect B_d| / d, top-weighted so disagreement in
+    the head costs more than in the tail — the property Kendall/Spearman
+    (whole-ranking, position-uniform; cf. `score_correlation`) and plain
+    overlap@k (depth-blind; cf. `dedup_method_agreement`) both lack.
+
+    Exact integers: the (1-p)p^(d-1) weights for p = 9/10 are exact
+    rationals floored ONCE to ppb literals shared by both engines
+    (Python bigint 10^9 * 9^(d-1) // 10^d — no libm); each depth term is
+    one bigint multiply + floor division; truncation at depth {K} (both
+    rankings are {K} long, so this is RBO_min — the residual-free lower
+    bound). Scale shape: both rankings reduce the corpus to bounded
+    top-{K} tables before the intersection; the depth expansion is
+    {K} x {K} rows at most."""
+    from pyspark.sql import Window
+
+    e = term_pair_edges(spark, sf_dir).select("term_a", "term_b")
+    edges = e.select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("term_b").alias("src"), F.col("term_a").alias("dst"))
+    )
+    wa = Window.partitionBy(F.lit(1)).orderBy(F.desc("pr"), F.asc("node"))
+    ra = (
+        pagerank(edges)
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(RBO_K)
+        .select(
+            F.col("node").alias("term"),
+            F.row_number().over(wa).cast("long").alias("ra"),
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wb = Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), F.asc("term"))
+    rb = (
+        freq.orderBy(F.desc("n"), F.asc("term"))
+        .limit(RBO_K)
+        .select(
+            "term",
+            F.row_number().over(wb).cast("long").alias("rb"),
+        )
+    )
+    matched = ra.join(rb, "term").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    w_arr = "array({})".format(
+        ", ".join(f"CAST({w} AS BIGINT)" for w in RBO_W_PPB)
+    )
+    depths = spark.range(1, RBO_K + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    xd = (
+        depths.join(
+            F.broadcast(matched), F.col("m") <= F.col("d"), "left"
+        )
+        .groupBy("d")
+        .agg(F.count("m").cast("long").alias("x"))
+    )
+    ov = matched.agg(F.count(F.lit(1)).cast("long").alias("overlap_at_k"))
+    return (
+        xd.agg(
+            F.expr(f"sum((element_at({w_arr}, CAST(d AS INT)) * x) div d)")
+            .cast("long")
+            .alias("rbo_ppb")
+        )
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.lit(RBO_K).cast("long").alias("k"),
+            "overlap_at_k",
+            "rbo_ppb",
+        )
+    )
+
+
+q_rbo_rank_agreement.__doc__ = q_rbo_rank_agreement.__doc__.format(K=RBO_K)

@@ -146,6 +146,8 @@ EXTRA_QUERIES = [
     "fellegi_sunter_em",
     "table_stats_analyze",
     "betweenness_centrality",
+    "wasserstein_source_drift",
+    "rbo_rank_agreement",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -153,6 +153,8 @@ EMPTY_SAFE_QUERIES = [
     "fellegi_sunter_em",
     "table_stats_analyze",
     "betweenness_centrality",
+    "wasserstein_source_drift",
+    "rbo_rank_agreement",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -414,6 +414,9 @@ BOUNDED_FRAME_WINDOWS = {
     "calendar-bounded; the custkey-partitioned lead collapses first)",
     "unimax_mixture_allocation": "waterfilling prefix over the per-SOURCE "
     "cap table (source-cardinality, a bounded categorical dimension)",
+    "rbo_rank_agreement": "row_number over the already-cut top-20 ranking "
+    "tables (the TakeOrdered heap runs BEFORE the window — bm25_rank's "
+    "argument)",
 }
 
 
