@@ -1187,21 +1187,39 @@ def q_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell table (both aggregates map-side combinable, grid bounded by
     the length domain / {W1_GRID_W}) before any window runs; the CDF
     prefix sums and the final per-source reduce touch only that bounded
-    table — the `ks_drift` reduce-first contract, per source."""
-    from pyspark.sql import Window
+    table — the `ks_drift` reduce-first contract, per source.
 
+    The cell builder and scoring body are shared with the STREAMING W1
+    monitor (`streaming/drift.py`), so batch and served distances can
+    never disagree about the metric — the `drift_psi`/`drift_labels`
+    contract."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    b = docs.select(
-        "source",
-        F.expr(f"CAST(n_chars div {W1_GRID_W} AS BIGINT)").alias("bucket"),
+    return w1_from_cells(rest_of_corpus_cells(length_bucket_counts(docs)))
+
+
+def length_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(source, bucket, n) length-bucket counts — the W1 monitor's
+    mergeable partial (counts add across micro-batches)."""
+    return (
+        docs.select(
+            "source",
+            F.expr(f"CAST(n_chars div {W1_GRID_W} AS BIGINT)").alias(
+                "bucket"
+            ),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    cnt = b.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("ca")
-    )
-    gtot = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("ct")
-    )
-    cells = (
+
+
+def rest_of_corpus_cells(cnt: DataFrame) -> DataFrame:
+    """From (source, bucket, n) counts, build the union-grid cell table
+    (source, bucket, ca, cb) where cb is the REST of the corpus — every
+    source present on every observed bucket (zero-filled), so CDFs are
+    comparable pointwise."""
+    cnt = cnt.withColumnRenamed("n", "ca")
+    gtot = cnt.groupBy("bucket").agg(F.sum("ca").cast("long").alias("ct"))
+    return (
         cnt.select("source")
         .distinct()
         .crossJoin(F.broadcast(gtot))
@@ -1215,6 +1233,15 @@ def q_wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cb"),
         )
     )
+
+
+def w1_from_cells(cells: DataFrame) -> DataFrame:
+    """Exact integer 1-D Wasserstein per source from a union-grid cell
+    table (source, bucket, ca, cb): segment-width x cross-multiplied
+    |CDF gap|, summed exactly, one floor division at the edge. Returns
+    (source, n_docs, w1_milli)."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("source")
         .orderBy("bucket")

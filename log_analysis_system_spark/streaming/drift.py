@@ -173,3 +173,87 @@ def sprt_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# --------------------------------- streaming Wasserstein (W1) monitor
+
+def append_w1_batch(batch_df: DataFrame, store_dir: str, batch_id: int) -> None:
+    """foreachBatch body for a streaming DOCUMENTS frame: persist one
+    micro-batch's (source, bucket, n) length-bucket counts — mergeable
+    partials, idempotent under replay (per-batch dir, deterministic
+    content; the `append_drift_batch` contract)."""
+    from ..queries.data_quality import length_bucket_counts
+
+    length_bucket_counts(batch_df).write.mode("overwrite").parquet(
+        f"{store_dir}/batches/batch={batch_id}"
+    )
+
+
+def _merged_w1_counts(spark, store_dir: str) -> DataFrame:
+    import os as _os
+
+    broot = _os.path.join(store_dir, "batches")
+    dirs = [
+        _os.path.join(broot, d)
+        for d in sorted(_os.listdir(broot))
+        if d.startswith("batch=")
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no W1 partials under {store_dir}")
+    parts = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        parts = parts.unionByName(spark.read.parquet(d))
+    return parts.groupBy("source", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+
+
+def serve_w1(spark, store_dir: str, reference: DataFrame | None = None) -> DataFrame:
+    """Serve per-source 1-D Wasserstein distances from the streamed
+    partials — O(batches x buckets) rows read, never the stream.
+
+    reference=None: each source vs the REST of the streamed corpus — the
+    exact batch `wasserstein_source_drift` semantics (the parity test
+    pins served == batch on the same data). reference=(bucket, n)
+    corpus-level counts: each source's streamed distribution vs the
+    PINNED reference (the production mode — is what THIS source sends
+    now still shaped like the corpus the model trained on?)."""
+    from ..queries.data_quality import (
+        rest_of_corpus_cells,
+        w1_from_cells,
+    )
+
+    merged = _merged_w1_counts(spark, store_dir)
+    if reference is None:
+        return w1_from_cells(rest_of_corpus_cells(merged))
+    ref = reference.select("bucket", F.col("n").cast("long").alias("cb"))
+    grid = (
+        merged.select("bucket")
+        .unionByName(ref.select("bucket"))
+        .distinct()
+    )
+    cells = (
+        merged.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(merged.withColumnRenamed("n", "ca"), ["source", "bucket"], "left")
+        .join(F.broadcast(ref), "bucket", "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    return w1_from_cells(cells)
+
+
+def w1_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Attach the Wasserstein drift monitor to a streaming documents frame."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda b, i: append_w1_batch(b, store_dir, i)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -142,3 +142,57 @@ def test_streamed_sprt_equals_batch_query(spark, tmp_path):
     )
     again = {tuple(r) for r in serve_sprt(spark, store).collect()}
     assert again == served
+
+
+def test_streamed_w1_equals_batch_query(spark, tmp_path):
+    """The served per-source Wasserstein distances over a streamed
+    documents corpus must EQUAL the batch wasserstein_source_drift query
+    on the same data — both run the shared length_bucket_counts /
+    w1_from_cells bodies."""
+    from log_analysis_system_spark.streaming.drift import (
+        append_w1_batch,
+        serve_w1,
+        w1_monitor,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    inp = str(tmp_path / "docs_in")
+    docs.where(F.col("doc_id") % 2 == 0).write.parquet(f"{inp}/c1.parquet")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(f"{inp}/c2.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{inp}/*.parquet")
+    )
+    store = str(tmp_path / "w1_store")
+    q = w1_monitor(stream, store, str(tmp_path / "w1_ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    served = {tuple(r) for r in serve_w1(spark, store).collect()}
+    batch = {
+        tuple(r)
+        for r in QUERIES["wasserstein_source_drift"](spark, SF_DIR).collect()
+    }
+    assert served == batch and served
+
+    # crash-replay: re-appending batch 0 changes nothing
+    append_w1_batch(
+        docs.where(F.col("doc_id") % 2 == 0), store, 0
+    )
+    again = {tuple(r) for r in serve_w1(spark, store).collect()}
+    assert again == served
+
+    # pinned-reference mode: sources vs the corpus-level counts
+    from log_analysis_system_spark.queries.data_quality import (
+        length_bucket_counts,
+    )
+
+    ref = (
+        length_bucket_counts(docs)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    vs_ref = serve_w1(spark, store, ref).collect()
+    assert len(vs_ref) == 20 and all(r["w1_milli"] >= 0 for r in vs_ref)
