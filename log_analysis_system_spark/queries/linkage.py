@@ -159,7 +159,11 @@ SELECT CAST(f_src * 4 + f_lang * 2 + f_len AS BIGINT) AS pattern,
        CAST(num_m * {FS_PPM} // (num_m + num_u) AS BIGINT) AS match_ppm,
        CAST(num_m * {FS_PPM} // (num_m + num_u) >= {FS_PPM // 2}
             AS BOOLEAN) AS is_match,
-       p_pm, m1_pm, m2_pm, m3_pm, u1_pm, u2_pm, u3_pm
+       CAST(p_pm AS BIGINT) AS p_pm,
+       CAST(m1_pm AS BIGINT) AS m1_pm, CAST(m2_pm AS BIGINT) AS m2_pm,
+       CAST(m3_pm AS BIGINT) AS m3_pm,
+       CAST(u1_pm AS BIGINT) AS u1_pm, CAST(u2_pm AS BIGINT) AS u2_pm,
+       CAST(u3_pm AS BIGINT) AS u3_pm
 FROM postf
 """
     )
