@@ -148,6 +148,10 @@ EXTRA_QUERIES = [
     "betweenness_centrality",
     "wasserstein_source_drift",
     "rbo_rank_agreement",
+    # round-9 bench split moved these off BENCH_QUERIES; keep their
+    # slope curves here (the heaviest training paths in the repo)
+    "ann_ivfpq_topk",
+    "pq_index_refresh",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.
