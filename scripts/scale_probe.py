@@ -152,6 +152,7 @@ EXTRA_QUERIES = [
     # slope curves here (the heaviest training paths in the repo)
     "ann_ivfpq_topk",
     "pq_index_refresh",
+    "quantile_summary_rollup",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -155,6 +155,7 @@ EMPTY_SAFE_QUERIES = [
     "betweenness_centrality",
     "wasserstein_source_drift",
     "rbo_rank_agreement",
+    "quantile_summary_rollup",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
