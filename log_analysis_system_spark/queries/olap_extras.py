@@ -2359,3 +2359,79 @@ def q_quantile_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_quantile_summary_rollup.__doc__ = q_quantile_summary_rollup.__doc__.format(
     R=QSR_R, NQ=len(QSR_QS)
 )
+
+
+# ------------------------------ incremental JOIN maintenance (delta rule)
+
+_IVM_JOIN_ORACLE = """
+SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       o.o_custkey,
+       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS amount_c
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query("incremental_join_maintenance", oracle=_IVM_JOIN_ORACLE)
+def q_incremental_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN view under inserts on
+    BOTH sides — the delta-join rule that completes the IVM family next
+    to the aggregate row (`incremental_agg_maintenance`) and the dedup
+    row (`incremental_dedup_delta`):
+
+        (A u dA) |X| (B u dB)
+            = A|X|B  u  dA|X|B  u  A|X|dB  u  dA|X|dB
+
+    The view is the enriched line view orders |X| lineitem on the order
+    key; rows before {SPLIT} on each side form the stored base view
+    A|X|B, later rows arrive as the two insert deltas, and the engine
+    emits base + the THREE delta terms. The oracle recomputes the join
+    from scratch over everything — the green row proves the four terms
+    partition the recomputed join exactly (each output row lands in
+    exactly one term, decided by its two sides' base/delta membership).
+
+    Scale shape: at 100 TB the base view is a stored table that is never
+    rescanned; the maintenance cost is three joins each bounded by a
+    delta on at least one side (dA|X|B and A|X|dB are delta-vs-big — on
+    a table bucketed by the join key, as `bucketed-joins` in
+    sources/layout.py sets up, they are shuffle-free partition-pruned
+    merges; dA|X|dB is delta-vs-delta). Insert-only deltas here;
+    retractions compose with the weighted-delta law the aggregate row
+    implements (w = -1 rows delete their join partners)."""
+    split = F.lit(IVM_SPLIT_DATE).cast("timestamp")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("amount_c"),
+        "l_shipdate",
+    )
+    a = orders.where(F.col("o_orderdate") < split).drop("o_orderdate")
+    da = orders.where(F.col("o_orderdate") >= split).drop("o_orderdate")
+    b = li.where(F.col("l_shipdate") < split).drop("l_shipdate")
+    db = li.where(F.col("l_shipdate") >= split).drop("l_shipdate")
+
+    def j(o_side: DataFrame, l_side: DataFrame) -> DataFrame:
+        return l_side.join(
+            o_side, l_side.l_orderkey == o_side.o_orderkey
+        ).select("l_orderkey", "l_linenumber", "o_custkey", "amount_c")
+
+    base_view = j(a, b)  # the stored A|X|B at production scale
+    return (
+        base_view.unionByName(j(da, b))
+        .unionByName(j(a, db))
+        .unionByName(j(da, db))
+    )
+
+
+q_incremental_join_maintenance.__doc__ = (
+    q_incremental_join_maintenance.__doc__.format(SPLIT=IVM_SPLIT_DATE)
+)

@@ -153,6 +153,7 @@ EXTRA_QUERIES = [
     "ann_ivfpq_topk",
     "pq_index_refresh",
     "quantile_summary_rollup",
+    "incremental_join_maintenance",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

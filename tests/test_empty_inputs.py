@@ -156,6 +156,7 @@ EMPTY_SAFE_QUERIES = [
     "wasserstein_source_drift",
     "rbo_rank_agreement",
     "quantile_summary_rollup",
+    "incremental_join_maintenance",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
