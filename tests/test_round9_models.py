@@ -234,3 +234,85 @@ def test_textrank_matches_pure_python_pagerank(spark):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert got == expect
+
+
+def test_wasserstein_matches_numpy_cdf_integral(spark):
+    """Exact integer match: recompute each source's W1-vs-rest in numpy
+    as the CDF-difference integral over the bucket grid — the textbook
+    1-D earth-mover identity, derived independently of both the engine
+    plan and the oracle SQL."""
+    from log_analysis_system_spark.queries.data_quality import W1_GRID_W
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["bucket"] = docs["n_chars"] // W1_GRID_W
+    grid = sorted(docs["bucket"].unique())
+    expect = {}
+    for src, g in docs.groupby("source"):
+        ca = g["bucket"].value_counts()
+        rest = docs[docs["source"] != src]["bucket"].value_counts()
+        na, nb = len(g), len(docs) - len(g)
+        cum_a = cum_b = 0
+        s = 0
+        for i, bkt in enumerate(grid):
+            cum_a += int(ca.get(bkt, 0))
+            cum_b += int(rest.get(bkt, 0))
+            if i + 1 < len(grid):
+                gap = int(grid[i + 1] - bkt)
+                s += gap * abs(cum_a * nb - cum_b * na)
+        expect[src] = (na, s * 1000 // (na * nb))
+    got = {
+        r["source"]: (r["n_docs"], r["w1_milli"])
+        for r in QUERIES["wasserstein_source_drift"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_quantile_summary_rollup_matches_numpy_merge(spark):
+    """Exact integer match: rebuild the per-day 32-rank summaries and
+    the weighted-CDF merge in numpy/pandas, then check the served
+    estimates and audited ranks; also assert every audited rank error
+    stays under 2% (the docstring's measured bound with headroom)."""
+    import numpy as np
+
+    from log_analysis_system_spark.queries.olap_extras import QSR_QS, QSR_R
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    v = pd.DataFrame(
+        {
+            "day": ev["ts"].dt.date,
+            "v": (ev["value"] * 1000).round().astype("int64"),
+        }
+    )
+    wgt: dict[int, int] = {}
+    for _, g in v.groupby("day"):
+        vals = np.sort(g["v"].values)
+        n_d = len(vals)
+        for r in range(1, QSR_R + 1):
+            x = int(vals[(n_d - 1) * r // QSR_R])
+            wgt[x] = wgt.get(x, 0) + n_d
+    n = len(v)
+    items = sorted(wgt.items())
+    expect = {}
+    for q in QSR_QS:
+        c = 0
+        est = None
+        for x, w in items:
+            c += w
+            if c * 10000 >= q * QSR_R * n:
+                est = x
+                break
+        le = int((v["v"] <= est).sum())
+        rank_ppm = le * 1_000_000 // n
+        expect[q] = (est, n, rank_ppm, abs(rank_ppm - q * 100))
+    rows = QUERIES["quantile_summary_rollup"](spark, SF).collect()
+    got = {
+        r["q_bp"]: (
+            r["est_milli"],
+            r["n_total"],
+            r["rank_ppm"],
+            r["err_ppm"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    assert all(r["err_ppm"] < 20_000 for r in rows), rows
