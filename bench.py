@@ -421,8 +421,11 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
+    n_registered = sum(1 for k in timings if k not in HELPER_TIMINGS)
     print(
-        final_line(total, sf, len(timings), loadavg, calib_sec, calib_par_sec)
+        final_line(
+            total, sf, n_registered, loadavg, calib_sec, calib_par_sec
+        )
     )
     spark.stop()
 

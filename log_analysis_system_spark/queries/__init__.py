@@ -162,6 +162,8 @@ def load_all() -> None:
         dedup_blocking,
         trend_stats,
         linkage,
+        recsys,
+        density,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

@@ -1763,3 +1763,337 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_markov_attribution.__doc__ = q_markov_attribution.__doc__.format(
     K=MARKOV_ITERS
 )
+
+
+# ------------------------------------------ Shapley value attribution
+
+# channel -> bitmask bit, in MARKOV_CHANNELS order (view=1, click=2,
+# signup=4, error=8); n=4 channels -> 16 coalitions, weights in 24ths
+SHAPLEY_BITS = tuple((c, 1 << i) for i, c in enumerate(MARKOV_CHANNELS))
+
+_SHAP_W24 = (
+    "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 "
+    "ELSE 6 END"
+)
+
+
+def _shapley_oracle() -> str:
+    bits = ", ".join(f"('{c}', {b})" for c, b in SHAPLEY_BITS)
+    cases = " ".join(
+        f"WHEN '{c}' THEN {b}" for c, b in SHAPLEY_BITS
+    )
+    chans = ", ".join(f"'{c}'" for c, _ in SHAPLEY_BITS)
+    return f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS id
+    FROM events
+),
+fp AS (
+    SELECT user_id, t, id FROM (
+        SELECT user_id, t, id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY t, id) AS rn
+        FROM ev WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+touched AS (
+    SELECT e.user_id,
+           bit_or(CASE e.event_type {cases} END) AS mask
+    FROM ev e JOIN fp ON fp.user_id = e.user_id
+    WHERE (e.t < fp.t OR (e.t = fp.t AND e.id < fp.id))
+      AND e.event_type IN ({chans})
+    GROUP BY 1
+),
+patt AS (
+    SELECT CAST(coalesce(tc.mask, 0) AS INT) AS mask,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM fp LEFT JOIN touched tc ON tc.user_id = fp.user_id
+    GROUP BY 1
+),
+s AS (SELECT CAST(range AS INT) AS s FROM range(0, 16)),
+v AS (
+    SELECT s.s, CAST(coalesce(sum(p.cnt), 0) AS BIGINT) AS v
+    FROM s LEFT JOIN patt p ON (p.mask & s.s) = p.mask
+    GROUP BY 1
+),
+chan(channel, bit) AS (VALUES {bits}),
+terms AS (
+    SELECT c.channel,
+           CAST(sum(({_SHAP_W24.replace("bit_count(s)", "bit_count(s.s)")})
+                    * (v1.v - v0.v)) AS BIGINT)
+               AS phi_24ths
+    FROM chan c
+    JOIN s ON (s.s & c.bit) = 0
+    JOIN v v0 ON v0.s = s.s
+    JOIN v v1 ON v1.s = (s.s | c.bit)
+    GROUP BY 1
+),
+tot AS (SELECT (SELECT v FROM v WHERE s = 15) AS conv_total,
+               (SELECT v FROM v WHERE s = 0) AS conv_untouched)
+SELECT t.channel,
+       t.phi_24ths,
+       CAST(CASE WHEN (tot.conv_total - tot.conv_untouched) > 0
+                 THEN t.phi_24ths * 1000000
+                      // (24 * (tot.conv_total - tot.conv_untouched))
+                 ELSE 0 END AS BIGINT) AS share_ppm,
+       CAST(tot.conv_total AS BIGINT) AS conv_total,
+       CAST(tot.conv_untouched AS BIGINT) AS conv_untouched
+FROM terms t CROSS JOIN tot
+"""
+
+
+@query("shapley_attribution", oracle=_shapley_oracle())
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953, applied to
+    journeys per Zhao et al. 2018): coalition value v(S) = number of
+    converting users whose pre-conversion touched-channel set is a
+    subset of S; each channel is credited its exact Shapley value
+    phi_i = sum_S |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)). The axiomatic
+    complement of `markov_attribution`'s removal effects and
+    `multi_touch_attribution`'s linear split: Shapley is the unique
+    credit rule satisfying efficiency/symmetry/null-player.
+
+    Everything is exact integers: with n=4 channels the weights are
+    multiples of 1/24, so phi is emitted in 24ths (bigint) and the
+    normalized share as floor-ppm of sum(phi) = v(N) - v(empty).
+
+    Scale shape: the events scan reduces to one (first-purchase struct)
+    hash-agg plus one bit_or hash-agg per user, then to the <=2^n-row
+    coalition pattern table — the Fellegi-Sunter bounded-pattern
+    contract, except the solve here stays IN-PLAN: v(S) and the Shapley
+    terms are broadcast joins over 16-row literal relations, so nothing
+    is collected and the plan is identical at any corpus size. No
+    windows: "events before first purchase" is a struct-comparison
+    join against the per-user min(struct(t, id)) aggregate."""
+    from ..functions.scalar import epoch_us
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("t"),
+        "event_id",
+    )
+    key = F.struct(F.col("t").alias("t"), F.col("event_id").alias("id"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("fp"))
+    )
+    bit_expr = F.when(F.lit(False), F.lit(None).cast("int"))
+    for c, b in SHAPLEY_BITS:
+        bit_expr = bit_expr.when(F.col("event_type") == c, F.lit(b))
+    touched = (
+        ev.join(conv, "user_id")
+        .where(key < F.col("fp"))
+        .select("user_id", bit_expr.alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy("user_id")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+    )
+    patt = (
+        conv.join(touched, "user_id", "left")
+        .select(F.coalesce("mask", F.lit(0)).cast("int").alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    s_tbl = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        s_tbl.join(
+            F.broadcast(patt),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("v"))
+    )
+    chan = spark.createDataFrame(
+        list(SHAPLEY_BITS), schema="channel string, bit int"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    terms = (
+        chan.join(F.broadcast(s_tbl), F.expr("(s & bit) = 0"))
+        .join(F.broadcast(v0), F.col("s0") == F.col("s"))
+        .join(F.broadcast(v1), F.expr("s1 = (s | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.expr(_SHAP_W24) * (F.col("vb") - F.col("va"))
+            )
+            .cast("long")
+            .alias("phi_24ths")
+        )
+    )
+    tot = (
+        v.agg(
+            F.max(F.when(F.col("s") == 15, F.col("v"))).alias(
+                "conv_total"
+            ),
+            F.max(F.when(F.col("s") == 0, F.col("v"))).alias(
+                "conv_untouched"
+            ),
+        )
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi_24ths",
+        F.expr(
+            "CAST(CASE WHEN (conv_total - conv_untouched) > 0 "
+            "THEN phi_24ths * 1000000 "
+            "div (24 * (conv_total - conv_untouched)) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("share_ppm"),
+        F.col("conv_total").cast("long").alias("conv_total"),
+        F.col("conv_untouched").cast("long").alias("conv_untouched"),
+    )
+
+
+# ------------------------------------------------ windowed funnel depth
+
+FUNNEL_WINDOW_US = 43_200_000_000  # 12 h, in integer microseconds
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_WF_AFTER = "({b}_t > {a}_t OR ({b}_t = {a}_t AND {b}_id > {a}_id))"
+
+
+def _window_funnel_oracle() -> str:
+    w = FUNNEL_WINDOW_US
+    after_vc = _WF_AFTER.format(a="v", b="c")
+    after_cp = _WF_AFTER.format(a="c", b="p")
+    return f"""
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id AS id
+    FROM events
+),
+u AS (SELECT DISTINCT user_id FROM e),
+l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+l2 AS (
+    SELECT DISTINCT v.user_id
+    FROM (SELECT user_id, t AS v_t, id AS v_id FROM e
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, t AS c_t, id AS c_id FROM e
+          WHERE event_type = 'click') c
+      ON c.user_id = v.user_id AND {after_vc} AND c_t - v_t <= {w}
+),
+l3 AS (
+    SELECT DISTINCT v.user_id
+    FROM (SELECT user_id, t AS v_t, id AS v_id FROM e
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, t AS c_t, id AS c_id FROM e
+          WHERE event_type = 'click') c
+      ON c.user_id = v.user_id AND {after_vc} AND c_t - v_t <= {w}
+    JOIN (SELECT user_id, t AS p_t, id AS p_id FROM e
+          WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id AND {after_cp} AND p_t - v_t <= {w}
+),
+lv AS (
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS level
+    FROM u
+    LEFT JOIN l1 ON l1.user_id = u.user_id
+    LEFT JOIN l2 ON l2.user_id = u.user_id
+    LEFT JOIN l3 ON l3.user_id = u.user_id
+)
+SELECT CAST(level AS INT) AS level,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY 1
+"""
+
+
+@query("window_funnel_steps", oracle=_window_funnel_oracle())
+def q_window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window funnel depth (the ClickHouse `windowFunnel`
+    operator, exact semantics): per user, the deepest prefix of the
+    step chain view -> click -> purchase that occurs in strict
+    (t, event_id) order with the WHOLE chain inside a 12 h window
+    anchored at its first step; output is the user count per reached
+    level (0..3). Complements `funnel` (adjacent page-flow hops) and
+    `timed_funnel` with the any-gap bounded-span semantics ad/retention
+    analytics actually query.
+
+    Engine side prunes with the greedy-chain identity: a chain
+    (v, c, p) exists iff one exists through the EARLIEST qualifying
+    click after v (min over a struct — earlier click can only widen
+    the residual window), so views join to ONE candidate click each,
+    never the full view x click x purchase cube; the oracle states the
+    naive EXISTS form and the hash match proves the pruning lossless.
+    All comparisons are integer microseconds with event_id tiebreak —
+    a total order, so results are placement-independent. Scale shape:
+    per-step frames are equi-joined on user_id only (AQE-splittable),
+    candidate pairs are bounded by per-user step events inside one
+    window, and levels reduce to a 4-row count table."""
+    from ..functions.scalar import epoch_us
+
+    w = FUNNEL_WINDOW_US
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("t"),
+        F.col("event_id").alias("id"),
+    )
+    step = {
+        s: ev.where(F.col("event_type") == s).select(
+            "user_id",
+            F.col("t").alias(f"{s[0]}_t"),
+            F.col("id").alias(f"{s[0]}_id"),
+        )
+        for s in FUNNEL_STEPS
+    }
+    after_vc = F.expr(_WF_AFTER.format(a="v", b="c"))
+    vc = (
+        step["view"]
+        .join(
+            step["click"],
+            ["user_id"],
+        )
+        .where(after_vc & (F.col("c_t") - F.col("v_t") <= w))
+        .groupBy("user_id", "v_t", "v_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("c_t").alias("c_t"), F.col("c_id").alias("c_id")
+                )
+            ).alias("cf")
+        )
+        .select(
+            "user_id",
+            "v_t",
+            "v_id",
+            F.col("cf.c_t").alias("c_t"),
+            F.col("cf.c_id").alias("c_id"),
+        )
+    )
+    after_cp = F.expr(_WF_AFTER.format(a="c", b="p"))
+    vcp = (
+        vc.join(step["purchase"], ["user_id"])
+        .where(after_cp & (F.col("p_t") - F.col("v_t") <= w))
+        .select("user_id")
+        .distinct()
+        .withColumn("has3", F.lit(True))
+    )
+    l2 = vc.select("user_id").distinct().withColumn("has2", F.lit(True))
+    l1 = (
+        step["view"].select("user_id").distinct()
+        .withColumn("has1", F.lit(True))
+    )
+    levels = (
+        ev.select("user_id")
+        .distinct()
+        .join(l1, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .join(vcp, "user_id", "left")
+        .select(
+            F.when(F.col("has3"), 3)
+            .when(F.col("has2"), 2)
+            .when(F.col("has1"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("level")
+        )
+    )
+    return levels.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

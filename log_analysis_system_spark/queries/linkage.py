@@ -169,7 +169,7 @@ FROM postf
     )
 
 
-def _em_fit(rows: list[tuple[int, int, int, int]]) -> dict:
+def _em_fit(rows: list[tuple[int, int, int, int]]) -> list[tuple]:
     """The identical integer EM on the collected pattern table. rows =
     [(f_src, f_lang, f_len, n_pairs)]. Python ints are arbitrary
     precision, so the engine side never overflows at any corpus size;

@@ -2435,3 +2435,144 @@ def q_incremental_join_maintenance(
 q_incremental_join_maintenance.__doc__ = (
     q_incremental_join_maintenance.__doc__.format(SPLIT=IVM_SPLIT_DATE)
 )
+
+
+# ----------------------------------- Bloom-prefiltered join (runtime filter)
+
+RF_BLOOM_M = 65536   # runtime-filter bits
+RF_BLOOM_K = 3       # md5 hex slices per key (the bloom_membership_audit recipe)
+RF_DIM_PRIORITY = "1-URGENT"
+
+_RF_POS_DUCK = (
+    f"CAST(('0x' || substr(md5(CAST({{k}} AS VARCHAR)), 1 + {{i}} * 4, 4)) "
+    f"AS BIGINT) % {RF_BLOOM_M}"
+)
+
+_RF_ORACLE = f"""
+WITH dim AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_orderpriority = '{RF_DIM_PRIORITY}'
+),
+tpos AS (
+    SELECT DISTINCT {_RF_POS_DUCK.format(k="o_orderkey", i="k.i")} AS p
+    FROM dim CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) k
+),
+probe AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, l.l_discount,
+           {_RF_POS_DUCK.format(k="l.l_orderkey", i="k.i")} AS p
+    FROM lineitem l CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) k
+),
+passed AS (
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+    FROM probe pr LEFT JOIN tpos t ON t.p = pr.p
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) FILTER (WHERE t.p IS NOT NULL) = {RF_BLOOM_K}
+),
+joined AS (
+    SELECT p.l_orderkey, p.l_extendedprice, p.l_discount,
+           d.o_orderkey IS NOT NULL AS matched
+    FROM passed p LEFT JOIN dim d ON d.o_orderkey = p.l_orderkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact,
+       CAST(count(*) AS BIGINT) AS n_pass_bloom,
+       CAST(count(*) FILTER (WHERE NOT matched) AS BIGINT)
+           AS n_false_pass,
+       CAST(count(*) FILTER (WHERE matched) AS BIGINT) AS n_joined_rows,
+       CAST(sum(CASE WHEN matched THEN
+                CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_cents
+FROM joined
+"""
+
+
+@query("bloom_prefiltered_join", oracle=_RF_ORACLE)
+def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: build a Bloom filter over the dim side's join
+    keys (urgent orders), pre-filter the FACT scan with it before the
+    shuffle join, and emit the joined revenue TOGETHER with the exact
+    pruning audit (fact rows in, rows passing the filter, false passes,
+    true join rows). This is Spark's own `runtime.bloomFilter` rewrite
+    made deterministic and inspectable: at 100 TB the win is shuffling
+    n_pass_bloom rows instead of n_fact — the audit columns measure
+    exactly that, and the hash match against the oracle's naive form
+    proves the filter is LOSSLESS for the join result (a Bloom filter
+    admits false positives, which the residual equi-join removes, but
+    never false negatives).
+
+    Engine-exact recipe: {K} md5 hex-slice hash positions per key over
+    the key's decimal string ({M}-bit filter), the filter itself is the
+    distinct position relation (broadcast-joined, standing in for the
+    packed bitset — `bloom_membership_audit`'s move); revenue in exact
+    cents."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    dim = spark.table("orders").where(
+        F.col("o_orderpriority") == RF_DIM_PRIORITY
+    ).select("o_orderkey")
+    fact = spark.table("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    ks = spark.range(RF_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    pos = (
+        f"CAST(conv(substring(md5(CAST(CAST({{k}} AS STRING) AS BINARY)), "
+        f"1 + i * 4, 4), 16, 10) AS BIGINT) % {RF_BLOOM_M}"
+    )
+    tpos = (
+        dim.crossJoin(F.broadcast(ks))
+        .select(F.expr(pos.format(k="o_orderkey")).alias("p"))
+        .distinct()
+    )
+    probe = fact.crossJoin(F.broadcast(ks)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        F.expr(pos.format(k="l_orderkey")).alias("p"),
+    )
+    passed = (
+        probe.join(
+            F.broadcast(tpos.withColumn("hit", F.lit(1))), "p", "left"
+        )
+        .groupBy(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("nhit"))
+        .where(F.col("nhit") == RF_BLOOM_K)
+        .drop("nhit")
+    )
+    joined = passed.join(
+        F.broadcast(dim.withColumn("matched", F.lit(True))),
+        passed.l_orderkey == dim.o_orderkey,
+        "left",
+    ).select(
+        F.coalesce("matched", F.lit(False)).alias("matched"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)"
+        ).alias("rev_c"),
+    )
+    n_fact = fact.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass_bloom"),
+        F.sum((~F.col("matched")).cast("long"))
+        .cast("long")
+        .alias("n_false_pass"),
+        F.sum(F.col("matched").cast("long"))
+        .cast("long")
+        .alias("n_joined_rows"),
+        F.sum(F.when(F.col("matched"), F.col("rev_c")).otherwise(0))
+        .cast("long")
+        .alias("revenue_cents"),
+    ).crossJoin(F.broadcast(n_fact)).select(
+        "n_fact",
+        "n_pass_bloom",
+        "n_false_pass",
+        "n_joined_rows",
+        "revenue_cents",
+    )
+
+
+q_bloom_prefiltered_join.__doc__ = q_bloom_prefiltered_join.__doc__.format(
+    K=RF_BLOOM_K, M=RF_BLOOM_M
+)

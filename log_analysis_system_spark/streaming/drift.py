@@ -200,9 +200,9 @@ def _merged_w1_counts(spark, store_dir: str) -> DataFrame:
     ]
     if not dirs:
         raise FileNotFoundError(f"no W1 partials under {store_dir}")
-    parts = spark.read.parquet(dirs[0])
-    for d in dirs[1:]:
-        parts = parts.unionByName(spark.read.parquet(d))
+    # One multi-path scan: plan depth and footer reads stay O(1) in the
+    # number of batches (counts re-aggregate below, so order is moot).
+    parts = spark.read.parquet(*dirs)
     return parts.groupBy("source", "bucket").agg(
         F.sum("n").cast("long").alias("n")
     )

@@ -1,0 +1,252 @@
+"""Round-10 model pins: the new operators checked against INDEPENDENT
+pure-Python/pandas/numpy implementations on the sf0.001 driver data
+(the test_round9_models pattern). The DuckDB oracle already
+re-implements each query in SQL; these pins add a third, non-SQL
+derivation so a shared misunderstanding between the two query texts
+cannot hide — e.g. Shapley is derived here by averaging marginal
+contributions over ALL 4! permutations, not via the subset-weight
+formula both engines use."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import pandas as pd
+
+from log_analysis_system_spark.queries import QUERIES, load_all
+
+load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_pd() -> pd.DataFrame:
+    e = pd.read_parquet(f"{SF}/events.parquet")[
+        ["user_id", "event_type", "ts", "event_id"]
+    ].copy()
+    # normalize to integer MICROseconds whatever unit pandas decoded
+    e["t"] = e["ts"].astype("datetime64[us]").astype("int64")
+    return e
+
+
+def test_shapley_matches_permutation_average(spark):
+    """Exact match against the DEFINITION of the Shapley value: for each
+    of the 24 orderings of the 4 channels, the marginal contribution of
+    each channel when it joins the coalition of its predecessors;
+    phi = mean over orderings. Emitted in 24ths, so the mean is exact."""
+    from log_analysis_system_spark.queries.behavior import SHAPLEY_BITS
+
+    e = _events_pd()
+    masks: list[int] = []
+    for _, g in e.groupby("user_id"):
+        p = g[g.event_type == "purchase"].sort_values(["t", "event_id"])
+        if p.empty:
+            continue
+        ft, fid = int(p.iloc[0].t), int(p.iloc[0].event_id)
+        before = g[(g.t < ft) | ((g.t == ft) & (g.event_id < fid))]
+        m = 0
+        for c, b in SHAPLEY_BITS:
+            if (before.event_type == c).any():
+                m |= b
+        masks.append(m)
+
+    def v(s: int) -> int:
+        return sum(1 for m in masks if (m & s) == m)
+
+    bits = [b for _, b in SHAPLEY_BITS]
+    phi24 = {b: 0 for b in bits}
+    for perm in itertools.permutations(bits):
+        s = 0
+        for b in perm:
+            phi24[b] += v(s | b) - v(s)
+            s |= b
+    got = {
+        r["channel"]: (r["phi_24ths"], r["conv_total"], r["conv_untouched"])
+        for r in QUERIES["shapley_attribution"](spark, SF).collect()
+    }
+    for c, b in SHAPLEY_BITS:
+        assert got[c][0] == phi24[b], c
+        assert got[c][1] == v(15)
+        assert got[c][2] == v(0)
+    # efficiency axiom: credits partition v(N) - v(empty) exactly
+    assert sum(phi24.values()) == 24 * (v(15) - v(0))
+
+
+def test_window_funnel_matches_brute_force(spark):
+    """Exact match against the naive O(n^3)-per-user triple loop over
+    (view, click, purchase) chains — no greedy pruning, no SQL."""
+    from log_analysis_system_spark.queries.behavior import (
+        FUNNEL_WINDOW_US,
+    )
+
+    e = _events_pd()
+    w = FUNNEL_WINDOW_US
+    levels: dict[int, int] = {}
+    for uid, g in e.groupby("user_id"):
+        ev = sorted(
+            (int(r.t), int(r.event_id), r.event_type)
+            for r in g.itertuples()
+        )
+        lvl = 1 if any(x[2] == "view" for x in ev) else 0
+        vs = [x for x in ev if x[2] == "view"]
+        cs = [x for x in ev if x[2] == "click"]
+        ps = [x for x in ev if x[2] == "purchase"]
+        for v in vs:
+            for c in cs:
+                if c[:2] > v[:2] and c[0] - v[0] <= w:
+                    lvl = max(lvl, 2)
+                    for p in ps:
+                        if p[:2] > c[:2] and p[0] - v[0] <= w:
+                            lvl = max(lvl, 3)
+        levels[int(uid)] = lvl
+    want = pd.Series(list(levels.values())).value_counts().to_dict()
+    got = {
+        r["level"]: r["n_users"]
+        for r in QUERIES["window_funnel_steps"](spark, SF).collect()
+    }
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_item_cf_matches_pandas_model(spark):
+    """Exact match against a pandas/pure-Python cosine-ppm ranking."""
+    from log_analysis_system_spark.queries.recsys import MIN_CO, TOP_K
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    b = {
+        (int(o), int(i))
+        for o, i in zip(li.l_orderkey, li.l_partkey)
+    }
+    ni: dict[int, int] = {}
+    baskets: dict[int, list[int]] = {}
+    for o, i in b:
+        ni[i] = ni.get(i, 0) + 1
+        baskets.setdefault(o, []).append(i)
+    co: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            co[(a, c)] = co.get((a, c), 0) + 1
+    rows = []
+    for (a, c), n in co.items():
+        if n < MIN_CO:
+            continue
+        for item, other in ((a, c), (c, a)):
+            rows.append(
+                (
+                    item,
+                    other,
+                    n,
+                    n * n * 1_000_000 // (ni[item] * ni[other]),
+                )
+            )
+    want = set()
+    df = pd.DataFrame(rows, columns=["item", "other", "co", "score"])
+    for item, g in df.groupby("item"):
+        g = g.sort_values(
+            ["score", "co", "other"], ascending=[False, False, True]
+        )
+        for rk, r in enumerate(g.itertuples(), 1):
+            if rk > TOP_K:
+                break
+            want.add((r.item, r.other, r.co, r.score, rk))
+    got = {
+        (r["item"], r["other"], r["co"], r["score_ppm"], r["rk"])
+        for r in QUERIES["item_cf_recs"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_grid_dbscan_matches_python_bfs(spark):
+    """Exact cell labeling against a pure-Python quantize + BFS."""
+    from log_analysis_system_spark.queries.density import (
+        DB_MINPTS,
+        DB_SCALE,
+        _GRID,
+        _OFF,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    counts: dict[tuple[int, int], int] = {}
+    for v in emb.embedding:
+        cx = math.floor(float(v[0]) * DB_SCALE)
+        cy = math.floor(float(v[1]) * DB_SCALE)
+        counts[(cx, cy)] = counts.get((cx, cy), 0) + 1
+    core = {c for c, n in counts.items() if n >= DB_MINPTS}
+    cid = {c: (c[0] + _OFF) * _GRID + c[1] + _OFF for c in core}
+    label = dict(cid)
+    # BFS per component, labeling with the component's min cell id
+    seen: set[tuple[int, int]] = set()
+    for start in core:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            cur = frontier.pop()
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    nb = (cur[0] + dx, cur[1] + dy)
+                    if nb in core and nb not in comp:
+                        comp.add(nb)
+                        frontier.append(nb)
+        m = min(cid[c] for c in comp)
+        for c in comp:
+            label[c] = m
+        seen |= comp
+    want = {(cid[c], label[c], counts[c]) for c in core}
+    got = {
+        (r["cell_id"], r["cluster_id"], r["n_points"])
+        for r in QUERIES["grid_dbscan_clusters"](spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_prefiltered_join_matches_python_bloom(spark):
+    """Exact audit-count match against a pure-Python md5 Bloom model,
+    plus the structural pins: zero false negatives (every true join row
+    passes) and revenue == the plain pandas join's revenue."""
+    from log_analysis_system_spark.queries.olap_extras import (
+        RF_BLOOM_K,
+        RF_BLOOM_M,
+        RF_DIM_PRIORITY,
+    )
+
+    def positions(key: int) -> list[int]:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            int(h[i * 4 : i * 4 + 4], 16) % RF_BLOOM_M
+            for i in range(RF_BLOOM_K)
+        ]
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    dim = {
+        int(k)
+        for k in o[o.o_orderpriority == RF_DIM_PRIORITY].o_orderkey
+    }
+    bits: set[int] = set()
+    for k in dim:
+        bits.update(positions(k))
+    pos_cache = {
+        int(k): all(p in bits for p in positions(int(k)))
+        for k in li.l_orderkey.unique()
+    }
+    passed = li[[pos_cache[int(k)] for k in li.l_orderkey]]
+    matched = passed[[int(k) in dim for k in passed.l_orderkey]]
+    rev = int(
+        sum(
+            # HALF_UP like Spark/DuckDB round(), not Python's banker's
+            math.floor(p * (1 - d) * 100 + 0.5)
+            for p, d in zip(matched.l_extendedprice, matched.l_discount)
+        )
+    )
+    row = QUERIES["bloom_prefiltered_join"](spark, SF).collect()[0]
+    assert row["n_fact"] == len(li)
+    assert row["n_pass_bloom"] == len(passed)
+    assert row["n_false_pass"] == len(passed) - len(matched)
+    assert row["n_joined_rows"] == len(matched)
+    assert row["revenue_cents"] == rev
+    # no false negatives: the plain join has exactly as many rows
+    plain = li[[int(k) in dim for k in li.l_orderkey]]
+    assert len(plain) == len(matched)
