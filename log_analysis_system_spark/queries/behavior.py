@@ -1890,11 +1890,19 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.expr("bit_or(b)").alias("mask"))
     )
-    patt = (
-        conv.join(touched, "user_id", "left")
-        .select(F.coalesce("mask", F.lit(0)).cast("int").alias("mask"))
-        .groupBy("mask")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    masks = conv.join(touched, "user_id", "left").select(
+        F.coalesce("mask", F.lit(0)).cast("int").alias("mask")
+    )
+    return shapley_from_masks(spark, masks)
+
+
+def shapley_from_masks(spark: SparkSession, masks: DataFrame) -> DataFrame:
+    """Shared Shapley scoring body: one `mask` row per CONVERTING user ->
+    (channel, phi_24ths, share_ppm, conv_total, conv_untouched). Used by
+    the batch query above and by the streaming monitor's serve path
+    (`streaming/shapley.py`), so the two tiers cannot drift."""
+    patt = masks.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     s_tbl = spark.range(16).select(F.col("id").cast("int").alias("s"))
     v = (
