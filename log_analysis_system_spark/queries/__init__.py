@@ -164,6 +164,7 @@ def load_all() -> None:
         linkage,
         recsys,
         density,
+        nbayes,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

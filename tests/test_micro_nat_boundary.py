@@ -339,3 +339,42 @@ FROM args
     assert n > 0
     assert exact_nonzero == 0
     assert min_dist is not None and min_dist > GUARD_BAND
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_naive_bayes_micro_nat_boundary(sf_dir):
+    """Boundary clearance for the NB classifier's pre-floor values: every
+    distinct (c_cw + 1, n_c + V) token-likelihood argument combo the
+    scorer can produce (including the OOV c_cw = 0 row per class) plus
+    the (d_c, d_tot) class priors."""
+    from log_analysis_system_spark.queries.nbayes import NB_CTES
+
+    ctes = NB_CTES.replace(
+        "FROM documents", f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = f"""
+WITH {ctes},
+args AS (
+    SELECT DISTINCT coalesce(cw.c_cw, 0) + 1 AS num,
+           nc.n_c + vocab.v AS den
+    FROM nc CROSS JOIN vocab
+    LEFT JOIN cw ON cw.lang = nc.lang
+    UNION
+    SELECT DISTINCT 1 AS num, nc.n_c + vocab.v AS den
+    FROM nc CROSS JOIN vocab
+),
+x AS (
+    SELECT ln(num / CAST(den AS DOUBLE)) * 1000000 AS x FROM args
+    UNION ALL
+    SELECT ln(d_c / CAST(d_tot AS DOUBLE)) * 1000000 FROM prior
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min(abs(x - round(x))) AS min_dist,
+       CAST(count(*) FILTER (WHERE x = round(x) AND x <> 0)
+            AS BIGINT) AS exact_nonzero
+FROM x
+"""
+    n, min_dist, exact_nonzero = duckdb.sql(sql).fetchone()
+    assert n > 0
+    assert exact_nonzero == 0
+    assert min_dist is not None and min_dist > GUARD_BAND

@@ -250,3 +250,50 @@ def test_bloom_prefiltered_join_matches_python_bloom(spark):
     # no false negatives: the plain join has exactly as many rows
     plain = li[[int(k) in dim for k in li.l_orderkey]]
     assert len(plain) == len(matched)
+
+
+def test_naive_bayes_matches_pure_python(spark):
+    """Exact confusion-matrix match against a dictionary-based NB with
+    float log-probs (math.log + math.floor reproduces the micro-nat
+    floors; the boundary audit guarantees no flip within 1e-7)."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    train = docs[docs.doc_id % 4 != 0]
+    ev = docs[docs.doc_id % 4 == 0]
+    cw: dict[tuple[str, str], int] = {}
+    nc: dict[str, int] = {}
+    vocab: set[str] = set()
+    for lang, text in zip(train.lang, train.text):
+        for w in text.split(" "):
+            if not w:
+                continue
+            cw[(lang, w)] = cw.get((lang, w), 0) + 1
+            nc[lang] = nc.get(lang, 0) + 1
+            vocab.add(w)
+    v = len(vocab)
+    dc = train.lang.value_counts().to_dict()
+    dtot = len(train)
+    prior = {
+        c: math.floor(math.log(dc[c] / dtot) * 1_000_000) for c in nc
+    }
+    conf: dict[tuple[str, str], int] = {}
+    for _, r in ev.iterrows():
+        toks = [w for w in r.text.split(" ") if w]
+        if not toks:
+            continue
+        best = None
+        for c in sorted(nc):
+            s = prior[c] + sum(
+                math.floor(
+                    math.log((cw.get((c, w), 0) + 1) / (nc[c] + v))
+                    * 1_000_000
+                )
+                for w in toks
+            )
+            if best is None or s > best[0]:
+                best = (s, c)
+        conf[(r.lang, best[1])] = conf.get((r.lang, best[1]), 0) + 1
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in QUERIES["nb_lang_confusion"](spark, SF).collect()
+    }
+    assert got == conf
