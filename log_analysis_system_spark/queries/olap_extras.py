@@ -1957,6 +1957,40 @@ def _jc_hash_rows(key_sql: str) -> str:
     )
 
 
+def _cms_sketch(keys, out: str):
+    """Fixed JC_D x JC_W count-min sketch of a key column named `pk` —
+    one map-side-combinable hash agg per side, shared by
+    `join_cardinality_estimate` and `join_order_advisor`."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = F.conv(
+        F.substring(F.md5(F.col("pk").cast("string").cast("binary")), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    return (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (
+                                (base * MINHASH_A[d] + MINHASH_B[d])
+                                % MINHASH_P
+                                % JC_W
+                            ).alias("bucket"),
+                        )
+                        for d in range(JC_D)
+                    ]
+                )
+            ).alias("h")
+        )
+        .groupBy("h.d", "h.bucket")
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
 def _jc_oracle() -> str:
     brands = ", ".join(f"'{b}'" for b in JC_BRANDS)
     return f"""
@@ -2007,36 +2041,6 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     two KB-sized sketches. The exact-truth join exists for the audit and
     would be OMITTED in production — the entire point is answering the
     size question without running the join."""
-    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    def sketch(keys: DataFrame, out: str) -> DataFrame:
-        base = F.conv(
-            F.substring(F.md5(F.col("pk").cast("string").cast("binary")), 1, 7),
-            16,
-            10,
-        ).cast("long")
-        return (
-            keys.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(d).alias("d"),
-                                (
-                                    (base * MINHASH_A[d] + MINHASH_B[d])
-                                    % MINHASH_P
-                                    % JC_W
-                                ).alias("bucket"),
-                            )
-                            for d in range(JC_D)
-                        ]
-                    )
-                ).alias("h")
-            )
-            .groupBy("h.d", "h.bucket")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
     a_keys = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_partkey").alias("pk")
     )
@@ -2046,8 +2050,8 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("pk"))
     )
     ip = (
-        sketch(a_keys, "ca")
-        .join(F.broadcast(sketch(b_keys, "cb")), ["d", "bucket"])
+        _cms_sketch(a_keys, "ca")
+        .join(F.broadcast(_cms_sketch(b_keys, "cb")), ["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
     )
@@ -2575,4 +2579,152 @@ def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 q_bloom_prefiltered_join.__doc__ = q_bloom_prefiltered_join.__doc__.format(
     K=RF_BLOOM_K, M=RF_BLOOM_M
+)
+
+
+# ----------------------------------------- sketch-driven join-order advisor
+
+JOA_RETURNFLAG = "R"
+JOA_PRIORITY = "1-URGENT"
+JOA_SEGMENT = "BUILDING"
+
+
+def _joa_side_sql(step: str, src_a: str, src_b: str) -> str:
+    return f"""
+{step}_a_sk AS (
+    SELECT v.d, v.bucket, CAST(count(*) AS BIGINT) AS ca
+    FROM ({src_a}) a,
+         (VALUES {{rows_a}}) v(d, bucket)
+    GROUP BY 1, 2
+),
+{step}_b_sk AS (
+    SELECT v.d, v.bucket, CAST(count(*) AS BIGINT) AS cb
+    FROM ({src_b}) b,
+         (VALUES {{rows_b}}) v(d, bucket)
+    GROUP BY 1, 2
+),
+{step}_est AS (
+    SELECT CAST(min(dot) AS BIGINT) AS cms_n FROM (
+        SELECT a.d, CAST(sum(a.ca * b.cb) AS BIGINT) AS dot
+        FROM {step}_a_sk a
+        JOIN {step}_b_sk b ON b.d = a.d AND b.bucket = a.bucket
+        GROUP BY 1
+    )
+),
+{step}_truth AS (
+    SELECT CAST(count(*) AS BIGINT) AS true_n
+    FROM ({src_a}) a JOIN ({src_b}) b ON b.pk = a.pk
+)
+"""
+
+
+def _joa_oracle() -> str:
+    lo_a = (f"SELECT l_orderkey AS pk FROM lineitem "
+            f"WHERE l_returnflag = '{JOA_RETURNFLAG}'")
+    lo_b = (f"SELECT o_orderkey AS pk FROM orders "
+            f"WHERE o_orderpriority = '{JOA_PRIORITY}'")
+    oc_a = (f"SELECT o_custkey AS pk FROM orders "
+            f"WHERE o_orderpriority = '{JOA_PRIORITY}'")
+    oc_b = (f"SELECT c_custkey AS pk FROM customer "
+            f"WHERE c_mktsegment = '{JOA_SEGMENT}'")
+    hv = _jc_hash_rows("CAST(a.pk AS VARCHAR)")
+    hb = _jc_hash_rows("CAST(b.pk AS VARCHAR)")
+    lo = _joa_side_sql("lo", lo_a, lo_b).format(rows_a=hv, rows_b=hb)
+    oc = _joa_side_sql("oc", oc_a, oc_b).format(rows_a=hv, rows_b=hb)
+    return f"""
+WITH {lo.strip().rstrip()},
+{oc.strip().lstrip()},
+steps AS (
+    SELECT 'lineitem_orders' AS first_join, e.cms_n, t.true_n
+    FROM lo_est e CROSS JOIN lo_truth t
+    UNION ALL
+    SELECT 'orders_customer' AS first_join, e.cms_n, t.true_n
+    FROM oc_est e CROSS JOIN oc_truth t
+),
+best AS (SELECT min(cms_n) AS m FROM steps)
+SELECT s.first_join, s.cms_n, s.true_n,
+       CAST(CASE WHEN s.true_n > 0
+                 THEN s.cms_n * 1000000 // s.true_n ELSE NULL END
+            AS BIGINT) AS ratio_ppm,
+       s.cms_n >= s.true_n AS never_underestimates,
+       s.cms_n = b.m AS chosen
+FROM steps s CROSS JOIN best b
+"""
+
+
+@query("join_order_advisor", oracle=_joa_oracle())
+def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join ORDERING for the filtered 3-table chain
+    lineitem(R-flag) |x| orders(urgent) |x| customer(BUILDING): estimate
+    both candidate first joins' output cardinalities from count-min
+    inner products (`join_cardinality_estimate`'s estimator, shared
+    `_cms_sketch` body) and mark the cheaper-first plan CHOSEN — the
+    cost-based decision Catalyst cannot make from static stats when
+    filters reshape the key distributions, answered here without
+    running either join. Exact-truth counts ride along as the audit
+    tier (production omits them); the one-sided CMS guarantee means a
+    chosen plan can only be beaten if collisions inflate BOTH
+    estimates, which the never_underestimates pin bounds.
+
+    Scale shape: four fixed {D}x{W} sketch tables (map-side
+    combinable), estimates join KB-sized relations; decision is a
+    2-row aggregate."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    lo_a = (
+        spark.table("lineitem")
+        .where(F.col("l_returnflag") == JOA_RETURNFLAG)
+        .select(F.col("l_orderkey").alias("pk"))
+    )
+    lo_b = (
+        spark.table("orders")
+        .where(F.col("o_orderpriority") == JOA_PRIORITY)
+        .select(F.col("o_orderkey").alias("pk"))
+    )
+    oc_a = (
+        spark.table("orders")
+        .where(F.col("o_orderpriority") == JOA_PRIORITY)
+        .select(F.col("o_custkey").alias("pk"))
+    )
+    oc_b = (
+        spark.table("customer")
+        .where(F.col("c_mktsegment") == JOA_SEGMENT)
+        .select(F.col("c_custkey").alias("pk"))
+    )
+
+    def est(a, b, name):
+        ip = (
+            _cms_sketch(a, "ca")
+            .join(F.broadcast(_cms_sketch(b, "cb")), ["d", "bucket"])
+            .groupBy("d")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+        )
+        e = ip.agg(F.min("dot").cast("long").alias("cms_n"))
+        t = a.join(b, "pk").agg(
+            F.count(F.lit(1)).cast("long").alias("true_n")
+        )
+        return e.crossJoin(t).select(
+            F.lit(name).alias("first_join"), "cms_n", "true_n"
+        )
+
+    steps = est(lo_a, lo_b, "lineitem_orders").unionByName(
+        est(oc_a, oc_b, "orders_customer")
+    )
+    best = steps.agg(F.min("cms_n").alias("m"))
+    return steps.crossJoin(F.broadcast(best)).select(
+        "first_join",
+        "cms_n",
+        "true_n",
+        F.expr(
+            "CAST(CASE WHEN true_n > 0 THEN cms_n * 1000000 div true_n "
+            "ELSE NULL END AS BIGINT)"
+        ).alias("ratio_ppm"),
+        (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
+        (F.col("cms_n") == F.col("m")).alias("chosen"),
+    )
+
+
+q_join_order_advisor.__doc__ = q_join_order_advisor.__doc__.format(
+    D=JC_D, W=JC_W
 )

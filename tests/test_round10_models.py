@@ -297,3 +297,63 @@ def test_naive_bayes_matches_pure_python(spark):
         for r in QUERIES["nb_lang_confusion"](spark, SF).collect()
     }
     assert got == conf
+
+
+def test_join_order_advisor_matches_python_cms(spark):
+    """Exact estimate match against a pure-Python count-min model, and
+    the decision pin: chosen marks the minimum estimate."""
+    from log_analysis_system_spark.queries.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from log_analysis_system_spark.queries.olap_extras import (
+        JC_D,
+        JC_W,
+        JOA_PRIORITY,
+        JOA_RETURNFLAG,
+        JOA_SEGMENT,
+    )
+
+    def buckets(key: int) -> list[int]:
+        base = int(hashlib.md5(str(key).encode()).hexdigest()[:7], 16)
+        return [
+            (base * MINHASH_A[d] + MINHASH_B[d]) % MINHASH_P % JC_W
+            for d in range(JC_D)
+        ]
+
+    def cms(keys) -> list[dict[int, int]]:
+        sk = [dict() for _ in range(JC_D)]
+        for k in keys:
+            for d, b in enumerate(buckets(int(k))):
+                sk[d][b] = sk[d].get(b, 0) + 1
+        return sk
+
+    def est(ka, kb) -> int:
+        sa, sb = cms(ka), cms(kb)
+        return min(
+            sum(c * sb[d].get(b, 0) for b, c in sa[d].items())
+            for d in range(JC_D)
+        )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    lo_est = est(
+        li[li.l_returnflag == JOA_RETURNFLAG].l_orderkey,
+        o[o.o_orderpriority == JOA_PRIORITY].o_orderkey,
+    )
+    oc_est = est(
+        o[o.o_orderpriority == JOA_PRIORITY].o_custkey,
+        cu[cu.c_mktsegment == JOA_SEGMENT].c_custkey,
+    )
+    rows = {
+        r["first_join"]: r
+        for r in QUERIES["join_order_advisor"](spark, SF).collect()
+    }
+    assert rows["lineitem_orders"]["cms_n"] == lo_est
+    assert rows["orders_customer"]["cms_n"] == oc_est
+    m = min(lo_est, oc_est)
+    for r in rows.values():
+        assert r["chosen"] == (r["cms_n"] == m)
+        assert r["never_underestimates"]  # one-sided CMS guarantee
