@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "fellegi_sunter_em",
     "table_stats_analyze",
     "betweenness_centrality",
+    # round-10 additions (pins in the BASELINE.md round-10 addendum)
+    "shapley_attribution",
+    "window_funnel_steps",
+    "item_cf_recs",
+    "grid_dbscan_clusters",
+    "bloom_prefiltered_join",
+    "nb_lang_confusion",
+    "join_order_advisor",
 ]
 
 # Timings produced by the bench_* lifecycle helpers rather than registered

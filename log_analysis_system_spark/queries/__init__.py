@@ -65,31 +65,31 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_phash_neardup",
     # streaming batch oracle (§2.11)
     "stream_blacklist",
-    # behavior analytics: survival hazard, absorbing-chain attribution
+    # behavior analytics: survival hazard, Shapley attribution
     "survival_churn_hazard",
-    "markov_attribution",
+    "shapley_attribution",
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
     # OLAP extras: as-of/SCD2, IVM, sliding distinct, range join,
-    # skew-safe agg, hierarchical rollup, sketch-based join planning
+    # skew-safe agg, hierarchical rollup, sketch-based join ordering
     "scd2_asof_enrich",
     "incremental_agg_maintenance",
     "rolling_distinct_users",
     "range_join_events",
     "skew_safe_event_totals",
     "hypertable_rollup",
-    "join_cardinality_estimate",
-    # corpus pipeline / temporal / statistics
+    "join_order_advisor",
+    # corpus pipeline / temporal / statistics / windowed funnel
     "corpus_pipeline",
     "conformal_forecast_interval",
-    "seasonal_decompose_daily",
+    "window_funnel_steps",
     "theil_sen_trend",
     "sprt_conversion_monitor",
     "bootstrap_revenue_ci",
     "dq_checks",
-    # sampling-sharding / graph / model eval
-    "balanced_shards",
+    # trained classifier / graph / model eval
+    "nb_lang_confusion",
     "pagerank_trade_graph",
     "link_prediction_scores",
     "isotonic_calibration",

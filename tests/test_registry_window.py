@@ -23,7 +23,8 @@ FAMILY_REPRESENTATIVES = {
     # streaming batch oracle (§2.11)
     "stream_blacklist",
     # behavior analytics
-    "survival_churn_hazard", "markov_attribution",
+    "survival_churn_hazard", "shapley_attribution",
+    "window_funnel_steps",
     # scalar + set ops (§2.7/2.8)
     "scalar_functions", "set_ops_users",
     # dedup: all four candidate-generation strategies + components +
@@ -41,16 +42,16 @@ FAMILY_REPRESENTATIVES = {
     "multimodal_phash_neardup",
     # corpus / temporal / statistics
     "corpus_pipeline", "conformal_forecast_interval",
-    "seasonal_decompose_daily", "theil_sen_trend",
+    "theil_sen_trend",
     "sprt_conversion_monitor", "bootstrap_revenue_ci", "dq_checks",
     # sampling-sharding / graph / model eval
-    "balanced_shards", "pagerank_trade_graph", "link_prediction_scores",
-    "isotonic_calibration",
+    "nb_lang_confusion", "pagerank_trade_graph",
+    "link_prediction_scores", "isotonic_calibration",
     # OLAP extras
     "scd2_asof_enrich", "incremental_agg_maintenance",
     "rolling_distinct_users", "range_join_events",
     "skew_safe_event_totals", "hypertable_rollup",
-    "join_cardinality_estimate",
+    "join_order_advisor",
 }
 
 
