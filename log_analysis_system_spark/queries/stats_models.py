@@ -1277,3 +1277,184 @@ def q_eb_shrunk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shrunk_ppm"),
         F.col("strength").alias("prior_strength"),
     )
+
+
+# -------------------------- propensity-stratified treatment effect (ATT)
+
+ATT_CUT = "2024-01-16 00:00:00"   # pre/post split (mid-month)
+ATT_ERR_MIN = 7                    # treatment: >= this many pre errors
+# fixed activity-stratum breaks over pre-period event counts — literal
+# breaks, not global quantiles, so stratum assignment is a projection
+# (no rank shuffle) and identical at any corpus size
+ATT_BREAKS = (25, 30, 35, 40)
+
+_ATT_STRATUM = (
+    "CASE WHEN n_pre <= 25 THEN 0 WHEN n_pre <= 30 THEN 1 "
+    "WHEN n_pre <= 35 THEN 2 WHEN n_pre <= 40 THEN 3 ELSE 4 END"
+)
+
+_ATT_ORACLE = f"""
+WITH pre AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pre,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               >= {ATT_ERR_MIN} AS treated
+    FROM events WHERE ts < CAST('{ATT_CUT}' AS TIMESTAMP)
+    GROUP BY 1
+),
+post AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events WHERE ts >= CAST('{ATT_CUT}' AS TIMESTAMP)
+    GROUP BY 1
+),
+units AS (
+    SELECT {_ATT_STRATUM} AS stratum, p.treated,
+           coalesce(po.y, 0) AS y
+    FROM pre p LEFT JOIN post po ON po.user_id = p.user_id
+),
+cells AS (
+    SELECT stratum,
+           CAST(count(*) FILTER (WHERE treated) AS BIGINT) AS n_t,
+           CAST(count(*) FILTER (WHERE NOT treated) AS BIGINT) AS n_c,
+           CAST(sum(y) FILTER (WHERE treated) AS BIGINT) AS y_t,
+           CAST(sum(y) FILTER (WHERE NOT treated) AS BIGINT) AS y_c
+    FROM units GROUP BY 1
+),
+scored AS (
+    SELECT stratum, n_t, n_c,
+           coalesce(y_t, 0) AS y_t, coalesce(y_c, 0) AS y_c,
+           n_t > 0 AND n_c > 0 AS on_support,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN coalesce(y_t, 0) * 1000 // n_t
+                     - coalesce(y_c, 0) * 1000 // n_c
+                ELSE NULL END AS diff_milli
+    FROM cells
+),
+att AS (
+    -- sign-split truncation division: the weighted-diff numerator can
+    -- be negative, where DuckDB // (floor) and Spark div (truncate)
+    -- diverge by one — the CUPED idiom
+    SELECT CAST(CASE WHEN num >= 0 THEN num // den
+                     ELSE -((-num) // den) END AS BIGINT) AS att_milli
+    FROM (
+        SELECT coalesce(sum(n_t * diff_milli)
+                            FILTER (WHERE on_support), 0) AS num,
+               greatest(coalesce(sum(n_t)
+                            FILTER (WHERE on_support), 0), 1) AS den
+        FROM scored
+    )
+)
+SELECT CAST(s.stratum AS INT) AS stratum, s.n_t AS n_treated,
+       s.n_c AS n_control, s.y_t AS y_treated, s.y_c AS y_control,
+       CAST(s.diff_milli AS BIGINT) AS diff_milli, s.on_support,
+       a.att_milli
+FROM scored s CROSS JOIN att a
+"""
+
+
+@query("propensity_stratified_att", oracle=_ATT_ORACLE)
+def q_propensity_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect estimation on observational data
+    (Cochran 1968 subclassification — the design-based complement of
+    `diff_in_diff_lift`'s parallel-trends and `cuped_adjusted_lift`'s
+    randomized-arm assumptions): treatment = heavy pre-period error
+    exposure (>= {E} errors before {CUT}), outcome = post-period
+    purchases, confounder = overall pre-period activity. Users are
+    subclassified into FIXED activity strata (literal breaks — a
+    projection, not a global-quantile rank shuffle, so assignment is
+    identical at any corpus size); within each stratum treated and
+    control means are compared, and ATT is the treated-weighted average
+    of on-support strata (a stratum missing either group is excluded —
+    the standard positivity rule, exercised by the sf0.001 data).
+
+    Exactness: per-stratum means in floor-milli units (non-negative, so
+    floor == truncate in both engines), ATT one SIGN-SPLIT truncation
+    division over bigint sums (the weighted diff can be negative —
+    the CUPED idiom); output carries the per-stratum table AND
+    the scalar ATT. Scale shape: two user-keyed hash-aggs (pre and
+    post) + one join, then a 5-row stratum table."""
+    from ..sources.catalog import read_events
+
+    events = read_events(spark, sf_dir)
+    cut = F.lit(ATT_CUT).cast("timestamp_ntz")
+    pre = (
+        events.where(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+            (
+                F.sum(
+                    (F.col("event_type") == "error").cast("long")
+                )
+                >= ATT_ERR_MIN
+            ).alias("treated"),
+        )
+    )
+    post = (
+        events.where(F.col("ts") >= cut)
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    units = pre.join(post, "user_id", "left").select(
+        F.expr(_ATT_STRATUM).alias("stratum"),
+        "treated",
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    cells = units.groupBy("stratum").agg(
+        F.sum(F.col("treated").cast("long")).cast("long").alias("n_t"),
+        F.sum((~F.col("treated")).cast("long")).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y_t"),
+        F.sum(F.when(~F.col("treated"), F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("y_c"),
+    )
+    scored = cells.select(
+        "stratum",
+        "n_t",
+        "n_c",
+        "y_t",
+        "y_c",
+        ((F.col("n_t") > 0) & (F.col("n_c") > 0)).alias("on_support"),
+        F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0 "
+            "THEN y_t * 1000 div n_t - y_c * 1000 div n_c "
+            "ELSE NULL END"
+        ).cast("long").alias("diff_milli"),
+    )
+    att = scored.agg(
+        F.expr(
+            "coalesce(sum(CASE WHEN on_support THEN n_t * diff_milli "
+            "END), 0)"
+        ).alias("num"),
+        F.expr(
+            "greatest(coalesce(sum(CASE WHEN on_support THEN n_t END), "
+            "0), 1)"
+        ).alias("den"),
+    ).select(
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN num div den "
+            "ELSE -((-num) div den) END AS BIGINT)"
+        ).alias("att_milli")
+    )
+    return scored.crossJoin(F.broadcast(att)).select(
+        F.col("stratum").cast("int"),
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        F.col("y_t").alias("y_treated"),
+        F.col("y_c").alias("y_control"),
+        "diff_milli",
+        "on_support",
+        "att_milli",
+    )
+
+
+q_propensity_stratified_att.__doc__ = (
+    q_propensity_stratified_att.__doc__.format(E=ATT_ERR_MIN, CUT=ATT_CUT)
+)

@@ -357,3 +357,67 @@ def test_join_order_advisor_matches_python_cms(spark):
     for r in rows.values():
         assert r["chosen"] == (r["cms_n"] == m)
         assert r["never_underestimates"]  # one-sided CMS guarantee
+
+
+def test_propensity_att_matches_pure_python(spark):
+    """Exact match against a dictionary-based Cochran subclassification
+    model, including the off-support exclusion the sf0.001 strata
+    exercise (strata lacking a treated or control group contribute
+    nothing to ATT)."""
+    from log_analysis_system_spark.queries.stats_models import (
+        ATT_CUT,
+        ATT_ERR_MIN,
+    )
+
+    e = _events_pd()
+    cut = pd.Timestamp(ATT_CUT).value // 1000  # ns -> us
+    pre: dict[int, list[int]] = {}
+    post: dict[int, int] = {}
+    for r in e.itertuples():
+        u = int(r.user_id)
+        if r.t < cut:
+            a = pre.setdefault(u, [0, 0])
+            a[0] += 1
+            a[1] += r.event_type == "error"
+        elif r.event_type == "purchase":
+            post[u] = post.get(u, 0) + 1
+
+    def stratum(n):
+        return 0 if n <= 25 else 1 if n <= 30 else 2 if n <= 35 \
+            else 3 if n <= 40 else 4
+
+    cells: dict[tuple[int, bool], list[int]] = {}
+    for u, (n_pre, n_err) in pre.items():
+        k = (stratum(n_pre), n_err >= ATT_ERR_MIN)
+        c = cells.setdefault(k, [0, 0])
+        c[0] += 1
+        c[1] += post.get(u, 0)
+    num = den = 0
+    per = {}
+    for s in {k[0] for k in cells}:
+        nt, yt = cells.get((s, True), [0, 0])
+        ncc, yc = cells.get((s, False), [0, 0])
+        on = nt > 0 and ncc > 0
+        diff = (yt * 1000 // nt - yc * 1000 // ncc) if on else None
+        per[s] = (nt, ncc, yt, yc, diff, on)
+        if on:
+            num += nt * diff
+            den += nt
+    den = max(den, 1)
+    att = num // den if num >= 0 else -((-num) // den)
+    rows = {
+        r["stratum"]: r
+        for r in QUERIES["propensity_stratified_att"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == set(per)
+    for s, (nt, ncc, yt, yc, diff, on) in per.items():
+        r = rows[s]
+        assert (
+            r["n_treated"], r["n_control"], r["y_treated"],
+            r["y_control"], r["diff_milli"], r["on_support"],
+            r["att_milli"],
+        ) == (nt, ncc, yt, yc, diff, on, att)
+    # sf0.001 must actually exercise the positivity rule
+    assert any(not v[5] for v in per.values())
