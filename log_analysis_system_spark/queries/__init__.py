@@ -165,6 +165,7 @@ def load_all() -> None:
         recsys,
         density,
         nbayes,
+        cart,
     )
     # Resolve late-bound composed oracles now that every module imported.
     for n, thunk in _LAZY_ORACLES.items():

@@ -421,3 +421,62 @@ def test_propensity_att_matches_pure_python(spark):
         ) == (nt, ncc, yt, yc, diff, on, att)
     # sf0.001 must actually exercise the positivity rule
     assert any(not v[5] for v in per.values())
+
+
+def test_gini_stump_matches_exhaustive_python(spark):
+    """Exact match against the naive per-threshold loop (no prefix-scan):
+    enumerate every candidate split of both features, score weighted
+    binary Gini in exact integer ppm, take the (gini, feature,
+    threshold) minimum."""
+    from log_analysis_system_spark.queries.cart import CART_CUT
+
+    e = _events_pd()
+    cut = pd.Timestamp(CART_CUT).value // 1000
+    pre: dict[int, list[int]] = {}
+    buyers: set[int] = set()
+    for r in e.itertuples():
+        u = int(r.user_id)
+        if r.t < cut:
+            a = pre.setdefault(u, [0, 0])
+            a[0] += 1
+            a[1] += r.event_type == "error"
+        elif r.event_type == "purchase":
+            buyers.add(u)
+    units = [
+        (n, err, 1 if u in buyers else 0)
+        for u, (n, err) in pre.items()
+    ]
+    best = None
+    for fi, fname in ((0, "n_err"), (1, "n_pre")):
+        col = [(u[1] if fname == "n_err" else u[0], u[2]) for u in units]
+        for thr in sorted({v for v, _ in col}):
+            left = [(v, y) for v, y in col if v <= thr]
+            right = [(v, y) for v, y in col if v > thr]
+            if not right:
+                continue
+            nl, pl = len(left), sum(y for _, y in left)
+            nr, pr = len(right), sum(y for _, y in right)
+            num = nr * (nl * nl - pl * pl - (nl - pl) ** 2) + nl * (
+                nr * nr - pr * pr - (nr - pr) ** 2
+            )
+            g = num * 1_000_000 // (nl * nr * len(col))
+            key = (g, fname, thr)
+            if best is None or key < best[0]:
+                best = (key, nl, pl, nr, pr)
+    (g, fname, thr), nl, pl, nr, pr = best
+    row = QUERIES["gini_stump_conversion"](spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r["feature"], r["threshold"], r["gini_ppm"]) == (fname, thr, g)
+    assert (r["n_left"], r["pos_left"], r["n_right"], r["pos_right"]) == (
+        nl, pl, nr, pr,
+    )
+    assert r["pred_left"] == (pl * 2 > nl)
+    assert r["pred_right"] == (pr * 2 > nr)
+    n, p = nl + nr, pl + pr
+    assert r["root_gini_ppm"] == (
+        (n * n - p * p - (n - p) ** 2) * 1_000_000 // (n * n)
+    )
+    # a split can never be worse than the root (at sf0.001 every user
+    # converts, so the root is already pure and the bound is tight)
+    assert g <= r["root_gini_ppm"]
