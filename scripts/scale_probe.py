@@ -154,6 +154,11 @@ EXTRA_QUERIES = [
     "pq_index_refresh",
     "quantile_summary_rollup",
     "incremental_join_maintenance",
+    # round-10 additions not in BENCH_QUERIES (the seven bench rows
+    # carry their own curves); these two are reduce-first but their
+    # user-keyed aggs deserve a slope each
+    "propensity_stratified_att",
+    "gini_stump_conversion",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

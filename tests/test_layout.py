@@ -142,3 +142,31 @@ def test_compact_reduces_file_count(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert len(out.inputFiles()) == n == 1
     assert out.count() == 10_000
+
+
+def test_dynamic_partition_pruning_from_join(spark, tmp_path):
+    """DPP: when the pruning predicate is only known at RUNTIME (it comes
+    from the dim side of a join, not a literal), Catalyst must still
+    prune fact partitions — the scan's PartitionFilters gains a
+    dynamicpruning subquery instead of listing every directory. This is
+    the 100 TB star-join read path: a selective dim filter cuts the
+    fact I/O before any fact row is read."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    path = str(tmp_path / "orders_by_prio_dpp")
+    write_partitioned(orders, path, ["o_orderpriority"])
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(p, "slow" if p.startswith("5") else "fast")
+         for p in ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                   "5-LOW")],
+        schema="prio string, speed string",
+    )
+    joined = fact.join(
+        dim.where(F.col("speed") == "slow"),
+        fact.o_orderpriority == dim.prio,
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = orders.where(F.col("o_orderpriority") == "5-LOW").count()
+    assert joined.count() == expected
