@@ -100,42 +100,39 @@ FROM pred GROUP BY 1, 2
 """
 
 
-@query("nb_lang_confusion", oracle=_NB_ORACLE)
-def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out confusion matrix of the trained multinomial Naive Bayes
-    language classifier (add-1 smoothing, integer micro-nat scoring).
-    See the module docstring for the training protocol and the
-    determinism argument."""
-    from ..sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    docs = spark.table("documents")
-    train = docs.where(F.col("doc_id") % 4 != 0)
-    evald = docs.where(F.col("doc_id") % 4 == 0).select(
-        "doc_id", F.col("lang").alias("true_lang"), "text"
-    )
-    tr_toks = (
-        train.select(
-            "lang", F.explode(F.split("text", " ")).alias("word")
-        )
-        .where(F.col("word") != "")
-    )
+def nb_count_partials(train_df: DataFrame):
+    """Additive model-count tables from a batch of TRAIN docs:
+    (lang, word, c_cw) token counts and (lang, d_c) doc counts. Both are
+    SUM-mergeable across batches, and every other model table (per-class
+    token totals, vocabulary size, priors) derives from the merged
+    counts — which is what makes the NB trainer incrementally
+    maintainable (`streaming/nbayes.py`)."""
+    tr_toks = train_df.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
     cw = tr_toks.groupBy("lang", "word").agg(
         F.count(F.lit(1)).cast("long").alias("c_cw")
     )
-    nc = tr_toks.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
+    dc = train_df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("d_c")
     )
-    vocab = tr_toks.agg(
-        F.countDistinct("word").cast("long").alias("v")
+    return cw, dc
+
+
+def nb_confusion_from_counts(
+    spark: SparkSession, cw: DataFrame, dc: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """Shared scoring body: train-count tables + eval docs ->
+    (true_lang, pred_lang, n_docs) confusion matrix. Used by the batch
+    query below and the streaming trainer's serve path, so the two
+    tiers cannot drift."""
+    nc = cw.groupBy("lang").agg(F.sum("c_cw").cast("long").alias("n_c"))
+    vocab = cw.select("word").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
     )
     prior = (
-        train.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
-        .crossJoin(
-            F.broadcast(
-                train.agg(F.count(F.lit(1)).cast("long").alias("d_tot"))
-            )
+        dc.crossJoin(
+            F.broadcast(dc.agg(F.sum("d_c").cast("long").alias("d_tot")))
         )
         .select(
             "lang",
@@ -146,7 +143,7 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ev_toks = (
-        evald.select(
+        eval_docs.select(
             "doc_id",
             "true_lang",
             F.explode(F.split("text", " ")).alias("word"),
@@ -195,3 +192,21 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@query("nb_lang_confusion", oracle=_NB_ORACLE)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the trained multinomial Naive Bayes
+    language classifier (add-1 smoothing, integer micro-nat scoring).
+    See the module docstring for the training protocol and the
+    determinism argument."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.where(F.col("doc_id") % 4 != 0)
+    evald = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "text"
+    )
+    cw, dc = nb_count_partials(train)
+    return nb_confusion_from_counts(spark, cw, dc, evald)
