@@ -1458,3 +1458,181 @@ def q_propensity_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_propensity_stratified_att.__doc__ = (
     q_propensity_stratified_att.__doc__.format(E=ATT_ERR_MIN, CUT=ATT_CUT)
 )
+
+
+# ----------------------------- iterative proportional fitting (raking)
+
+IPF_CUT = "1998-01-01"   # reference window < cut; current window >= cut
+IPF_ROUNDS = 8
+IPF_MU = 1_000_000       # weights in micro-units
+
+
+def _ipf_rounds_sql() -> str:
+    steps = []
+    prev = "w0"
+    for r in range(1, IPF_ROUNDS + 1):
+        steps.append(f"""
+wr{r} AS MATERIALIZED (
+    SELECT w.p, w.s,
+           CAST(CASE WHEN rs.t > 0 THEN w.w * rt.t // rs.t
+                     ELSE 0 END AS BIGINT) AS w
+    FROM {prev} w
+    JOIN (SELECT p, CAST(sum(w) AS BIGINT) AS t FROM {prev} GROUP BY 1)
+         rs ON rs.p = w.p
+    JOIN rowt rt ON rt.p = w.p
+),
+w{r} AS MATERIALIZED (
+    SELECT w.p, w.s,
+           CAST(CASE WHEN cs.t > 0 THEN w.w * ct.t // cs.t
+                     ELSE 0 END AS BIGINT) AS w
+    FROM wr{r} w
+    JOIN (SELECT s, CAST(sum(w) AS BIGINT) AS t FROM wr{r} GROUP BY 1)
+         cs ON cs.s = w.s
+    JOIN colt ct ON ct.s = w.s
+)""")
+        prev = f"w{r}"
+    return ",".join(steps), prev
+
+
+def _ipf_oracle() -> str:
+    steps, last = _ipf_rounds_sql()
+    return f"""
+WITH j AS (
+    SELECT o.o_orderpriority AS p, c.c_mktsegment AS s, o.o_orderdate AS d
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+cur AS (
+    SELECT p, s, CAST(count(*) AS BIGINT) AS n FROM j
+    WHERE d >= CAST('{IPF_CUT}' AS TIMESTAMP) GROUP BY 1, 2
+),
+ref AS (
+    SELECT p, s, CAST(count(*) AS BIGINT) AS n FROM j
+    WHERE d < CAST('{IPF_CUT}' AS TIMESTAMP) GROUP BY 1, 2
+),
+rowt AS (SELECT p, CAST(sum(n) * {IPF_MU} AS BIGINT) AS t
+         FROM ref GROUP BY 1),
+colt AS (SELECT s, CAST(sum(n) * {IPF_MU} AS BIGINT) AS t
+         FROM ref GROUP BY 1),
+w0 AS (SELECT p, s, CAST(n * {IPF_MU} AS BIGINT) AS w FROM cur),
+{steps},
+final AS (
+    SELECT f.p, f.s, c.n, f.w,
+           rm.t AS row_target, rf.a AS row_achieved,
+           cm.t AS col_target, cf.a AS col_achieved
+    FROM {last} f
+    JOIN cur c ON c.p = f.p AND c.s = f.s
+    JOIN rowt rm ON rm.p = f.p
+    JOIN colt cm ON cm.s = f.s
+    JOIN (SELECT p, CAST(sum(w) AS BIGINT) AS a FROM {last} GROUP BY 1)
+         rf ON rf.p = f.p
+    JOIN (SELECT s, CAST(sum(w) AS BIGINT) AS a FROM {last} GROUP BY 1)
+         cf ON cf.s = f.s
+)
+SELECT p AS priority, s AS segment, n AS n_current,
+       CAST(w AS BIGINT) AS w_micro,
+       CAST(abs(row_achieved - row_target) * 1000000
+            // greatest(row_target, 1) AS BIGINT) AS row_dev_ppm,
+       CAST(abs(col_achieved - col_target) * 1000000
+            // greatest(col_target, 1) AS BIGINT) AS col_dev_ppm
+FROM final
+"""
+
+
+@query("ipf_margin_raking", oracle=_ipf_oracle())
+def q_ipf_margin_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (Deming-Stephan raking): reweight
+    the CURRENT window's (priority x segment) order counts so both
+    margins match the REFERENCE window's — the survey-calibration /
+    drift-correction operator (reweight recent traffic to the mix the
+    model was trained on), and the classical dual of
+    `source_mixture_weights`' single-margin scaling. {K} alternating
+    row/column scaling rounds in integer micro-units with floor
+    division (the markov/Holt recurrence discipline); per-cell final
+    weights plus achieved-vs-target margin deviations in ppm.
+
+    Scale shape: the fact scan reduces to the bounded (5 x 5) joint
+    table + two margin tables in one pass; the solve iterates on the
+    COLLECTED 25-row table (the Fellegi-Sunter bounded-collect
+    contract — Python ints never overflow; the oracle's unrolled-CTE
+    bigint mirror is exact up to ~3e6 reference rows per margin cell x
+    1e6 micro-units, documented bound far beyond the test SFs)."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    j = (
+        spark.table("orders")
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("c_mktsegment").alias("s"),
+            F.col("o_orderdate").alias("d"),
+        )
+    )
+    cut = F.lit(IPF_CUT).cast("timestamp_ntz")
+    cur = (
+        j.where(F.col("d") >= cut)
+        .groupBy("p", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ref = (
+        j.where(F.col("d") < cut)
+        .groupBy("p", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cur_rows = cur.collect()       # bounded: |priorities| x |segments|
+    ref_rows = ref.collect()
+    rowt = {}
+    colt = {}
+    for r in ref_rows:
+        rowt[r["p"]] = rowt.get(r["p"], 0) + r["n"] * IPF_MU
+        colt[r["s"]] = colt.get(r["s"], 0) + r["n"] * IPF_MU
+    w = {(r["p"], r["s"]): r["n"] * IPF_MU for r in cur_rows}
+    n_cur = {(r["p"], r["s"]): r["n"] for r in cur_rows}
+    for _ in range(IPF_ROUNDS):
+        rs: dict = {}
+        for (p, s), v in w.items():
+            rs[p] = rs.get(p, 0) + v
+        w = {
+            (p, s): (v * rowt.get(p, 0) // rs[p]) if rs[p] > 0 else 0
+            for (p, s), v in w.items()
+        }
+        cs: dict = {}
+        for (p, s), v in w.items():
+            cs[s] = cs.get(s, 0) + v
+        w = {
+            (p, s): (v * colt.get(s, 0) // cs[s]) if cs[s] > 0 else 0
+            for (p, s), v in w.items()
+        }
+    ra: dict = {}
+    ca: dict = {}
+    for (p, s), v in w.items():
+        ra[p] = ra.get(p, 0) + v
+        ca[s] = ca.get(s, 0) + v
+    out = [
+        (
+            p,
+            s,
+            n_cur[(p, s)],
+            w[(p, s)],
+            abs(ra[p] - rowt.get(p, 0)) * 1_000_000
+            // max(rowt.get(p, 0), 1),
+            abs(ca[s] - colt.get(s, 0)) * 1_000_000
+            // max(colt.get(s, 0), 1),
+        )
+        for (p, s) in w
+    ]
+    return spark.createDataFrame(
+        out,
+        schema=(
+            "priority string, segment string, n_current long,"
+            " w_micro long, row_dev_ppm long, col_dev_ppm long"
+        ),
+    )
+
+
+q_ipf_margin_raking.__doc__ = q_ipf_margin_raking.__doc__.format(
+    K=IPF_ROUNDS
+)

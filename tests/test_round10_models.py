@@ -480,3 +480,56 @@ def test_gini_stump_matches_exhaustive_python(spark):
     # a split can never be worse than the root (at sf0.001 every user
     # converts, so the root is already pure and the bound is tight)
     assert g <= r["root_gini_ppm"]
+
+
+def test_ipf_raking_matches_float_model_and_converges(spark):
+    """Independent check of the integer IPF: a FLOAT-arithmetic raking
+    run (no micro-units, no floors) must agree with every final weight
+    to within the floor-error envelope, and the achieved margins must
+    converge to the reference targets (dev <= 0.1%)."""
+    from log_analysis_system_spark.queries.stats_models import (
+        IPF_CUT,
+        IPF_MU,
+        IPF_ROUNDS,
+    )
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    cut = pd.Timestamp(IPF_CUT)
+    cur = (
+        j[j.o_orderdate >= cut]
+        .groupby(["o_orderpriority", "c_mktsegment"])
+        .size()
+    )
+    ref = (
+        j[j.o_orderdate < cut]
+        .groupby(["o_orderpriority", "c_mktsegment"])
+        .size()
+    )
+    rowt = ref.groupby(level=0).sum().to_dict()
+    colt = ref.groupby(level=1).sum().to_dict()
+    w = {k: float(v) for k, v in cur.items()}
+    for _ in range(IPF_ROUNDS):
+        rs: dict = {}
+        for (p, s), v in w.items():
+            rs[p] = rs.get(p, 0.0) + v
+        w = {
+            (p, s): v * rowt.get(p, 0) / rs[p] if rs[p] else 0.0
+            for (p, s), v in w.items()
+        }
+        cs: dict = {}
+        for (p, s), v in w.items():
+            cs[s] = cs.get(s, 0.0) + v
+        w = {
+            (p, s): v * colt.get(s, 0) / cs[s] if cs[s] else 0.0
+            for (p, s), v in w.items()
+        }
+    rows = QUERIES["ipf_margin_raking"](spark, SF).collect()
+    assert len(rows) == len(w)
+    for r in rows:
+        want = w[(r["priority"], r["segment"])]
+        got = r["w_micro"] / IPF_MU
+        # floors lose < 1 micro-unit per multiply; 2*ROUNDS multiplies
+        assert abs(got - want) <= max(1e-3 * want, 1e-3), (r, want)
+        assert r["row_dev_ppm"] <= 1000 and r["col_dev_ppm"] <= 1000
