@@ -533,3 +533,37 @@ def test_ipf_raking_matches_float_model_and_converges(spark):
         # floors lose < 1 micro-unit per multiply; 2*ROUNDS multiplies
         assert abs(got - want) <= max(1e-3 * want, 1e-3), (r, want)
         assert r["row_dev_ppm"] <= 1000 and r["col_dev_ppm"] <= 1000
+
+
+def test_assortativity_matches_pure_python(spark):
+    """Exact moment sums + the closing Pearson expression reproduced in
+    pure Python (same operation order), and the structural sign pin: a
+    bipartite hub-and-spoke trade graph is disassortative (r < 0)."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    pairs = {
+        (int(c), 10_000_000 + int(s))
+        for c, s in zip(m.o_custkey, m.l_suppkey)
+    }
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    du = [deg[a] for a, _ in edges]
+    dv = [deg[b] for _, b in edges]
+    mm = len(edges)
+    sx, sy = sum(du), sum(dv)
+    sxx = sum(x * x for x in du)
+    syy = sum(y * y for y in dv)
+    sxy = sum(x * y for x, y in zip(du, dv))
+    r = math.floor(
+        (float(mm) * sxy - float(sx) * sy) * 1_000_000
+        / math.sqrt(float(mm) * sxx - float(sx) * sx)
+        / math.sqrt(float(mm) * syy - float(sy) * sy)
+    )
+    row = QUERIES["degree_assortativity"](spark, SF).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["m_directed_edges"] == mm
+    assert row["assortativity_ppm"] == r
+    assert r < 0  # bipartite hub-and-spoke -> disassortative
