@@ -157,6 +157,18 @@ EMPTY_SAFE_QUERIES = [
     "rbo_rank_agreement",
     "quantile_summary_rollup",
     "incremental_join_maintenance",
+    # round-10 additions
+    "shapley_attribution",
+    "window_funnel_steps",
+    "item_cf_recs",
+    "grid_dbscan_clusters",
+    "bloom_prefiltered_join",
+    "nb_lang_confusion",
+    "join_order_advisor",
+    "propensity_stratified_att",
+    "gini_stump_conversion",
+    "ipf_margin_raking",
+    "degree_assortativity",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
