@@ -1958,14 +1958,14 @@ def shapley_from_masks(spark: SparkSession, masks: DataFrame) -> DataFrame:
 
 # ------------------------------------------------ windowed funnel depth
 
-FUNNEL_WINDOW_US = 43_200_000_000  # 12 h, in integer microseconds
-FUNNEL_STEPS = ("view", "click", "purchase")
+WF_WINDOW_US = 43_200_000_000  # 12 h, in integer microseconds
+WF_STEPS = ("view", "click", "purchase")
 
 _WF_AFTER = "({b}_t > {a}_t OR ({b}_t = {a}_t AND {b}_id > {a}_id))"
 
 
 def _window_funnel_oracle() -> str:
-    w = FUNNEL_WINDOW_US
+    w = WF_WINDOW_US
     after_vc = _WF_AFTER.format(a="v", b="c")
     after_cp = _WF_AFTER.format(a="c", b="p")
     return f"""
@@ -2035,7 +2035,7 @@ def q_window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and levels reduce to a 4-row count table."""
     from ..functions.scalar import epoch_us
 
-    w = FUNNEL_WINDOW_US
+    w = WF_WINDOW_US
     ev = read_events(spark, sf_dir).select(
         "user_id",
         "event_type",
@@ -2048,7 +2048,7 @@ def q_window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias(f"{s[0]}_t"),
             F.col("id").alias(f"{s[0]}_id"),
         )
-        for s in FUNNEL_STEPS
+        for s in WF_STEPS
     }
     after_vc = F.expr(_WF_AFTER.format(a="v", b="c"))
     vc = (

@@ -20,9 +20,10 @@ trick is the classic histogram + prefix-scan formulation:
 Everything after step 1 is O(distinct feature values), not O(rows) —
 the value histogram IS the candidate set (at petabyte scale you bin
 values into quantile-sketch buckets first; the prefix-scan shape is
-unchanged). All arithmetic is bigint (num ~ N^3 * 1e6 needs N <= ~2e3
-at 64-bit... at sf scale; production swaps the ppm floor to
-DECIMAL(38) — documented bound, same policy as the recsys ppm scale).
+unchanged). All arithmetic is bigint: the scaled Gini numerator is
+~N^3 * 1e6, so 64-bit holds up to N ~ 2e4 units; beyond that swap the
+ppm floor to DECIMAL(38) — documented bound, same policy as the
+recsys ppm scale.
 
 Task: predict second-half-of-month conversion (>= 1 purchase) from
 pre-period behavior (event count, error count) — the same design as

@@ -77,12 +77,10 @@ def test_shapley_matches_permutation_average(spark):
 def test_window_funnel_matches_brute_force(spark):
     """Exact match against the naive O(n^3)-per-user triple loop over
     (view, click, purchase) chains — no greedy pruning, no SQL."""
-    from log_analysis_system_spark.queries.behavior import (
-        FUNNEL_WINDOW_US,
-    )
+    from log_analysis_system_spark.queries.behavior import WF_WINDOW_US
 
     e = _events_pd()
-    w = FUNNEL_WINDOW_US
+    w = WF_WINDOW_US
     levels: dict[int, int] = {}
     for uid, g in e.groupby("user_id"):
         ev = sorted(
