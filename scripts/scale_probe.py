@@ -159,6 +159,8 @@ EXTRA_QUERIES = [
     # user-keyed aggs deserve a slope each
     "propensity_stratified_att",
     "gini_stump_conversion",
+    "ipf_margin_raking",
+    "degree_assortativity",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.
