@@ -208,6 +208,16 @@ def read_loadavg() -> list[float]:
 # become the official record silently.
 LOAD_OK_MAX = 1.5
 
+# Reference idle-host single-thread calib_sec (BASELINE.md "Host-speed
+# calibration pin"): the calib loop's wall-clock on the host state the
+# BASELINE.md pins were recorded under. value_calib_adjusted =
+# value * (CALIB_PIN / calib_sec) rescales a run's seconds to pin-host
+# speed, so the 2x gate can be adjudicated from the artifact alone —
+# rounds 8 and 9 both landed official benches on loaded hosts
+# (calib_sec 1.26-1.33) and produced false per-query breaches that
+# needed a judge re-run to dismiss.
+CALIB_PIN = 1.20
+
 
 def final_line(
     total: float,
@@ -232,6 +242,10 @@ def final_line(
             "loadavg": loadavg,
             "calib_sec": calib_sec,
             "calib_par_sec": calib_par_sec,
+            "calib_pin": CALIB_PIN,
+            "value_calib_adjusted": round(
+                total * (CALIB_PIN / calib_sec), 3
+            ) if calib_sec else None,
             "load_ok": bool(loadavg and loadavg[0] < LOAD_OK_MAX),
             "detail": "BENCH_DETAIL.json",
         }
@@ -410,11 +424,33 @@ def main() -> None:
     bench_pq_refresh_halves(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 3)
+    adj = (CALIB_PIN / calib_sec) if calib_sec else 1.0
+    headline_sec = round(
+        sum(v for k, v in timings.items() if k not in HELPER_TIMINGS), 3
+    )
+    lifecycle_sec = round(
+        sum(v for k, v in timings.items() if k in HELPER_TIMINGS), 3
+    )
     detail = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Seconds rescaled to the BASELINE.md pin host's speed
+        # (value * CALIB_PIN / calib_sec): the per-query 2x gate reads
+        # THESE when load_ok is false, so a loaded driver host cannot
+        # manufacture a false breach (round-9 grouping_sets_revenue:
+        # 2.47x raw on a loadavg-7 host, 1.29x idle).
+        "queries_calib_adjusted": {
+            k: round(v * adj, 3) for k, v in timings.items()
+        },
+        "value_calib_adjusted": round(total * adj, 3),
+        # Registered-query serve paths vs index build/rebuild lifecycle
+        # halves — separate subtotals so heavy offline-build rows
+        # (~20% of total) cannot mask a serve-path regression.
+        "headline_sec": headline_sec,
+        "lifecycle_sec": lifecycle_sec,
+        "calib_pin": CALIB_PIN,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg": loadavg,
         "calib_sec": calib_sec,

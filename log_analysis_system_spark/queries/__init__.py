@@ -71,27 +71,29 @@ PRIORITY: tuple[str, ...] = (
     # scalar functions + set ops (§2.7-2.8)
     "scalar_functions",
     "set_ops_users",
-    # OLAP extras: as-of/SCD2, IVM, sliding distinct, range join,
-    # skew-safe agg, hierarchical rollup, sketch-based join ordering
+    # OLAP extras: as-of/SCD2, IVM (aggregate + join delta-rule),
+    # sliding distinct, skew-safe agg, mergeable-quantile rollup
+    # serving, sketch-based join ordering
     "scd2_asof_enrich",
     "incremental_agg_maintenance",
+    "incremental_join_maintenance",
     "rolling_distinct_users",
-    "range_join_events",
     "skew_safe_event_totals",
-    "hypertable_rollup",
+    "quantile_summary_rollup",
     "join_order_advisor",
-    # corpus pipeline / temporal / statistics / windowed funnel
+    # corpus pipeline / temporal / statistics / windowed funnel /
+    # drift / trained linkage
     "corpus_pipeline",
     "conformal_forecast_interval",
     "window_funnel_steps",
-    "theil_sen_trend",
+    "wasserstein_source_drift",
     "sprt_conversion_monitor",
-    "bootstrap_revenue_ci",
+    "fellegi_sunter_em",
     "dq_checks",
     # trained classifier / graph / model eval
     "nb_lang_confusion",
     "pagerank_trade_graph",
-    "link_prediction_scores",
+    "betweenness_centrality",
     "isotonic_calibration",
 )
 

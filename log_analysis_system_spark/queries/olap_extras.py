@@ -2255,6 +2255,77 @@ FROM est e CROSS JOIN tot t
 """
 
 
+def qsr_day_values(ev: DataFrame) -> DataFrame:
+    """(day, v) milli-value projection of an events frame — the shared
+    batch/stream input shape for the quantile-summary rollup."""
+    return ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 1000).cast("long").alias("v"),
+    )
+
+
+def qsr_summaries(v: DataFrame) -> DataFrame:
+    """Per-day R-rank summary (day, r, v_r, n_d) of a (day, v) frame.
+
+    Works on any slice of the data; summaries of DISJOINT slices are
+    mergeable by ``qsr_estimates`` (each slice's R values carry the
+    slice's row count as weight — the mergeable-summary contract the
+    streaming twin relies on). One day-partitioned sort window builds
+    every summary."""
+    from pyspark.sql import Window
+
+    nd = v.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    ranked = v.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("v"))
+        .cast("long"),
+    )
+    rr = v.sparkSession.range(1, QSR_R + 1).select(F.col("id").alias("r"))
+    idx = nd.crossJoin(F.broadcast(rr)).select(
+        "day",
+        "r",
+        F.expr(f"(n_d - 1) * r div {QSR_R}").alias("i"),
+        "n_d",
+    )
+    return idx.join(
+        ranked,
+        (idx.day == ranked.day) & (ranked.rn == idx.i + 1),
+    ).select(idx.day, "r", F.col("v").alias("v_r"), "n_d")
+
+
+def qsr_estimates(summ: DataFrame) -> DataFrame:
+    """Serve (q, n, est_milli) by merging weighted summaries — the
+    weighted-CDF threshold crossing on exact bigints. Needs only the
+    (v_r, n_d) columns, so per-day summaries and per-(batch, day)
+    segment summaries merge identically; the exact total row count is
+    recovered as sum(n_d) div R (every segment contributes exactly R
+    rows). Touches only the bounded summary table, never raw events."""
+    from pyspark.sql import Window
+
+    spark = summ.sparkSession
+    wv = summ.groupBy(F.col("v_r").alias("v")).agg(
+        F.sum("n_d").cast("long").alias("wgt")
+    )
+    cw = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wv.select("v", F.sum("wgt").over(cw).cast("long").alias("c"))
+    tot = summ.agg(F.expr(f"sum(n_d) div {QSR_R}").cast("long").alias("n"))
+    qs = spark.createDataFrame([(int(q),) for q in QSR_QS], "q bigint")
+    return (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cum),
+            F.col("c") * 10000 >= F.col("q") * QSR_R * F.col("n"),
+        )
+        .groupBy("q", "n")
+        .agg(F.min("v").alias("est_milli"))
+    )
+
+
 @query("quantile_summary_rollup", oracle=_QSR_ORACLE)
 def q_quantile_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable per-day quantile summaries + rollup serving — the
@@ -2280,54 +2351,14 @@ def q_quantile_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is embarrassingly parallel); serving touches only the bounded
     summary table; the audit's rank counts are one scan with {NQ}
     conditional sums. Merge error is bounded by the per-day segment
-    mass (~n_d/{R}), measured <= 1.7% rank error at every tested SF."""
-    from pyspark.sql import Window
-
-    ev = read_events(spark, sf_dir)
-    v = ev.select(
-        F.col("ts").cast("date").alias("day"),
-        F.round(F.col("value") * 1000).cast("long").alias("v"),
-    )
-    nd = v.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
-    ranked = v.withColumn(
-        "rn",
-        F.row_number()
-        .over(Window.partitionBy("day").orderBy("v"))
-        .cast("long"),
-    )
-    rr = spark.range(1, QSR_R + 1).select(F.col("id").alias("r"))
-    idx = nd.crossJoin(F.broadcast(rr)).select(
-        "day",
-        "r",
-        F.expr(f"(n_d - 1) * r div {QSR_R}").alias("i"),
-        "n_d",
-    )
-    summ = idx.join(
-        ranked,
-        (idx.day == ranked.day) & (ranked.rn == idx.i + 1),
-    ).select(idx.day, "r", F.col("v").alias("v_r"), "n_d")
-    wv = summ.groupBy(F.col("v_r").alias("v")).agg(
-        F.sum("n_d").cast("long").alias("wgt")
-    )
-    cw = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = wv.select("v", F.sum("wgt").over(cw).cast("long").alias("c"))
-    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    qs = spark.createDataFrame(
-        [(int(q),) for q in QSR_QS], "q bigint"
-    )
-    est = (
-        qs.crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(cum),
-            F.col("c") * 10000 >= F.col("q") * QSR_R * F.col("n"),
-        )
-        .groupBy("q", "n")
-        .agg(F.min("v").alias("est_milli"))
-    )
+    mass (~n_d/{R}), measured <= 1.7% rank error at every tested SF.
+    The summary-build and serve bodies (`qsr_summaries` /
+    `qsr_estimates`) are shared verbatim with the streaming twin
+    (`streaming/quantiles.py`), whose parity test pins served == batch
+    on day-aligned micro-batches."""
+    v = qsr_day_values(read_events(spark, sf_dir))
+    summ = qsr_summaries(v)
+    est = qsr_estimates(summ)
     # audit: true rank of each estimate via conditional sums — one scan
     ests = est.select("q", "est_milli", "n").collect()  # bounded: |QS| rows
     if not ests:  # 0-row input: no summaries, oracle emits 0 rows too

@@ -901,8 +901,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     serving layer reads. Assignments are written partitioned by cell_id so
     a probe reads only its cells' files (partition pruning = the on-disk
     form of the in-memory cell equi-join); centroids are a single small
-    file. Rebuild = overwrite both (the index is derived data)."""
-    vecs = _quantized(spark, sf_dir)
+    file. Rebuild = overwrite both (the index is derived data). The
+    quantized corpus is materialized once up front — the k-means rounds
+    and the assignment pass each rescan it (see `build_ivfpq_index`'s
+    build-cost note)."""
+    vecs = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     cents = train_ivf_centroids(vecs)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     assigned = _ivf_assign_top1(vecs, cents)

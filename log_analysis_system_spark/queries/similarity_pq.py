@@ -835,8 +835,18 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     on-disk form of the cell equi-join, the `build_ivf_index` layout
     applied to 4x smaller rows: codes instead of raw vectors, plus the
     full-precision columns for re-rank). Rebuild = overwrite (derived
-    data)."""
-    vecs = _quantized(spark, sf_dir)
+    data).
+
+    Build-cost shape (round-10): the training lifecycle scans its input
+    MANY times (3 Lloyd rounds x 2 passes for the coarse quantizer, +1
+    assignment, then 3 x 2 codebook passes over the residuals)
+    — so the quantized corpus is materialized ONCE up front and the
+    residual table ONCE before codebook training (`localCheckpoint`,
+    bit-identical results, the standard cache-the-training-set recipe;
+    at 100 TB this is `persist(DISK_ONLY)` on the training sample).
+    Without the two checkpoints every pass re-ran the parquet scan +
+    quantization + (for residuals) the full assignment crossJoin."""
+    vecs = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     cents = train_ivf_centroids(vecs)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
     assigned = _ivf_assign_top1(vecs, cents)
@@ -850,6 +860,7 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
             "e",
             "nrm",
         )
+        .localCheckpoint(eager=True)
     )
     cb = train_pq_codebooks(resid.select("vec_id", F.col("re").alias("e")))
     cb.write.mode("overwrite").parquet(f"{index_dir}/codebooks")

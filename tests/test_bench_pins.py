@@ -73,6 +73,26 @@ def test_final_line_stays_compact():
     assert parsed["n_queries"] == 99
 
 
+def test_final_line_carries_calib_adjusted_value():
+    """Round-9 verdict: the 2x gate is adjudicated on the official
+    artifact, and two consecutive loaded-host driver runs produced
+    false breaches. The final line must carry the calib-rescaled total
+    so a gate decision needs no judge re-run."""
+    import json
+
+    from bench import CALIB_PIN
+
+    line = final_line(100.0, "0.1", 10, [0.5, 0.5, 0.5], 1.5, 10.0)
+    parsed = json.loads(line)
+    assert parsed["calib_pin"] == CALIB_PIN
+    # 100 s measured while the calib loop ran 1.5 s vs the 1.2 s pin
+    # host -> the host was 1.25x slow -> adjusted = 80 s.
+    assert parsed["value_calib_adjusted"] == round(
+        100.0 * CALIB_PIN / 1.5, 3
+    )
+    assert parsed["load_ok"] is True
+
+
 def test_probe_extras_registered():
     # overlap with BENCH_QUERIES is fine (promoted entries keep their
     # EXTRA row for history; the probe dedupes via dict.fromkeys) —

@@ -40,17 +40,17 @@ FAMILY_REPRESENTATIVES = {
     "bpe_vocab_train", "unigram_lm_vocab",
     # multimodal
     "multimodal_phash_neardup",
-    # corpus / temporal / statistics
+    # corpus / temporal / statistics / drift / trained linkage
     "corpus_pipeline", "conformal_forecast_interval",
-    "theil_sen_trend",
-    "sprt_conversion_monitor", "bootstrap_revenue_ci", "dq_checks",
+    "wasserstein_source_drift",
+    "sprt_conversion_monitor", "fellegi_sunter_em", "dq_checks",
     # sampling-sharding / graph / model eval
     "nb_lang_confusion", "pagerank_trade_graph",
-    "link_prediction_scores", "isotonic_calibration",
+    "betweenness_centrality", "isotonic_calibration",
     # OLAP extras
     "scd2_asof_enrich", "incremental_agg_maintenance",
-    "rolling_distinct_users", "range_join_events",
-    "skew_safe_event_totals", "hypertable_rollup",
+    "incremental_join_maintenance", "rolling_distinct_users",
+    "skew_safe_event_totals", "quantile_summary_rollup",
     "join_order_advisor",
 }
 
@@ -73,3 +73,27 @@ def test_entry_order_puts_priority_first_with_oracles():
     assert not no_oracle, f"window queries without oracles: {no_oracle}"
     # oracle ordering must match query ordering for the driver's zip
     assert list(entrymod.oracle_sql())[:WINDOW] == list(PRIORITY)
+
+
+def test_readme_battery_count_matches_shipped_registry():
+    """Rounds 8 and 9 both shipped operators AFTER the close battery, so
+    README froze a stale count (283 recorded vs 285 shipped in round 9).
+    Pin the record to the code: the registry size README's battery
+    paragraph claims must equal the registry this package registers. Any
+    post-battery operator addition fails this test until the battery is
+    re-run and the record updated (round-9 verdict item 1)."""
+    import re
+
+    from log_analysis_system_spark.queries import QUERIES
+
+    load_all()
+    with open("README.md") as f:
+        text = f.read()
+    m = re.search(r"the full registry \((\d+) queries as of round", text)
+    assert m, "README battery paragraph missing its registry count"
+    recorded = int(m.group(1))
+    assert recorded == len(QUERIES), (
+        f"README battery record says {recorded} queries but the shipped "
+        f"registry has {len(QUERIES)} — re-run scripts/round_close.sh on "
+        f"the final code and update the record in the same commit"
+    )
