@@ -2759,3 +2759,152 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_join_order_advisor.__doc__ = q_join_order_advisor.__doc__.format(
     D=JC_D, W=JC_W
 )
+
+
+# ------------------------------------------ AMS F2 / self-join size sketch
+
+AMS_D = 7  # sign rows; estimate = exact median (4th order statistic)
+
+
+def _ams_sign_rows() -> str:
+    """(d, a, b) VALUES rows for the DuckDB mirror of the shared affine
+    md5 sign family."""
+    from .dedup import MINHASH_A, MINHASH_B
+
+    return ", ".join(
+        f"({d}, {MINHASH_A[d]}, {MINHASH_B[d]})" for d in range(AMS_D)
+    )
+
+
+def _ams_oracle() -> str:
+    from .dedup import MINHASH_P
+
+    return f"""
+WITH b AS (
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                AS BIGINT) AS base
+    FROM events
+),
+z AS (
+    SELECT v.d,
+           CAST(sum(2 * (((b.base * v.a + v.b) % {MINHASH_P}) % 2) - 1)
+                AS BIGINT) AS z
+    FROM b, (VALUES {_ams_sign_rows()}) v(d, a, b)
+    GROUP BY 1
+),
+est AS (
+    SELECT CAST(z * z AS BIGINT) AS ams_f2
+    FROM z ORDER BY z * z, d LIMIT 1 OFFSET {AMS_D // 2}
+),
+truth AS (
+    SELECT CAST(sum(c * c) AS BIGINT) AS true_f2,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+)
+SELECT t.true_f2, t.n_keys, e.ams_f2,
+       CAST(abs(e.ams_f2 - t.true_f2) * 1000000 // t.true_f2 AS BIGINT)
+           AS err_ppm
+FROM truth t CROSS JOIN est e
+"""
+
+
+@query("ams_f2_estimate", oracle=_ams_oracle())
+def q_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch: estimate the SELF-join size of
+    events on user_id — sum over keys of c_k^2 — without grouping by
+    key (Alon-Matias-Szegedy 1996, the other classic join-size
+    estimator next to the CMS inner product of
+    `join_cardinality_estimate`). Each of {D} sketch rows keeps one
+    counter Z_d = sum over ROWS of s_d(key), where s_d is a +/-1 sign
+    from the shared affine md5 family (parity of the hash) — E[Z_d^2] =
+    F2 — and the estimate is the exact median (4th order statistic,
+    (z^2, d)-lexicographic tiebreak) of the {D} squared counters. The
+    exact F2 and the ppm error ride along as the audit.
+
+    Scale shape: the sketch is ONE map-side-combinable aggregate of {D}
+    conditional sums over the scan — no per-key state at all, strictly
+    cheaper than the CMS row's {D}x4096 counter table and the shape
+    that wins when only the aggregate moment (skew factor, self-join
+    size, repeat-rate) is needed. The exact-truth branch (hash-agg +
+    sum of squares) exists for the audit and would be omitted in
+    production. All arithmetic exact bigints; the median-of-7 picks a
+    genuinely computed counter, never an average."""
+    from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    ev = read_events(spark, sf_dir).select(
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 7
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("base")
+    )
+    z = ev.agg(
+        *[
+            F.sum(
+                2 * ((F.col("base") * MINHASH_A[d] + MINHASH_B[d])
+                     % MINHASH_P % 2) - 1
+            )
+            .cast("long")
+            .alias(f"z{d}")
+            for d in range(AMS_D)
+        ]
+    )
+    zz = z.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (F.col(f"z{d}") * F.col(f"z{d}"))
+                        .cast("long")
+                        .alias("z2"),
+                    )
+                    for d in range(AMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.z2")
+    # exact median of the bounded 7-row table: the row with exactly
+    # AMS_D//2 strict-or-tiebreak predecessors — a broadcast 7x7
+    # self-join, no order-only window
+    other = zz.select(F.col("d").alias("d2"), F.col("z2").alias("z22"))
+    est = (
+        zz.join(
+            F.broadcast(other),
+            (F.col("z22") < F.col("z2"))
+            | ((F.col("z22") == F.col("z2")) & (F.col("d2") < F.col("d"))),
+            "left",
+        )
+        .groupBy("d", "z2")
+        .agg(F.count("d2").alias("n_before"))
+        .where(F.col("n_before") == AMS_D // 2)
+        .select(F.col("z2").alias("ams_f2"))
+    )
+    truth = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        "true_f2",
+        "n_keys",
+        "ams_f2",
+        F.floor(
+            F.abs(F.col("ams_f2") - F.col("true_f2"))
+            * 1_000_000
+            / F.col("true_f2")
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+q_ams_f2_estimate.__doc__ = q_ams_f2_estimate.__doc__.format(D=AMS_D)

@@ -161,6 +161,9 @@ EXTRA_QUERIES = [
     "gini_stump_conversion",
     "ipf_margin_raking",
     "degree_assortativity",
+    # round-10 second wave
+    "ams_f2_estimate",
+    "modularity_communities",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

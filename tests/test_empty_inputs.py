@@ -169,6 +169,9 @@ EMPTY_SAFE_QUERIES = [
     "gini_stump_conversion",
     "ipf_margin_raking",
     "degree_assortativity",
+    # round-10 second wave
+    "ams_f2_estimate",
+    "modularity_communities",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

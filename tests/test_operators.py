@@ -3040,3 +3040,19 @@ def test_cuped_adjusted_lift_pure_python_model(spark, tmp_path):
     raw_gap = abs(a0["raw_mean_y_milli"] - a1["raw_mean_y_milli"])
     adj_gap = abs(a0["adj_mean_y_milli"] - a1["adj_mean_y_milli"])
     assert adj_gap <= raw_gap
+
+
+def test_label_propagation_label_zero_decodes(spark):
+    """Regression: the argmax encoding count*LPA_ENC - label puts label
+    0 exactly on the count*LPA_ENC boundary, decoding it to the phantom
+    label LPA_ENC (round-10 fix shifts the encoding by 1). A triangle
+    containing node 0 must converge to label 0 — not to 100000000."""
+    from log_analysis_system_spark.queries.graph import label_propagation
+
+    und = [(0, 1), (0, 2), (1, 2)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}

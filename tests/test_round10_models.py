@@ -565,3 +565,112 @@ def test_assortativity_matches_pure_python(spark):
     assert row["m_directed_edges"] == mm
     assert row["assortativity_ppm"] == r
     assert r < 0  # bipartite hub-and-spoke -> disassortative
+
+
+def test_ams_f2_matches_pure_python_sketch(spark):
+    """Third derivation of the AMS F2 row: replay the sign-sketch in
+    pure Python — md5 hex prefix, affine family, parity sign, median of
+    the 7 squared counters — and the exact F2 by Counter. Every output
+    integer must match the Spark plan bit-for-bit."""
+    from collections import Counter
+
+    from log_analysis_system_spark.queries.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+    from log_analysis_system_spark.queries.olap_extras import AMS_D
+
+    e = pd.read_parquet(f"{SF}/events.parquet")["user_id"]
+    z = [0] * AMS_D
+    for uid in e:
+        base = int(hashlib.md5(str(int(uid)).encode()).hexdigest()[:7], 16)
+        for d in range(AMS_D):
+            z[d] += 2 * ((base * MINHASH_A[d] + MINHASH_B[d]) % MINHASH_P % 2) - 1
+    ams = sorted(v * v for v in z)[AMS_D // 2]
+    counts = Counter(int(u) for u in e)
+    true_f2 = sum(c * c for c in counts.values())
+
+    row = QUERIES["ams_f2_estimate"](spark, SF).collect()[0]
+    assert row["true_f2"] == true_f2
+    assert row["n_keys"] == len(counts)
+    assert row["ams_f2"] == ams
+    assert row["err_ppm"] == abs(ams - true_f2) * 1_000_000 // true_f2
+
+
+def test_modularity_matches_pure_python_lpa(spark):
+    """Third derivation of the modularity row: replay self-preference
+    sync LPA and the Q formula in pure Python (dict-of-lists graph,
+    explicit vote Counter with the (count DESC, label ASC) tiebreak —
+    NOT the integer argmax encoding both query texts use) and compare
+    every per-community integer and the global Q bit-for-bit."""
+    from collections import Counter, defaultdict
+
+    from log_analysis_system_spark.queries.graph import (
+        LPA_FANOUT,
+        LPA_ITERS,
+        SUPP_OFFSET,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    t = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    pairs = Counter(
+        (int(c), SUPP_OFFSET + int(s))
+        for c, s in zip(t["o_custkey"], t["l_suppkey"])
+    )
+    top = defaultdict(list)
+    for (c, s), n in pairs.items():
+        top[c].append((-n, s))
+    edges = []
+    for c, lst in top.items():
+        for _, s in sorted(lst)[:LPA_FANOUT]:
+            edges.append((c, s))
+            edges.append((s, c))
+    nodes = sorted({u for u, _ in edges})
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    lab = {u: u for u in nodes}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for u in nodes:
+            votes = Counter(lab[v] for v in adj[u])
+            votes[lab[u]] += 1  # self-preference vote
+            new[u] = min(
+                votes, key=lambda la: (-votes[la], la)
+            )
+        lab = new
+    m2 = len(edges)
+    deg = Counter(u for u, _ in edges)
+    deg_c = defaultdict(int)
+    e_c = defaultdict(int)
+    members = Counter(lab.values())
+    for u in nodes:
+        deg_c[lab[u]] += deg[u]
+    for u, v in edges:
+        if lab[u] == lab[v]:
+            e_c[lab[u]] += 1
+    snum = sum(
+        e_c.get(c, 0) * m2 - d * d for c, d in deg_c.items()
+    )
+    q_ppm = math.floor(float(snum) * 1_000_000 / float(m2) / float(m2))
+
+    rows = QUERIES["modularity_communities"](spark, SF).collect()
+    got = {
+        r["community"]: (
+            r["n_members"],
+            r["intra_edges"],
+            r["deg_sum"],
+            r["modularity_ppm"],
+        )
+        for r in rows
+    }
+    want = {
+        c: (members[c], e_c.get(c, 0), deg_c[c], q_ppm) for c in members
+    }
+    assert got == want and q_ppm > 0
