@@ -1272,3 +1272,112 @@ def w1_from_cells(cells: DataFrame) -> DataFrame:
             .alias("w1_milli")
         )
     )
+
+
+# --------------------------------- randomized-response rate estimation
+
+RR_KEEP_NUM, RR_KEEP_DEN = 3, 4  # report truthfully with prob 3/4
+
+_RR_EST = (
+    "CAST(floor(CAST(4 * r - n AS DOUBLE) * 1000000"
+    " / CAST(2 * n AS DOUBLE)) AS BIGINT)"
+)
+
+_RR_ORACLE = f"""
+WITH m AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS bit,
+           CASE WHEN CAST(('0x' || substr(md5('rr' || CAST(event_id AS VARCHAR)), 1, 7))
+                     AS BIGINT) % {RR_KEEP_DEN} < {RR_KEEP_NUM}
+                THEN 1 ELSE 0 END AS keep
+    FROM events
+),
+d AS (
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN keep = 1 THEN bit ELSE 1 - bit END)
+                AS BIGINT) AS r,
+           CAST(sum(bit) AS BIGINT) AS t
+    FROM m GROUP BY 1
+)
+SELECT day, n, r AS reported_ones,
+       {_RR_EST} AS est_ppm,
+       CAST(t * 1000000 // n AS BIGINT) AS true_ppm,
+       CAST(abs({_RR_EST} - CAST(t * 1000000 // n AS BIGINT)) AS BIGINT)
+           AS err_ppm
+FROM d
+"""
+
+
+@query("randomized_response_rate", oracle=_RR_ORACLE)
+def q_randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP randomized response (Warner 1965): estimate the daily
+    purchase rate from PRIVATIZED per-event reports — each event reports
+    its sensitive bit truthfully with prob {NUM}/{DEN}, flipped
+    otherwise, and the collector debiases the observed rate lambda with
+    pi = (lambda - (1-p)) / (2p - 1). The aggregate is recoverable while
+    no individual report is trustworthy (epsilon = ln(p/(1-p)) = ln 3
+    per report) — the privacy-family complement to the k-anonymity /
+    l-diversity / t-closeness AUDITS: those measure re-identification
+    risk of published microdata, this is the collection mechanism that
+    avoids holding raw microdata at all.
+
+    Determinism: the flip coin is the salted md5 parity the sampling
+    family uses (shared bit-for-bit with the oracle; a production
+    deployment swaps in a real RNG on the CLIENT — the engine-side
+    debias math is what is under test, and the md5 harness makes the
+    mechanism's end-to-end error measurable exactly). The true rate and
+    the |est - true| ppm error ride along as the audit. The closing
+    estimator division is one floor'd double expression written as
+    identical text in both engines (the degree_assortativity policy;
+    the estimator CAN go negative on small/extreme days — emitted
+    as-is, floor semantics shared). Scale: one scan, one (day) hash-agg
+    of conditional sums; the debias is arithmetic on the bounded
+    day table."""
+    from ..sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rr"), F.col("event_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % RR_KEEP_DEN
+        < RR_KEEP_NUM
+    )
+    bit = (F.col("event_type") == "purchase").cast("long")
+    m = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        bit.alias("bit"),
+        keep.cast("long").alias("keep"),
+    )
+    d = m.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("keep") == 1, F.col("bit")).otherwise(
+                1 - F.col("bit")
+            )
+        )
+        .cast("long")
+        .alias("r"),
+        F.sum("bit").cast("long").alias("t"),
+    )
+    true_ppm = F.floor(F.col("t") * 1_000_000 / F.col("n")).cast("long")
+    return d.select(
+        "day",
+        "n",
+        F.col("r").alias("reported_ones"),
+        F.expr(_RR_EST).alias("est_ppm"),
+        true_ppm.alias("true_ppm"),
+        F.abs(F.expr(_RR_EST) - true_ppm).cast("long").alias("err_ppm"),
+    )
+
+
+q_randomized_response_rate.__doc__ = q_randomized_response_rate.__doc__.format(
+    NUM=RR_KEEP_NUM, DEN=RR_KEEP_DEN
+)

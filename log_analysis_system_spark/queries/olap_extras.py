@@ -2908,3 +2908,140 @@ def q_ams_f2_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ams_f2_estimate.__doc__ = q_ams_f2_estimate.__doc__.format(D=AMS_D)
+
+
+# ----------------------------- approximate query processing (sampled agg)
+
+AQP_PCT = 10  # deterministic Bernoulli sampling rate, percent
+
+# CI coverage compare, identical text both engines: Bernoulli-HT
+# standard error se^2 = (1-p)/p^2 * sum(x^2) with p = 1/10 -> 90*sx2
+# (x in whole dollars so the square-sum stays far inside int64 at any
+# tested SF); z = 2 (~95%), diff converted cents -> dollars.
+_AQP_COVER = (
+    "CAST(abs(sum_est_c - sum_true_c) AS DOUBLE) / 100.0"
+    " <= 2.0 * sqrt(90.0 * CAST(sx2_d AS DOUBLE))"
+)
+
+_AQP_ORACLE = f"""
+WITH li AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_c,
+           CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT)
+               AS rev_d,
+           CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                     CAST(l_linenumber AS VARCHAR)), 1, 7))
+                AS BIGINT) % 100 < {AQP_PCT} AS in_sample
+    FROM lineitem
+),
+g AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(rev_c) AS BIGINT) AS sum_true_c,
+           CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+           CAST(sum(CASE WHEN in_sample THEN rev_c ELSE 0 END) AS BIGINT)
+               * {100 // AQP_PCT} AS sum_est_c,
+           CAST(sum(CASE WHEN in_sample THEN rev_d * rev_d ELSE 0 END)
+                AS BIGINT) AS sx2_d
+    FROM li GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n_sample,
+       n_sample * {100 // AQP_PCT} AS n_est, n_true,
+       sum_est_c, sum_true_c,
+       CAST(abs(sum_est_c - sum_true_c) * 1000000 // sum_true_c AS BIGINT)
+           AS err_ppm,
+       {_AQP_COVER} AS ci_covers
+FROM g
+"""
+
+
+@query("aqp_revenue_estimate", oracle=_AQP_ORACLE)
+def q_aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: answer the pricing-summary revenue
+    rollup from a {PCT}% deterministic Bernoulli sample with
+    Horvitz-Thompson scale-up, next to the exact answer and a
+    2-sigma CI coverage verdict (the BlinkDB/online-agg contract: an
+    approximate answer is only useful WITH its error bar). The sample
+    predicate is the md5 row filter of `sample_bernoulli` — pushdown
+    composes, so at 100 TB the sampled plan scans {PCT}% of the rows
+    and the estimate costs ~{PCT}% of the exact rollup; the exact
+    branch here exists only as the audit.
+
+    Exactness: sample sums/counts/square-sums are exact bigints
+    (variance accumulates in whole DOLLARS so the square-sum stays
+    ~6e15 at sf0.1, far inside int64); the HT scale-up is an integer
+    multiply; the one floating step is the CI compare written as
+    IDENTICAL text in both engines (sqrt/divide IEEE-correctly
+    rounded). z = 2 keeps the bound rational. Scale shape: ONE scan,
+    one hash-agg with conditional sums — the estimate, the truth, and
+    the error bar in a single pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("rev_c"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("long")
+        .alias("rev_d"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < AQP_PCT
+        ).alias("in_sample"),
+    )
+    scale = 100 // AQP_PCT
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("rev_c").cast("long").alias("sum_true_c"),
+        F.sum(F.col("in_sample").cast("long")).cast("long").alias("n_sample"),
+        (
+            F.sum(F.when(F.col("in_sample"), F.col("rev_c")).otherwise(0))
+            .cast("long")
+            * scale
+        ).alias("sum_est_c"),
+        F.sum(
+            F.when(
+                F.col("in_sample"), F.col("rev_d") * F.col("rev_d")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sx2_d"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_sample",
+        (F.col("n_sample") * scale).alias("n_est"),
+        "n_true",
+        "sum_est_c",
+        "sum_true_c",
+        F.expr(
+            "CAST(abs(sum_est_c - sum_true_c) * 1000000"
+            " div sum_true_c AS BIGINT)"
+        ).alias("err_ppm"),
+        F.expr(_AQP_COVER).alias("ci_covers"),
+    )
+
+
+q_aqp_revenue_estimate.__doc__ = q_aqp_revenue_estimate.__doc__.format(
+    PCT=AQP_PCT
+)

@@ -2173,3 +2173,148 @@ def q_vocab_coverage_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("missing_mass_ppm"),
     )
+
+
+# ------------------------------------------- RAKE keyword extraction
+
+RAKE_MAX_LEN = 4  # discard longer stopword-delimited runs (bounds phrase cardinality)
+RAKE_TOP_K = 25
+
+_RAKE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+t AS (
+    SELECT doc_id, i AS pos, sp[i] AS term
+    FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp))) AS i
+          FROM w)
+    WHERE sp[i] <> ''
+),
+m AS (
+    SELECT doc_id, pos, term,
+           CASE WHEN term IN {_STOP_IN_SQL} THEN 1 ELSE 0 END AS stop
+    FROM t
+),
+s0 AS (
+    SELECT doc_id, pos, term, stop,
+           sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS seg
+    FROM m
+),
+s AS (SELECT doc_id, seg, pos, term FROM s0 WHERE stop = 0),
+ph AS (
+    SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS plen,
+           string_agg(term, ' ' ORDER BY pos) AS phrase
+    FROM s GROUP BY 1, 2
+),
+phk AS (SELECT * FROM ph WHERE plen <= {RAKE_MAX_LEN}),
+sw AS (
+    SELECT s.term, phk.plen
+    FROM s JOIN phk USING (doc_id, seg)
+),
+ws AS (
+    SELECT term,
+           CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS score_ppm
+    FROM sw GROUP BY 1
+),
+pi AS (
+    SELECT s.doc_id, s.seg, CAST(sum(ws.score_ppm) AS BIGINT) AS psc
+    FROM s JOIN phk USING (doc_id, seg) JOIN ws ON ws.term = s.term
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT phk.phrase, CAST(max(phk.plen) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(pi.psc) AS BIGINT) AS score_ppm
+    FROM phk JOIN pi USING (doc_id, seg)
+    GROUP BY 1
+)
+SELECT phrase, n_tokens, n_occurrences, score_ppm
+FROM agg ORDER BY score_ppm DESC, phrase LIMIT {RAKE_TOP_K}
+"""
+
+
+@query("rake_keywords", oracle=_RAKE_ORACLE)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-delimited token runs (length <= {MAXLEN} —
+    the cardinality bound); each word scores deg/freq where freq is its
+    occurrence count inside kept phrases and deg the summed length of
+    the phrases it appears in; a phrase scores the sum of its word
+    scores; top-{K} distinct phrases win. The PHRASE-producing
+    complement to `textrank_keywords`' single-term ranking — RAKE needs
+    no graph iteration, one reason it remains the default cheap
+    keyphrase pass in curation pipelines.
+
+    Exactness: word scores are ppm-floored integer divisions (both
+    engines nonneg exact) and phrase scores exact bigint sums of them
+    — floor-per-word is the DEFINED scoring, shared verbatim.
+    Scale shape: tokenization is a zero-shuffle posexplode; phrase
+    segmentation is one per-document cumulative window (bounded by doc
+    length, never corpus-sized groups); word stats and phrase scores
+    are hash-aggs; the final cut is TakeOrderedAndProject. No
+    iteration, no driver collects."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    m = t.withColumn(
+        "stop", F.col("term").isin(*_EN_STOPWORDS).cast("int")
+    )
+    wseg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        m.withColumn("seg", F.sum("stop").over(wseg))
+        .where(F.col("stop") == 0)
+        .select("doc_id", "seg", "pos", "term")
+    )
+    ph = (
+        s.groupBy("doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("plen"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("phrase"),
+        )
+        .where(F.col("plen") <= RAKE_MAX_LEN)
+    )
+    sw = s.join(ph.select("doc_id", "seg", "plen"), ["doc_id", "seg"])
+    ws = sw.groupBy("term").agg(
+        F.expr("CAST(sum(plen) * 1000000 div count(*) AS BIGINT)").alias(
+            "score_ppm"
+        )
+    )
+    pi = (
+        sw.join(ws, "term")
+        .groupBy("doc_id", "seg")
+        .agg(F.sum("score_ppm").cast("long").alias("psc"))
+    )
+    agg = (
+        ph.join(pi, ["doc_id", "seg"])
+        .groupBy("phrase")
+        .agg(
+            F.max("plen").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("psc").cast("long").alias("score_ppm"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+        .select("phrase", "n_tokens", "n_occurrences", "score_ppm")
+    )
+
+
+q_rake_keywords.__doc__ = q_rake_keywords.__doc__.format(
+    MAXLEN=RAKE_MAX_LEN, K=RAKE_TOP_K
+)

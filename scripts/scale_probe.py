@@ -164,6 +164,9 @@ EXTRA_QUERIES = [
     # round-10 second wave
     "ams_f2_estimate",
     "modularity_communities",
+    "randomized_response_rate",
+    "rake_keywords",
+    "aqp_revenue_estimate",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

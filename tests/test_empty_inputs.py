@@ -172,6 +172,9 @@ EMPTY_SAFE_QUERIES = [
     # round-10 second wave
     "ams_f2_estimate",
     "modularity_communities",
+    "randomized_response_rate",
+    "rake_keywords",
+    "aqp_revenue_estimate",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

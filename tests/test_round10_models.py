@@ -674,3 +674,166 @@ def test_modularity_matches_pure_python_lpa(spark):
         c: (members[c], e_c.get(c, 0), deg_c[c], q_ppm) for c in members
     }
     assert got == want and q_ppm > 0
+
+
+def test_randomized_response_matches_pure_python(spark):
+    """Third derivation of the randomized-response row: replay the md5
+    flip coin, the per-day privatized counts, and the Warner debias in
+    pure Python (float estimator + math.floor, not the SQL text) and
+    compare every output integer bit-for-bit."""
+    from log_analysis_system_spark.queries.data_quality import (
+        RR_KEEP_DEN,
+        RR_KEEP_NUM,
+    )
+
+    e = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_id", "ts", "event_type"]
+    ]
+    days = {}
+    for eid, ts, et in zip(e["event_id"], e["ts"], e["event_type"]):
+        day = pd.Timestamp(ts).date()
+        bit = 1 if et == "purchase" else 0
+        h = int(
+            hashlib.md5(f"rr{int(eid)}".encode()).hexdigest()[:7], 16
+        )
+        keep = h % RR_KEEP_DEN < RR_KEEP_NUM
+        n, r, t = days.get(day, (0, 0, 0))
+        days[day] = (n + 1, r + (bit if keep else 1 - bit), t + bit)
+
+    want = {}
+    for day, (n, r, t) in days.items():
+        est = math.floor(float(4 * r - n) * 1_000_000 / float(2 * n))
+        true = t * 1_000_000 // n
+        want[day] = (n, r, est, true, abs(est - true))
+
+    rows = QUERIES["randomized_response_rate"](spark, SF).collect()
+    got = {
+        r["day"]: (
+            r["n"],
+            r["reported_ones"],
+            r["est_ppm"],
+            r["true_ppm"],
+            r["err_ppm"],
+        )
+        for r in rows
+    }
+    assert got == want and got
+
+
+def test_rake_matches_pure_python(spark):
+    """Third derivation of the RAKE row: pure-Python phrase
+    segmentation (explicit run-splitting on stopwords, not a windowed
+    prefix sum), deg/freq word scores, phrase aggregation — every
+    emitted (phrase, n_tokens, n_occurrences, score_ppm) bit-for-bit."""
+    from collections import Counter, defaultdict
+
+    from log_analysis_system_spark.queries.text_analysis import (
+        _EN_STOPWORDS,
+        RAKE_MAX_LEN,
+        RAKE_TOP_K,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    stop = set(_EN_STOPWORDS)
+    phrases = []  # list of token tuples
+    for text in docs["text"]:
+        run = []
+        for tok in [t for t in text.split(" ") if t]:
+            if tok in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            phrases.append(tuple(run))
+    kept = [p for p in phrases if len(p) <= RAKE_MAX_LEN]
+    freq = Counter()
+    deg = Counter()
+    for p in kept:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    by_phrase = defaultdict(int)
+    for p in kept:
+        by_phrase[p] += 1
+    scored = [
+        (" ".join(p), len(p), n, sum(score[w] for w in p))
+        for p, n in by_phrase.items()
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    want = set(scored[:RAKE_TOP_K])
+
+    got = {
+        (r["phrase"], r["n_tokens"], r["n_occurrences"], r["score_ppm"])
+        for r in QUERIES["rake_keywords"](spark, SF).collect()
+    }
+    assert got == want and len(got) == RAKE_TOP_K
+
+
+def test_aqp_estimate_matches_pure_python(spark):
+    """Third derivation of the AQP row: pure-Python sample membership
+    (md5), HT scale-up, dollar-variance CI — every group row
+    bit-for-bit, and the planted guarantee that the estimator's CI
+    covers the truth for every group at this SF."""
+    from collections import defaultdict
+
+    from log_analysis_system_spark.queries.olap_extras import AQP_PCT
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_extendedprice",
+            "l_discount",
+        ]
+    ]
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # nt, st_c, ns, ss_c, sx2
+    for ok, ln, rf, ls, px, dc in zip(
+        li["l_orderkey"],
+        li["l_linenumber"],
+        li["l_returnflag"],
+        li["l_linestatus"],
+        li["l_extendedprice"],
+        li["l_discount"],
+    ):
+        rev = float(px) * (1.0 - float(dc))
+        # HALF_UP like both engines' round(), not Python's banker's
+        rev_c = int(math.floor(rev * 100 + 0.5))
+        rev_d = int(math.floor(rev + 0.5))
+        h = int(
+            hashlib.md5(f"{int(ok)}-{int(ln)}".encode()).hexdigest()[:7], 16
+        )
+        ins = h % 100 < AQP_PCT
+        a = acc[(rf, ls)]
+        a[0] += 1
+        a[1] += rev_c
+        if ins:
+            a[2] += 1
+            a[3] += rev_c
+            a[4] += rev_d * rev_d
+    scale = 100 // AQP_PCT
+    want = {}
+    for k, (nt, st, ns, ss, sx2) in acc.items():
+        est = ss * scale
+        err = abs(est - st) * 1_000_000 // st
+        covers = abs(est - st) / 100.0 <= 2.0 * math.sqrt(90.0 * float(sx2))
+        want[k] = (ns, ns * scale, nt, est, st, err, covers)
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (
+            r["n_sample"],
+            r["n_est"],
+            r["n_true"],
+            r["sum_est_c"],
+            r["sum_true_c"],
+            r["err_ppm"],
+            r["ci_covers"],
+        )
+        for r in QUERIES["aqp_revenue_estimate"](spark, SF).collect()
+    }
+    assert got == want and got
+    assert all(v[6] for v in want.values())  # CI covers truth everywhere
