@@ -1117,3 +1117,176 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cur").cast("long").alias("peak_concurrency"),
         F.floor(F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+# ---------------------- Holt-Winters additive seasonal smoothing (m = 7)
+
+HW_M = 7  # weekly season register
+
+
+def _hw_sql() -> str:
+    """One WITH RECURSIVE text shared verbatim by both engines (the
+    `holt_forecast_revenue` pattern): the seasonal state rides along as
+    {m} explicit register columns s0..s{m-1}, one of which updates per
+    step (CASE on the step's day-of-series mod {m}) — no arrays, so the
+    recursion stays in plain cross-dialect SQL."""
+    m = HW_M
+    regs = ", ".join(f"CAST(0 AS BIGINT) AS s{k}" for k in range(m))
+    sprev = (
+        "CASE (i.t - 1) % 7 "
+        + " ".join(f"WHEN {k} THEN h.s{k}" for k in range(m))
+        + " END"
+    )
+    supd = ", ".join(
+        f"CAST(CASE WHEN (i.t - 1) % 7 = {k} "
+        f"THEN floor((i.y - lnew + sprev) / 2.0) "
+        f"ELSE h.s{k} END AS BIGINT) AS s{k}"
+        for k in range(m)
+    )
+    snext = (
+        "CASE t % 7 "
+        + " ".join(f"WHEN {k} THEN s{k}" for k in range(m))
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE
+daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+hw AS (
+    SELECT t, day, y, y AS l, CAST(0 AS BIGINT) AS b, {regs}
+    FROM idx WHERE t = 1
+    UNION ALL
+    SELECT i.t, i.day, i.y, lnew, 
+           CAST(floor((lnew - h.l + h.b) / 2.0) AS BIGINT) AS b,
+           {supd}
+    FROM idx i JOIN hw h ON i.t = h.t + 1,
+         LATERAL (SELECT {sprev} AS sprev) sp,
+         LATERAL (SELECT CAST(floor((i.y - sprev + h.l + h.b) / 2.0)
+                          AS BIGINT) AS lnew) ln
+)
+SELECT day, y AS value_milli, l AS level_milli, b AS trend_milli,
+       {snext} AS season_next_milli,
+       l + b + {snext} AS forecast_next_milli
+FROM hw
+"""
+
+
+@query("holt_winters_daily", oracle=_hw_sql())
+def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL smoothing (triple exponential)
+    of the daily events value series with weekly (m={m}) seasonality —
+    completes the smoothing ladder EWMA (`ewma_events`) -> level+trend
+    (`holt_forecast_revenue`) -> level+trend+season:
+    l_t = (y_t - s_(t-m) + l_(t-1) + b_(t-1)) / 2,
+    b_t = (l_t - l_(t-1) + b_(t-1)) / 2,
+    s_t = (y_t - l_t + s_(t-m)) / 2  (alpha = beta = gamma = 1/2,
+    floored integer milli-units; seasonal register zero-initialized —
+    a DEFINED deterministic model, converging within a few weeks like
+    any zero-state exponential smoother). One-step-ahead forecast =
+    l + b + s_(next dow).
+
+    The recurrence is ONE recursive-CTE SQL text run verbatim by both
+    engines; the seasonal lag s_(t-m) rides as {m} explicit register
+    columns, one updated per step. Scale: events reduce to O(days)
+    rows in one hash-agg BEFORE any recursion (reduce first, recurse
+    over the reduced series — the `holt_forecast_revenue` stance); the
+    row_number is over that bounded day table. The observed series is
+    calendar-dense at every tested SF (30/30 days); zero-event days
+    would be true zeros, not gaps."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hw_sql())
+
+
+q_holt_winters_daily.__doc__ = q_holt_winters_daily.__doc__.format(m=HW_M)
+
+
+# ------------------------- Croston intermittent-demand forecasting
+
+
+def _croston_sql(epochday) -> str:
+    """One recurrence body parameterized on the engine's epoch-day
+    idiom (Spark: datediff(col, DATE '1970-01-01'); DuckDB:
+    col - DATE '1970-01-01') — the `_mase_sql` two-dialect trick. All
+    other text is shared verbatim."""
+    return f"""
+WITH RECURSIVE
+dem AS (
+    SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS q_c
+    FROM lineitem GROUP BY 1, 2
+),
+seq AS (
+    SELECT l_partkey, q_c,
+           CAST({epochday('day')} AS BIGINT) AS ed,
+           CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY day)
+                AS BIGINT) AS t
+    FROM dem
+),
+cr AS (
+    SELECT l_partkey, t, q_c AS z_c, CAST(1000 AS BIGINT) AS p_milli
+    FROM seq WHERE t = 1
+    UNION ALL
+    SELECT s.t2 AS l_partkey, s.t3 AS t,
+           CAST(floor((s.t4 + c.z_c) / 2.0) AS BIGINT) AS z_c,
+           CAST(floor((s.t5 + c.p_milli) / 2.0) AS BIGINT) AS p_milli
+    FROM (SELECT a.l_partkey AS t2, a.t AS t3, a.q_c AS t4,
+                 (a.ed - b.ed) * 1000 AS t5
+          FROM seq a JOIN seq b
+            ON b.l_partkey = a.l_partkey AND b.t = a.t - 1) s
+    JOIN cr c ON c.l_partkey = s.t2 AND c.t = s.t3 - 1
+),
+fin AS (
+    SELECT c.l_partkey, c.z_c, c.p_milli, n.n_demands
+    FROM cr c
+    JOIN (SELECT l_partkey, CAST(max(t) AS BIGINT) AS n_demands
+          FROM seq GROUP BY 1) n
+      ON n.l_partkey = c.l_partkey AND c.t = n.n_demands
+)
+SELECT l_partkey, n_demands, z_c, p_milli,
+       CAST(floor(CAST(z_c * 1000 AS DOUBLE) / CAST(p_milli AS DOUBLE))
+            AS BIGINT) AS rate_qc_per_day
+FROM fin
+WHERE p_milli > 0
+"""
+
+
+_CROSTON_DUCK = _croston_sql(lambda c: f"({c} - DATE '1970-01-01')")
+_CROSTON_SPARK = _croston_sql(lambda c: f"datediff({c}, DATE '1970-01-01')")
+
+
+@query("croston_demand_forecast", oracle=_CROSTON_DUCK)
+def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand — the
+    per-part forecaster the smoothing ladder cannot express: a part
+    sells on scattered days, so plain SES over the calendar decays to
+    zero between demands. Croston runs TWO coupled SES recurrences
+    only at demand points — demand size z_t = (q_t + z_(t-1))/2 and
+    inter-demand interval p_t = (gap_t + p_(t-1))/2 (alpha = 1/2,
+    floored integers; p in milli-days, init p_1 = 1 day) — and
+    forecasts the demand RATE z/p per day.
+
+    The per-part sequential recurrence is one recursive-CTE text over
+    the (part, demand-day) table: each recursion step advances EVERY
+    part one demand point (working set = O(parts) rows/step, depth =
+    max demands per part — ~30 at every tested SF since parts scale
+    with lineitem), the reduce-first-recurse-over-the-reduced-series
+    stance of `holt_forecast_revenue`. The only dialect split is the
+    epoch-day idiom, parameterized like `_mase_sql`; everything else
+    is shared verbatim. The closing rate is one floor'd double
+    division written identically in both engines (IEEE-correctly
+    rounded; DuckDB's integer `/` casts to nearest while Spark's
+    truncates, so the plain-integer form would drift by one ulp)."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CROSTON_SPARK)

@@ -167,6 +167,8 @@ EXTRA_QUERIES = [
     "randomized_response_rate",
     "rake_keywords",
     "aqp_revenue_estimate",
+    "holt_winters_daily",
+    "croston_demand_forecast",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

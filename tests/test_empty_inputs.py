@@ -175,6 +175,8 @@ EMPTY_SAFE_QUERIES = [
     "randomized_response_rate",
     "rake_keywords",
     "aqp_revenue_estimate",
+    "holt_winters_daily",
+    "croston_demand_forecast",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -837,3 +837,91 @@ def test_aqp_estimate_matches_pure_python(spark):
     }
     assert got == want and got
     assert all(v[6] for v in want.values())  # CI covers truth everywhere
+
+
+def test_holt_winters_matches_pure_python(spark):
+    """Third derivation of the Holt-Winters row: the triple-smoothing
+    recurrence replayed as a plain Python loop over the daily series
+    (floats + math.floor, a rotating 7-slot seasonal list — not the
+    SQL register CASEs) and compared bit-for-bit."""
+    from log_analysis_system_spark.queries.temporal import HW_M
+
+    e = pd.read_parquet(f"{SF}/events.parquet")[["ts", "value"]]
+    e["day"] = e["ts"].astype("datetime64[us]").dt.date
+    # HALF_UP per-row rounding like round(value*1000) in both engines
+    daily = []
+    for day, g in e.groupby("day"):
+        y = sum(int(math.floor(float(v) * 1000 + 0.5)) for v in g["value"])
+        daily.append((day, y))
+    daily.sort()
+
+    s = [0] * HW_M
+    want = {}
+    for t, (day, y) in enumerate(daily, start=1):
+        if t == 1:
+            level, b = y, 0
+        else:
+            sprev = s[(t - 1) % HW_M]
+            lnew = math.floor((y - sprev + level + b) / 2.0)
+            b = math.floor((lnew - level + b) / 2.0)
+            s[(t - 1) % HW_M] = math.floor((y - lnew + sprev) / 2.0)
+            level = lnew
+        want[day] = (y, level, b, s[t % HW_M], level + b + s[t % HW_M])
+
+    got = {
+        r["day"]: (
+            r["value_milli"],
+            r["level_milli"],
+            r["trend_milli"],
+            r["season_next_milli"],
+            r["forecast_next_milli"],
+        )
+        for r in QUERIES["holt_winters_daily"](spark, SF).collect()
+    }
+    assert got == want and len(got) == 30
+
+
+def test_croston_matches_pure_python(spark):
+    """Third derivation of the Croston row: per-part Python loop over
+    the (day, qty) demand sequence — explicit date arithmetic and the
+    coupled z/p recurrences as float ops + math.floor — compared
+    bit-for-bit for every part."""
+    import datetime as _dt
+    from collections import defaultdict
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_quantity"]
+    ]
+    dem = defaultdict(lambda: defaultdict(int))
+    for pk, sd, q in zip(
+        li["l_partkey"], li["l_shipdate"], li["l_quantity"]
+    ):
+        day = pd.Timestamp(sd).date()
+        dem[int(pk)][day] += int(math.floor(float(q) * 100 + 0.5))
+    epoch = _dt.date(1970, 1, 1)
+    want = {}
+    for pk, byday in dem.items():
+        seq = sorted(byday.items())
+        z = p = None
+        prev_ed = None
+        for i, (day, q) in enumerate(seq, start=1):
+            ed = (day - epoch).days
+            if i == 1:
+                z, p = q, 1000
+            else:
+                z = math.floor((q + z) / 2.0)
+                p = math.floor(((ed - prev_ed) * 1000 + p) / 2.0)
+            prev_ed = ed
+        rate = math.floor(float(z * 1000) / float(p))
+        want[pk] = (len(seq), z, p, rate)
+
+    got = {
+        r["l_partkey"]: (
+            r["n_demands"],
+            r["z_c"],
+            r["p_milli"],
+            r["rate_qc_per_day"],
+        )
+        for r in QUERIES["croston_demand_forecast"](spark, SF).collect()
+    }
+    assert got == want and got
