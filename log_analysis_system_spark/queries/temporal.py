@@ -1290,3 +1290,132 @@ def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_CROSTON_SPARK)
+
+
+# -------------------- Kleinberg-style two-state burst detection (Viterbi)
+
+BURST_S_LN_MICRO = 48_790  # floor(ln(1.05) * 1e6): burst rate = 1.05x base
+BURST_GAMMA_MICRO = 500_000  # cost of entering the burst state
+
+_BURST_EM_BODY = f"""
+daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+par AS (
+    SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS tot
+    FROM daily
+),
+idx AS (
+    SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+burst_em AS (
+    SELECT i.t, i.day, i.x,
+           CAST(floor(CAST(p.tot * 50000 AS DOUBLE) / CAST(p.d AS DOUBLE))
+                AS BIGINT) - i.x * {BURST_S_LN_MICRO} AS d1
+    FROM idx i CROSS JOIN par p
+)"""
+
+_BURST_FWD_BODY = f"""
+burst_fwd AS (
+    SELECT t, day, x, d1,
+           CAST(0 AS BIGINT) AS c0,
+           CAST({BURST_GAMMA_MICRO} + d1 AS BIGINT) AS c1,
+           CAST(0 AS BIGINT) AS p0, CAST(0 AS BIGINT) AS p1
+    FROM burst_em WHERE t = 1
+    UNION ALL
+    SELECT e.t, e.day, e.x, e.d1,
+           CAST(CASE WHEN f.c0 <= f.c1 THEN f.c0 ELSE f.c1 END AS BIGINT),
+           CAST(CASE WHEN f.c0 + {BURST_GAMMA_MICRO} <= f.c1
+                     THEN f.c0 + {BURST_GAMMA_MICRO} ELSE f.c1 END
+                + e.d1 AS BIGINT),
+           CAST(CASE WHEN f.c0 <= f.c1 THEN 0 ELSE 1 END AS BIGINT),
+           CAST(CASE WHEN f.c0 + {BURST_GAMMA_MICRO} <= f.c1
+                     THEN 0 ELSE 1 END AS BIGINT)
+    FROM burst_em e JOIN burst_fwd f ON e.t = f.t + 1
+)"""
+
+_BURST_BWD_BODY = """
+fin AS (SELECT max(t) AS tmax FROM burst_fwd),
+bwd AS (
+    SELECT f.t,
+           CAST(CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END AS BIGINT) AS st
+    FROM burst_fwd f CROSS JOIN fin WHERE f.t = fin.tmax
+    UNION ALL
+    SELECT b.t - 1,
+           CAST(CASE WHEN b.st = 1 THEN f2.p1 ELSE f2.p0 END AS BIGINT)
+    FROM bwd b JOIN burst_fwd f2 ON f2.t = b.t
+    WHERE b.t > 1
+)"""
+
+_BURST_TAIL = """
+SELECT f.day, f.x, f.d1 AS burst_margin_micro, f.c0, f.c1,
+       b.st AS in_burst
+FROM burst_fwd f JOIN bwd b ON b.t = f.t"""
+
+# DuckDB materializes CTEs, so the oracle is the whole thing as one text.
+_BURST_ORACLE = (
+    "WITH RECURSIVE "
+    + _BURST_EM_BODY.strip()
+    + ",\n"
+    + _BURST_FWD_BODY.strip()
+    + ",\n"
+    + _BURST_BWD_BODY.strip()
+    + "\n"
+    + _BURST_TAIL
+)
+
+
+@query("burst_detection_days", oracle=_BURST_ORACLE)
+def q_burst_detection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst detection (Kleinberg, KDD 2002; 2-state
+    automaton form) over the daily event-count series: a baseline state
+    emitting at the global mean rate r0 and a burst state at 1.05x r0,
+    with a {G} micro-nat charge for ENTERING the burst — the optimal
+    state sequence (min total cost) labels each day in/out of burst.
+    Where CUSUM (`cusum_change_point`) finds the single largest level
+    shift and XmR flags isolated outlier days, the burst automaton
+    finds contiguous EPISODES with a switching penalty — sustained
+    small excursions count, single spikes do not.
+
+    Exactness: emission-cost DIFFERENCES are what Viterbi needs, and
+    for Poisson rates r0 vs s*r0 the difference is
+    (s-1)*r0 - x*ln(s) per day — ln(s) enters only as the PINNED
+    integer literal {LNS} micro-nats baked into the shared SQL text
+    (no runtime ln; the one division is an IEEE-exact floor'd double).
+    Forward pass AND backtrack are both recursions over the bounded
+    O(days) table: forward carries (cost0, cost1, parent0, parent1),
+    backward walks parent pointers from the cheaper final state
+    (ties prefer baseline). Scale: events reduce to O(days) in one
+    hash-agg before any recursion — the reduce-first stance of the
+    forecasting family."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    # Spark INLINES CTEs instead of materializing them, so referencing
+    # the forward recursion from inside the backward recursion would
+    # re-expand it per backtrack step (O(days^2) recursive plans — it
+    # never finishes), and each forward step would re-expand the
+    # events aggregation (measured 25 s for a 30-step recursion).
+    # Materialize the O(days) emission table and the forward pass once,
+    # then run the SAME backward text over the materialized views;
+    # DuckDB materializes CTEs natively, so the oracle keeps the single
+    # combined text built from the identical bodies.
+    em = spark.sql(
+        "WITH " + _BURST_EM_BODY.strip() + " SELECT * FROM burst_em"
+    ).localCheckpoint()
+    em.createOrReplaceTempView("burst_em")
+    fwd = spark.sql(
+        "WITH RECURSIVE " + _BURST_FWD_BODY.strip()
+        + " SELECT * FROM burst_fwd"
+    ).localCheckpoint()
+    fwd.createOrReplaceTempView("burst_fwd")
+    return spark.sql(
+        "WITH RECURSIVE " + _BURST_BWD_BODY.strip() + _BURST_TAIL
+    )
+
+
+q_burst_detection_days.__doc__ = q_burst_detection_days.__doc__.format(
+    G=BURST_GAMMA_MICRO, LNS=BURST_S_LN_MICRO
+)

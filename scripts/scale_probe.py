@@ -169,6 +169,7 @@ EXTRA_QUERIES = [
     "aqp_revenue_estimate",
     "holt_winters_daily",
     "croston_demand_forecast",
+    "burst_detection_days",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -177,6 +177,7 @@ EMPTY_SAFE_QUERIES = [
     "aqp_revenue_estimate",
     "holt_winters_daily",
     "croston_demand_forecast",
+    "burst_detection_days",
 ]
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the

@@ -392,6 +392,8 @@ BOUNDED_FRAME_WINDOWS = {
     "holt_forecast_revenue": "recurrence over the per-MONTH revenue series",
     "holt_winters_daily": "recurrence over the per-DAY value series "
     "(calendar-bounded; events collapse to days first)",
+    "burst_detection_days": "Viterbi recursion over the per-DAY count "
+    "series (calendar-bounded; events collapse to days first)",
     "key_skew_profile": "cumulative window over the counts-of-counts "
     "histogram (O(distinct per-key counts))",
     "ks_drift": "CDF prefix over the bounded value-grid histogram "

@@ -925,3 +925,55 @@ def test_croston_matches_pure_python(spark):
         for r in QUERIES["croston_demand_forecast"](spark, SF).collect()
     }
     assert got == want and got
+
+
+def test_burst_viterbi_matches_pure_python(spark):
+    """Third derivation of the burst row: plain-Python two-state
+    Viterbi (forward min-plus loop + explicit backtrack over parent
+    pointers) over the daily counts — every (day, x, margin, c0, c1,
+    in_burst) bit-for-bit, and the labels must form the optimal state
+    sequence of the defined automaton."""
+    from collections import Counter
+
+    from log_analysis_system_spark.queries.temporal import (
+        BURST_GAMMA_MICRO,
+        BURST_S_LN_MICRO,
+    )
+
+    e = pd.read_parquet(f"{SF}/events.parquet")[["ts"]]
+    days = Counter(pd.Timestamp(t).date() for t in e["ts"])
+    seq = sorted(days.items())
+    D, T = len(seq), sum(days.values())
+    base = math.floor(float(T * 50000) / float(D))
+    d1s = [base - x * BURST_S_LN_MICRO for _, x in seq]
+    G = BURST_GAMMA_MICRO
+    c0, c1 = 0, G + d1s[0]
+    trace = [(c0, c1, 0, 0)]
+    for d1 in d1s[1:]:
+        p0 = 0 if c0 <= c1 else 1
+        p1 = 0 if c0 + G <= c1 else 1
+        n0 = min(c0, c1)
+        n1 = min(c0 + G, c1) + d1
+        trace.append((n0, n1, p0, p1))
+        c0, c1 = n0, n1
+    st = 1 if c1 < c0 else 0
+    labels = [0] * D
+    labels[D - 1] = st
+    for t in range(D - 1, 0, -1):
+        st = trace[t][3] if st == 1 else trace[t][2]
+        labels[t - 1] = st
+    want = {
+        seq[t][0]: (seq[t][1], d1s[t], trace[t][0], trace[t][1], labels[t])
+        for t in range(D)
+    }
+    got = {
+        r["day"]: (
+            r["x"],
+            r["burst_margin_micro"],
+            r["c0"],
+            r["c1"],
+            r["in_burst"],
+        )
+        for r in QUERIES["burst_detection_days"](spark, SF).collect()
+    }
+    assert got == want and len(got) == 30
