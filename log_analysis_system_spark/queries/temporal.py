@@ -11,6 +11,8 @@ identical session indices and interval bounds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1212,36 +1214,40 @@ q_holt_winters_daily.__doc__ = q_holt_winters_daily.__doc__.format(m=HW_M)
 # ------------------------- Croston intermittent-demand forecasting
 
 
-def _croston_sql(epochday) -> str:
-    """One recurrence body parameterized on the engine's epoch-day
+def _croston_seq_sql(epochday) -> str:
+    """The demand-sequence reduction (part x demand-day, epoch day,
+    per-part sequence index) — parameterized on the engine's epoch-day
     idiom (Spark: datediff(col, DATE '1970-01-01'); DuckDB:
-    col - DATE '1970-01-01') — the `_mase_sql` two-dialect trick. All
-    other text is shared verbatim."""
+    col - DATE '1970-01-01'), the `_mase_sql` two-dialect trick."""
     return f"""
-WITH RECURSIVE
 dem AS (
     SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                AS q_c
     FROM lineitem GROUP BY 1, 2
 ),
-seq AS (
+croston_seq AS (
     SELECT l_partkey, q_c,
            CAST({epochday('day')} AS BIGINT) AS ed,
            CAST(row_number() OVER (PARTITION BY l_partkey ORDER BY day)
                 AS BIGINT) AS t
     FROM dem
-),
+)"""
+
+
+# Recursion + final select over croston_seq — shared verbatim by both
+# engines (no dialect tokens).
+_CROSTON_REC = """
 cr AS (
     SELECT l_partkey, t, q_c AS z_c, CAST(1000 AS BIGINT) AS p_milli
-    FROM seq WHERE t = 1
+    FROM croston_seq WHERE t = 1
     UNION ALL
     SELECT s.t2 AS l_partkey, s.t3 AS t,
            CAST(floor((s.t4 + c.z_c) / 2.0) AS BIGINT) AS z_c,
            CAST(floor((s.t5 + c.p_milli) / 2.0) AS BIGINT) AS p_milli
     FROM (SELECT a.l_partkey AS t2, a.t AS t3, a.q_c AS t4,
                  (a.ed - b.ed) * 1000 AS t5
-          FROM seq a JOIN seq b
+          FROM croston_seq a JOIN croston_seq b
             ON b.l_partkey = a.l_partkey AND b.t = a.t - 1) s
     JOIN cr c ON c.l_partkey = s.t2 AND c.t = s.t3 - 1
 ),
@@ -1249,19 +1255,25 @@ fin AS (
     SELECT c.l_partkey, c.z_c, c.p_milli, n.n_demands
     FROM cr c
     JOIN (SELECT l_partkey, CAST(max(t) AS BIGINT) AS n_demands
-          FROM seq GROUP BY 1) n
+          FROM croston_seq GROUP BY 1) n
       ON n.l_partkey = c.l_partkey AND c.t = n.n_demands
 )
 SELECT l_partkey, n_demands, z_c, p_milli,
        CAST(floor(CAST(z_c * 1000 AS DOUBLE) / CAST(p_milli AS DOUBLE))
             AS BIGINT) AS rate_qc_per_day
 FROM fin
-WHERE p_milli > 0
-"""
+WHERE p_milli > 0"""
 
 
-_CROSTON_DUCK = _croston_sql(lambda c: f"({c} - DATE '1970-01-01')")
-_CROSTON_SPARK = _croston_sql(lambda c: f"datediff({c}, DATE '1970-01-01')")
+_CROSTON_DUCK = (
+    "WITH RECURSIVE "
+    + _croston_seq_sql(lambda c: f"({c} - DATE '1970-01-01')").strip()
+    + ",\n"
+    + _CROSTON_REC.strip()
+)
+_CROSTON_SEQ_SPARK = _croston_seq_sql(
+    lambda c: f"datediff({c}, DATE '1970-01-01')"
+)
 
 
 @query("croston_demand_forecast", oracle=_CROSTON_DUCK)
@@ -1275,21 +1287,69 @@ def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored integers; p in milli-days, init p_1 = 1 day) — and
     forecasts the demand RATE z/p per day.
 
-    The per-part sequential recurrence is one recursive-CTE text over
-    the (part, demand-day) table: each recursion step advances EVERY
-    part one demand point (working set = O(parts) rows/step, depth =
-    max demands per part — ~30 at every tested SF since parts scale
-    with lineitem), the reduce-first-recurse-over-the-reduced-series
-    stance of `holt_forecast_revenue`. The only dialect split is the
-    epoch-day idiom, parameterized like `_mase_sql`; everything else
-    is shared verbatim. The closing rate is one floor'd double
-    division written identically in both engines (IEEE-correctly
-    rounded; DuckDB's integer `/` casts to nearest while Spark's
-    truncates, so the plain-integer form would drift by one ulp)."""
-    from ..sources.catalog import register_views
+    Execution shape: unlike the single-series recurrences (`holt_*`,
+    `burst_detection_days`) this is MANY independent short recurrences
+    — one per part — which is exactly the grouped `applyInPandas`
+    case: lineitem reduces to the (part, demand-day, qty) table in one
+    hash-agg, then ONE shuffle by part runs the exact-integer Python
+    loop group-locally (Arrow-batched; sequences are ~30 points). The
+    recursive-CTE formulation was measured 45-127 s at sf0.1 because
+    every recursion step rejoins the FULL gap table (Spark re-expands
+    inlined CTEs per step); the grouped form is 7.7 s and is the shape
+    that scales — group-local sequential work, embarrassingly parallel
+    across parts. The ORACLE keeps the recursive-CTE text (DuckDB
+    materializes CTEs), so the two engines derive the same integers
+    through genuinely different execution strategies. The closing rate
+    is floor'd double division in both (IEEE-correctly rounded;
+    DuckDB's integer `/` casts to nearest while Spark's truncates)."""
+    import pandas as pd
 
-    register_views(spark, sf_dir)
-    return spark.sql(_CROSTON_SPARK)
+    dem = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy(
+            "l_partkey", F.col("l_shipdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("q_c")
+        )
+        .select(
+            "l_partkey",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("ed"),
+            "q_c",
+        )
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ed")
+        z = p = prev = None
+        for ed, q in zip(pdf["ed"], pdf["q_c"]):
+            ed, q = int(ed), int(q)
+            if z is None:
+                z, p = q, 1000
+            else:
+                z = math.floor((q + z) / 2.0)
+                p = math.floor(((ed - prev) * 1000 + p) / 2.0)
+            prev = ed
+        rate = math.floor(float(z * 1000) / float(p))
+        return pd.DataFrame(
+            {
+                "l_partkey": [int(pdf["l_partkey"].iloc[0])],
+                "n_demands": [len(pdf)],
+                "z_c": [z],
+                "p_milli": [p],
+                "rate_qc_per_day": [rate],
+            }
+        )
+
+    return dem.groupBy("l_partkey").applyInPandas(
+        fit,
+        "l_partkey long, n_demands long, z_c long, p_milli long,"
+        " rate_qc_per_day long",
+    )
 
 
 # -------------------- Kleinberg-style two-state burst detection (Viterbi)
