@@ -141,6 +141,15 @@ BENCH_QUERIES = [
     "bloom_prefiltered_join",
     "nb_lang_confusion",
     "join_order_advisor",
+    # round-10 second wave
+    "ams_f2_estimate",
+    "modularity_communities",
+    "randomized_response_rate",
+    "rake_keywords",
+    "aqp_revenue_estimate",
+    "holt_winters_daily",
+    "croston_demand_forecast",
+    "burst_detection_days",
 ]
 
 # Timings produced by the bench_* lifecycle helpers rather than registered
