@@ -1380,11 +1380,16 @@ def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 BURST_S_LN_MICRO = 48_790  # floor(ln(1.05) * 1e6): burst rate = 1.05x base
 BURST_GAMMA_MICRO = 500_000  # cost of entering the burst state
 
-_BURST_EM_BODY = f"""
+_BURST_DAILY_SQL = """
 daily AS (
     SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
     FROM events GROUP BY 1
-),
+)"""
+
+# par/idx/em over a `daily` relation — shared by the batch query (daily
+# from events) and the streaming monitor's serve path (daily = merged
+# count partials); the scoring automaton cannot drift between tiers.
+_BURST_EM_TAIL = f"""
 par AS (
     SELECT CAST(count(*) AS BIGINT) AS d, CAST(sum(x) AS BIGINT) AS tot
     FROM daily
@@ -1440,7 +1445,9 @@ FROM burst_fwd f JOIN bwd b ON b.t = f.t"""
 # DuckDB materializes CTEs, so the oracle is the whole thing as one text.
 _BURST_ORACLE = (
     "WITH RECURSIVE "
-    + _BURST_EM_BODY.strip()
+    + _BURST_DAILY_SQL.strip()
+    + ",\n"
+    + _BURST_EM_TAIL.strip()
     + ",\n"
     + _BURST_FWD_BODY.strip()
     + ",\n"
@@ -1448,6 +1455,32 @@ _BURST_ORACLE = (
     + "\n"
     + _BURST_TAIL
 )
+
+
+def burst_label_days(daily_df) -> DataFrame:
+    """Run the two-state burst automaton over a (day, x) daily-count
+    frame — the SHARED scoring body of the batch `burst_detection_days`
+    query and the streaming monitor's `serve_burst` (the counts are
+    additive partials, so the streamed merge feeds the identical
+    automaton). Materializes the O(days) emission table and the
+    forward pass before each recursion (Spark re-expands inlined CTEs
+    per step — see the query docstring)."""
+    spark = daily_df.sparkSession
+    daily_df.createOrReplaceTempView("burst_daily")
+    em = spark.sql(
+        "WITH daily AS (SELECT day, x FROM burst_daily),\n"
+        + _BURST_EM_TAIL.strip()
+        + " SELECT * FROM burst_em"
+    ).localCheckpoint()
+    em.createOrReplaceTempView("burst_em")
+    fwd = spark.sql(
+        "WITH RECURSIVE " + _BURST_FWD_BODY.strip()
+        + " SELECT * FROM burst_fwd"
+    ).localCheckpoint()
+    fwd.createOrReplaceTempView("burst_fwd")
+    return spark.sql(
+        "WITH RECURSIVE " + _BURST_BWD_BODY.strip() + _BURST_TAIL
+    )
 
 
 @query("burst_detection_days", oracle=_BURST_ORACLE)
@@ -1485,18 +1518,8 @@ def q_burst_detection_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then run the SAME backward text over the materialized views;
     # DuckDB materializes CTEs natively, so the oracle keeps the single
     # combined text built from the identical bodies.
-    em = spark.sql(
-        "WITH " + _BURST_EM_BODY.strip() + " SELECT * FROM burst_em"
-    ).localCheckpoint()
-    em.createOrReplaceTempView("burst_em")
-    fwd = spark.sql(
-        "WITH RECURSIVE " + _BURST_FWD_BODY.strip()
-        + " SELECT * FROM burst_fwd"
-    ).localCheckpoint()
-    fwd.createOrReplaceTempView("burst_fwd")
-    return spark.sql(
-        "WITH RECURSIVE " + _BURST_BWD_BODY.strip() + _BURST_TAIL
-    )
+    daily = spark.sql("WITH " + _BURST_DAILY_SQL.strip() + " SELECT * FROM daily")
+    return burst_label_days(daily)
 
 
 q_burst_detection_days.__doc__ = q_burst_detection_days.__doc__.format(

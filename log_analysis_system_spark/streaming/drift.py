@@ -257,3 +257,30 @@ def w1_monitor(stream_df: DataFrame, store_dir: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# --------------------------------- streaming burst monitor (Viterbi serve)
+
+def serve_burst(spark, store_dir: str):
+    """Merge the streamed daily-count partials (the `daily_counts`
+    store the CUSUM monitor already writes — counts are additive, so
+    the same partials feed both monitors) and run the SAME two-state
+    Viterbi scoring body the batch `burst_detection_days` query uses
+    (`temporal.burst_label_days`) — the continuously-updatable "are we
+    inside a burst episode" monitor. State is O(days), never
+    O(events)."""
+    from ..queries.temporal import burst_label_days
+
+    broot = os.path.join(store_dir, "daily")
+    dirs = [
+        os.path.join(broot, d)
+        for d in sorted(os.listdir(broot))
+        if d.startswith("batch=")
+    ]
+    if not dirs:
+        raise FileNotFoundError(f"no daily partials under {store_dir}")
+    parts = spark.read.parquet(*dirs)
+    daily = parts.groupBy("d").agg(F.sum("x").cast("long").alias("x")).select(
+        F.col("d").alias("day"), "x"
+    )
+    return burst_label_days(daily)

@@ -196,3 +196,28 @@ def test_streamed_w1_equals_batch_query(spark, tmp_path):
     )
     vs_ref = serve_w1(spark, store, ref).collect()
     assert len(vs_ref) == 20 and all(r["w1_milli"] >= 0 for r in vs_ref)
+
+
+def test_streamed_burst_labels_equal_batch_query(spark, tmp_path):
+    """The served burst labels over streamed daily-count partials must
+    EQUAL the batch burst_detection_days query — daily counts are
+    additive across micro-batches (same-day partials merge exactly) and
+    the Viterbi scoring body (temporal.burst_label_days) is shared, so
+    only the partial-merge path is under test."""
+    from log_analysis_system_spark.streaming.drift import (
+        append_daily_batch,
+        serve_burst,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    store = str(tmp_path / "store")
+    # split by event parity so every DAY straddles both batches
+    append_daily_batch(ev.where(F.col("event_id") % 2 == 0), store, 0)
+    append_daily_batch(ev.where(F.col("event_id") % 2 == 1), store, 1)
+
+    served = {tuple(r) for r in serve_burst(spark, store).collect()}
+    batch = {
+        tuple(r)
+        for r in QUERIES["burst_detection_days"](spark, SF_DIR).collect()
+    }
+    assert served == batch and served
