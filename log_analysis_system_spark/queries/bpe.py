@@ -235,10 +235,29 @@ def train_bpe(
 
 # --------------------------------------------------------------- oracle SQL
 
-def _train_ctes(n_merges: int, doc_filter: str = "TRUE") -> str:
+def _best_bpe_sql(r: int, p: int) -> str:
+    """BPE merge pick: argmax pair count, (a, b) tiebreak."""
+    return f"""
+best{r} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, syms[i] AS a, syms[i+1] AS b
+        FROM (SELECT freq, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM v{p}))
+  GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+
+
+def _train_ctes(
+    n_merges: int, doc_filter: str = "TRUE", best_sql=_best_bpe_sql
+) -> str:
     """Unrolled materialized-CTE training recurrence (DuckDB).
     ``doc_filter``: SQL predicate over documents rows selecting the
-    training split."""
+    training split. ``best_sql(r, p)``: the merge-selection CTE —
+    BPE's count argmax by default; WordPiece passes its
+    likelihood-score argmax. The merge APPLICATION (flat/kept/v)
+    is selection-agnostic and shared."""
     parts = [
         f"""
 w0 AS MATERIALIZED (
@@ -257,16 +276,8 @@ v0 AS MATERIALIZED (
     ]
     for r in range(1, n_merges + 1):
         p = r - 1
+        parts.append(best_sql(r, p).strip())
         parts.append(f"""
-best{r} AS MATERIALIZED (
-  SELECT a, b, a || b AS ab, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM (SELECT freq, syms[i] AS a, syms[i+1] AS b
-        FROM (SELECT freq, syms,
-                     unnest(generate_series(1, len(syms) - 1)) AS i
-              FROM v{p}))
-  GROUP BY a, b
-  ORDER BY cnt DESC, a, b LIMIT 1
-),
 flat{r} AS MATERIALIZED (
   SELECT word, freq, unnest(generate_series(1, len(syms))) AS pos, syms
   FROM v{p}
@@ -708,3 +719,156 @@ def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token_ppm"),
         )
     )
+
+
+# ------------------------------------------------------ WordPiece trainer
+
+WP_MERGES = 10
+
+# Likelihood score, identical text in both engines (IEEE-exact: each
+# operand converts exactly to double at every tested corpus size;
+# a 100 TB corpus moves to the cross-multiplied bigint compare).
+_WP_SCORE = (
+    "CAST(floor(CAST(cnt AS DOUBLE) * 1000000000"
+    " / CAST(ca AS DOUBLE) / CAST(cb AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _best_wp_sql(r: int, p: int) -> str:
+    """WordPiece merge pick: argmax of count(ab)/(count(a)*count(b))
+    as a ppb-floored integer score, (a, b) tiebreak. Symbol counts are
+    occurrence-weighted over the CURRENT vocab state."""
+    return f"""
+best{r} AS MATERIALIZED (
+  SELECT a, b, a || b AS ab, cnt, {_WP_SCORE} AS score
+  FROM (
+    SELECT pc.a, pc.b, pc.cnt, sa.cs AS ca, sb.cs AS cb
+    FROM (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms[i] AS a, syms[i+1] AS b
+            FROM (SELECT freq, syms,
+                         unnest(generate_series(1, len(syms) - 1)) AS i
+                  FROM v{p}))
+      GROUP BY a, b
+    ) pc
+    JOIN (
+      SELECT s, CAST(sum(freq) AS BIGINT) AS cs
+      FROM (SELECT freq, unnest(syms) AS s FROM v{p})
+      GROUP BY s
+    ) sa ON sa.s = pc.a
+    JOIN (
+      SELECT s, CAST(sum(freq) AS BIGINT) AS cs
+      FROM (SELECT freq, unnest(syms) AS s FROM v{p})
+      GROUP BY s
+    ) sb ON sb.s = pc.b
+  )
+  ORDER BY score DESC, a, b LIMIT 1
+)"""
+
+
+_WP_TAIL = "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS BIGINT) AS rank, a AS sym_a, b AS sym_b, "
+    f"ab AS merged, cnt AS pair_count, score AS score_ppb FROM best{r}"
+    for r in range(1, WP_MERGES + 1)
+)
+
+
+def train_wordpiece(
+    vocab: DataFrame, n_merges: int = WP_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """Run n_merges WordPiece merges; returns (merge list, final vocab).
+
+    Same distributed loop shape as ``train_bpe`` (pair-count hash-agg +
+    1-row collect per round, greedy-leftmost fold application, one
+    localCheckpoint per round) with the WordPiece SELECTION rule: the
+    merged pair maximizes count(ab) / (count(a) * count(b)) — the
+    likelihood gain of the merge under a unigram symbol model (Schuster
+    & Nakajima 2012; the scoring used by the public WordPiece trainers)
+    — instead of raw count. Symbol counts are occurrence-weighted sums
+    over the current vocab, computed in the same round's second
+    hash-agg. The score is the ppb-floored integer ``_WP_SCORE`` with
+    (a, b) tiebreak, so the pick is total-ordered and engine-exact."""
+    v = vocab.localCheckpoint()
+    merges: list[tuple] = []
+    while len(merges) < n_merges:
+        pairs = v.where(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) as a, "
+                    "element_at(syms, i + 1) as b))"
+                )
+            ).alias("p"),
+        )
+        counted = pairs.groupBy("p.a", "p.b").agg(
+            F.sum("freq").cast("long").alias("cnt")
+        )
+        syms = (
+            v.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("long").alias("cs"))
+        )
+        best = (
+            counted.join(
+                syms.select(F.col("s").alias("a"), F.col("cs").alias("ca")),
+                "a",
+            )
+            .join(
+                syms.select(F.col("s").alias("b"), F.col("cs").alias("cb")),
+                "b",
+            )
+            .select("a", "b", "cnt", F.expr(_WP_SCORE).alias("score"))
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"WordPiece round {len(merges) + 1}: no adjacent pairs "
+                f"left to merge (vocab collapsed before n_merges="
+                f"{n_merges})"
+            )
+        row = best[0]
+        a, b, cnt, score = row["a"], row["b"], int(row["cnt"]), int(row["score"])
+        merges.append((len(merges) + 1, a, b, a + b, cnt, score))
+        v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
+        v = v.localCheckpoint()
+    return merges, v
+
+
+@query(
+    "wordpiece_vocab_train",
+    oracle=_train_ctes(WP_MERGES, best_sql=_best_wp_sql) + "\n" + _WP_TAIL,
+)
+def q_wordpiece_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {N} WordPiece merges over the documents corpus; emits the
+    learned merge table (rank, sym_a, sym_b, merged, pair_count,
+    score_ppb) — the third tokenizer trainer next to BPE (count-argmax
+    merges) and the unigram LM (EM pruning): WordPiece keeps BPE's
+    greedy bottom-up merging but scores candidates by likelihood gain
+    count(ab)/(count(a)*count(b)), preferring pairs that co-occur more
+    than their parts predict rather than merely frequent ones. The
+    behavioral split is textbook on this corpus: BPE's first merge is
+    ('e', 'r') at 4568 occurrences (the most frequent bigram), while
+    WordPiece's is ('q', 'u') at 871 — 'q' is rare but ALWAYS followed
+    by 'u', the maximal likelihood ratio.
+
+    Scale shape inherited from `train_bpe`: the corpus is touched once
+    (word-frequency vocab); each round is two hash-aggs over the
+    word-symbol table + one 1-row collect; merge application is the
+    zero-shuffle codegen'd fold; lineage truncated per round. The
+    oracle shares `_train_ctes`' merge-application recurrence verbatim
+    with the BPE oracle — only the best{{r}} selection CTE differs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _ = train_wordpiece(word_vocab(docs), WP_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank long, sym_a string, sym_b string, merged string, "
+        "pair_count long, score_ppb long",
+    )
+
+
+q_wordpiece_vocab_train.__doc__ = q_wordpiece_vocab_train.__doc__.format(
+    N=WP_MERGES
+)

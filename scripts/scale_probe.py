@@ -170,6 +170,7 @@ EXTRA_QUERIES = [
     "holt_winters_daily",
     "croston_demand_forecast",
     "burst_detection_days",
+    "wordpiece_vocab_train",
 ]
 
 # Superlinear BY DESIGN, with the reason the slope is acceptable.

@@ -344,3 +344,92 @@ def test_tokenizer_fertility_audit_exact_counts(spark, tmp_path):
     assert a["chars_per_token_ppm"] == 27 * 1_000_000 // a["n_tokens"]
     assert (b["n_words"], b["n_chars"]) == (2, 16)
     assert b["n_tokens"] == 2 * syms["stuvwxyz"]
+
+
+# ------------------------------------------------------- WordPiece
+
+
+def ref_wordpiece(word_freqs: dict[str, int], n_merges: int):
+    """Canonical reference: the WordPiece selection loop in plain
+    Python — occurrence-weighted symbol counts, ppb-floored likelihood
+    score with float division + math.floor (not the SQL text), greedy
+    leftmost application shared with ref_bpe."""
+    import math
+
+    vocab = {w: tuple(list(w) + [END_MARK]) for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        syms_cnt: dict[str, int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for s in syms:
+                syms_cnt[s] = syms_cnt.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        scored = {
+            p: math.floor(
+                float(c) * 1e9 / float(syms_cnt[p[0]]) / float(syms_cnt[p[1]])
+            )
+            for p, c in counts.items()
+        }
+        (a, b), score = min(
+            scored.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, a, b, a + b, counts[(a, b)], score))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_wordpiece_matches_reference(spark):
+    """WordPiece picks likelihood, not frequency: in this fixture 'xy'
+    occurs 4 times while 'ab' occurs 12, but x and y occur ONLY
+    together, so WordPiece merges ('x','y') first where BPE merges
+    ('a','b') — pinned against the pure-Python reference loop."""
+    from log_analysis_system_spark.queries.bpe import train_wordpiece
+
+    wf = {"abab": 6, "xyxy": 2, "aqb": 3}
+    exp_merges, exp_vocab = ref_wordpiece(wf, 4)
+    got_merges, got_final = train_wordpiece(_spark_vocab(spark, wf), 4)
+    assert got_merges == exp_merges
+    got_vocab = {r["word"]: tuple(r["syms"]) for r in got_final.collect()}
+    assert got_vocab == exp_vocab
+    # the behavioral split vs BPE
+    bpe_merges, _ = ref_bpe(wf, 1)
+    assert bpe_merges[0][1:3] == ("a", "b")
+    assert exp_merges[0][1:3] == ("x", "y")
+
+
+def test_wordpiece_matches_reference_on_driver_docs(spark):
+    """Full-corpus pin at sf0.001: every merge row bit-for-bit."""
+    import pandas as pd
+
+    from log_analysis_system_spark.queries.bpe import (
+        WP_MERGES,
+        train_wordpiece,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    wf: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    exp_merges, _ = ref_wordpiece(wf, WP_MERGES)
+    sdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from log_analysis_system_spark.queries.bpe import word_vocab
+
+    got_merges, _ = train_wordpiece(word_vocab(sdocs), WP_MERGES)
+    assert got_merges == exp_merges

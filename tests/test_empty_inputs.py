@@ -182,6 +182,8 @@ EMPTY_SAFE_QUERIES = [
 # NOT empty-safe by design: tokenizer_fertility_audit trains BPE merges
 # first, and train_bpe raises on a corpus with no mergeable pairs (the
 # documented bpe_vocab_train contract) — an empty corpus hits that gate.
+# wordpiece_vocab_train shares the contract (train_wordpiece raises the
+# same loud ValueError instead of emitting an empty merge table).
 
 
 @pytest.fixture(scope="module")
