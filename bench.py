@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "holt_winters_daily",
     "croston_demand_forecast",
     "burst_detection_days",
+    "wordpiece_vocab_train",
 ]
 
 # Timings produced by the bench_* lifecycle helpers rather than registered
