@@ -390,10 +390,10 @@ BOUNDED_FRAME_WINDOWS = {
     "forecast_backtest_mase": "rolling-origin lags/prefix means over the "
     "per-DAY revenue series (calendar-bounded; raw scan collapses first)",
     "holt_forecast_revenue": "recurrence over the per-MONTH revenue series",
-    "holt_winters_daily": "recurrence over the per-DAY value series "
-    "(calendar-bounded; events collapse to days first)",
-    "burst_detection_days": "Viterbi recursion over the per-DAY count "
-    "series (calendar-bounded; events collapse to days first)",
+    # holt_winters_daily and burst_detection_days left the list when the
+    # round-10 mid-build refactors (576ddf9 materialized the Holt-Winters
+    # index table; c8acbb6 moved Viterbi scoring into the shared
+    # batch/stream body) removed their order-only windows.
     "key_skew_profile": "cumulative window over the counts-of-counts "
     "histogram (O(distinct per-key counts))",
     "ks_drift": "CDF prefix over the bounded value-grid histogram "
