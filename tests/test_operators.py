@@ -703,8 +703,7 @@ def test_pq_index_build_and_serve(spark, tmp_path):
     )
     from log_analysis_system_spark.queries.similarity_pq import (
         _pq_adc_topk,
-        _pq_codes_expr,
-        _pq_literals,
+        _pq_codes_udf,
         build_pq_index,
         search_pq_index,
         train_pq_codebooks,
@@ -721,8 +720,7 @@ def test_pq_index_build_and_serve(spark, tmp_path):
 
     cb_rows = train_pq_codebooks(vecs).collect()
     q_rows = queries.collect()
-    cb_sql = _pq_literals(cb_rows, q_rows)[0]
-    codes_df = vecs.withColumn("codes", F.expr(_pq_codes_expr(cb_sql)))
+    codes_df = vecs.withColumn("codes", _pq_codes_udf(cb_rows)("e"))
     inline = {
         tuple(r)
         for r in _pq_adc_topk(codes_df, vecs, cb_rows, q_rows).collect()
