@@ -2535,10 +2535,17 @@ def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never false negatives).
 
     Engine-exact recipe: {K} md5 hex-slice hash positions per key over
-    the key's decimal string ({M}-bit filter), the filter itself is the
-    distinct position relation (broadcast-joined, standing in for the
-    packed bitset — `bloom_membership_audit`'s move); revenue in exact
-    cents."""
+    the key's decimal string ({M}-bit filter); the filter is collected as
+    a REAL packed bitset ({M} bits = 8 KB — bounded by the filter size,
+    never the data; exactly how Spark's own runtime filter ships its
+    bloom_filter_agg result to the probe side) and applied to the fact
+    scan in ONE projection — the md5 is computed once per fact row and
+    all {K} positions test against the bitset literal, so no explode, no
+    position join, and no fact-wide re-grouping exist anywhere in the
+    plan (round-10 rewrite; the previous form exploded the fact x{K},
+    broadcast-joined the position relation, and re-grouped the whole
+    fact table on 4 columns to count hits — guide §2.4/§3.2). Revenue in
+    exact cents."""
     from ..sources.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -2548,34 +2555,67 @@ def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.table("lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
     )
-    ks = spark.range(RF_BLOOM_K).select(F.col("id").cast("int").alias("i"))
-    pos = (
-        f"CAST(conv(substring(md5(CAST(CAST({{k}} AS STRING) AS BINARY)), "
-        f"1 + i * 4, 4), 16, 10) AS BIGINT) % {RF_BLOOM_M}"
-    )
+    # Build side: one md5 per dim row, all RF_BLOOM_K positions from one
+    # projection (the former form crossJoined a k-index relation and
+    # hashed each row RF_BLOOM_K times); distinct bounds the collect at
+    # RF_BLOOM_M positions regardless of dim size.
     tpos = (
-        dim.crossJoin(F.broadcast(ks))
-        .select(F.expr(pos.format(k="o_orderkey")).alias("p"))
+        dim.withColumn(
+            "__h", F.expr("md5(CAST(CAST(o_orderkey AS STRING) AS BINARY))")
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"CAST(conv(substring(__h, 1 + {i} * 4, 4), "
+                            f"16, 10) AS BIGINT) % {RF_BLOOM_M}"
+                        )
+                        for i in range(RF_BLOOM_K)
+                    ]
+                )
+            ).alias("p")
+        )
         .distinct()
     )
-    probe = fact.crossJoin(F.broadcast(ks)).select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        "l_discount",
-        F.expr(pos.format(k="l_orderkey")).alias("p"),
-    )
-    passed = (
-        probe.join(
-            F.broadcast(tpos.withColumn("hit", F.lit(1))), "p", "left"
+    # Materialize the ≤ RF_BLOOM_M distinct set positions as a bitset
+    # literal ('0'/'1' chars, RF_BLOOM_M of them = 64 KB — bounded by the
+    # filter size, never the data): the bounded-model collect that IS a
+    # Bloom filter's broadcast in every real runtime-filter implementation.
+    words = [0] * (RF_BLOOM_M // 64)
+    for r in tpos.collect():
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # Signed-64 rendering so every word is a legal bigint literal; the
+    # whole array constant-folds to ONE ArrayData the filter indexes in
+    # O(1). (Two rejected forms, both measured ~260 s at sf0.1: a 64 KB
+    # string as a row column copies itself into every UnsafeRow, and
+    # substring() on a 64 KB string LITERAL walks the string from byte 0
+    # per call — UTF8 substring is O(offset).)
+    mask_sql = "array({})".format(
+        ", ".join(
+            f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
         )
-        .groupBy(
-            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
-        )
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("nhit"))
-        .where(F.col("nhit") == RF_BLOOM_K)
-        .drop("nhit")
     )
+    # One md5 per fact row, all RF_BLOOM_K slices tested against the
+    # bitset; identical pass set to the exploded+joined form (each i's
+    # position is tested independently, so coincident positions count
+    # per-i exactly as the old per-row hits did). The whole test is ONE
+    # boolean expression with the md5 bound once through a 1-element
+    # transform lambda — split across a projection + filter instead,
+    # CollapseProject inlines the hash into every position reference and
+    # the scan pays RF_BLOOM_K md5s per row (measured; §4.4's duplication
+    # applies to any deterministic alias, not just UDFs).
+    h_expr = "md5(CAST(CAST(l_orderkey AS STRING) AS BINARY))"
+    pass_expr = (
+        f"element_at(transform(array({h_expr}), __h -> "
+        f"forall(transform(sequence(0, {RF_BLOOM_K - 1}), i -> "
+        f"CAST(conv(substring(__h, 1 + i * 4, 4), 16, 10) AS BIGINT) "
+        f"% {RF_BLOOM_M}), "
+        f"p -> (shiftright(element_at({mask_sql}, "
+        f"CAST(p div 64 AS INT) + 1), CAST(p % 64 AS INT)) & 1) = 1)), 1)"
+    )
+    passed = fact.where(F.expr(pass_expr))
     joined = passed.join(
         F.broadcast(dim.withColumn("matched", F.lit(True))),
         passed.l_orderkey == dim.o_orderkey,
