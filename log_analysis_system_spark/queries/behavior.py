@@ -414,21 +414,29 @@ def term_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the term graph (shared by `term_cooccurrence` and the triangle
     counter in graph.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    terms = (
+    # Per-doc distinct term SETS in one aggregation (collect_set dedups,
+    # array_sort fixes the canonical term_a < term_b order — Spark string
+    # array_sort and the `<` comparison share UTF8 binary ordering), then
+    # pairs are generated IN-PLAN from the sorted array. The former
+    # explode + distinct + self-join spent two extra shuffles and scanned
+    # the term table twice for the same sum_d |terms_d|^2 pair volume
+    # (round-10 rewrite, guide §2.4 — the item_cf_recs basket shape).
+    tsets = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .where(F.col("term") != "")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("term")).alias("terms"))
+        .where(F.size("terms") >= 2)
     )
-    a = terms.alias("a")
-    b = terms.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.term") < F.col("b.term")),
+    pair_expr = (
+        "flatten(transform(sequence(1, size(terms) - 1), a -> "
+        "transform(slice(terms, a + 1, size(terms) - a), b -> "
+        "named_struct('ta', element_at(terms, a), 'tb', b))))"
     )
     return (
-        pairs.groupBy(
-            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        tsets.select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.ta").alias("term_a"), F.col("pr.tb").alias("term_b")
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= COOC_MIN_DOCS)

@@ -609,6 +609,11 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("nmin"))
         )
+        # Lazy checkpoint + one action: the label-sum convergence probe IS
+        # the job that materializes the round's checkpoint, halving the
+        # per-round job count vs the former eager-checkpoint-then-sum pair
+        # (round-10; results bit-identical — the checkpoint still truncates
+        # lineage at the same plan node).
         labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -617,7 +622,7 @@ def connected_components(edges: DataFrame, max_iters: int = 25) -> DataFrame:
                     "component_id", F.coalesce("nmin", "component_id")
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("component_id")).collect()[0][0]
         if cur_sum == prev_sum:  # labels only ever decrease; equal sum = fixpoint
@@ -1316,15 +1321,25 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = wins.select("doc_id", F.explode("fps").alias("fp"))
     sizes = wins.select("doc_id", F.size("fps").alias("nf"))
-    a, b = fp.alias("a"), fp.alias("b")
+    # Per-fingerprint doc sets in ONE aggregation, pairs generated IN-PLAN
+    # from the sorted array (doc_a < doc_b by construction) — the former
+    # fingerprint self-join shuffled the exploded table twice and joined;
+    # one exchange on fp now carries the same per-bucket quadratic volume
+    # (round-10 rewrite, the item_cf_recs basket shape; the hot-fp df_cap
+    # note above is unchanged).
+    buckets = fp.groupBy("fp").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ds")
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ds) - 1), a -> "
+        "transform(slice(ds, a + 1, size(ds) - a), b -> "
+        "named_struct('da', element_at(ds, a), 'db', b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.where(F.size("ds") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("pr.da").alias("doc_a"), F.col("pr.db").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= WINNOW_MIN_SHARED)

@@ -62,19 +62,22 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     Each round is one join (ranks onto edges) + one aggregate (sum of
     floored per-edge contributions) — two shuffles, the same shape GraphX's
     Pregel emits. ``localCheckpoint`` truncates lineage per round so the
-    plan stays flat over any iteration count."""
+    plan stays flat over any iteration count. The degree join is
+    loop-INVARIANT, so it is attached to the edge list once and
+    checkpointed (round-10; the former in-loop form re-joined deg every
+    round — guide §2.4), and checkpoints are lazy so each round is a
+    single job materialized by the next round's action."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
     pr = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("pr", F.lit(PR_START).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
-        contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
-            .select("dst", F.expr("pr div outdeg").alias("c"))
+        contrib = ed.join(pr, ed.src == pr.node).select(
+            "dst", F.expr("pr div outdeg").alias("c")
         )
         pr = (
             contrib.groupBy(F.col("dst").alias("node"))
@@ -83,7 +86,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                     "pr"
                 )
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pr
 
@@ -301,8 +304,11 @@ def personalized_pagerank(
     measure relevance TO the seed set (random walk with restart). Same
     two-shuffle round shape + localCheckpoint lineage truncation; the
     doubled-undirected-edges requirement guarantees every node receives
-    flow, so the teleport join is a plain inner join on the round's agg."""
+    flow, so the teleport join is a plain inner join on the round's agg.
+    The degree join is hoisted out of the loop and checkpoints are lazy,
+    mirroring `pagerank`'s round-10 shape."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     seeded = nodes.join(
         seeds.select("node").withColumn("is_seed", F.lit(1)), "node", "left"
@@ -313,19 +319,17 @@ def personalized_pagerank(
         .otherwise(0)
         .cast("long")
         .alias("pr"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tp = seeded.select(
         "node",
         F.when(F.col("is_seed") == 1, PPR_TELEPORT)
         .otherwise(0)
         .cast("long")
         .alias("tp"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
-        contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
-            .select("dst", F.expr("pr div outdeg").alias("c"))
+        contrib = ed.join(pr, ed.src == pr.node).select(
+            "dst", F.expr("pr div outdeg").alias("c")
         )
         flow = contrib.groupBy(F.col("dst").alias("node")).agg(
             F.expr("cast((85 * sum(c)) div 100 as bigint)").alias("flow")
@@ -333,7 +337,7 @@ def personalized_pagerank(
         pr = (
             flow.join(tp, "node")
             .select("node", (F.col("tp") + F.col("flow")).alias("pr"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return pr
 
@@ -575,7 +579,9 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
                     f" - max(p) - 1 as bigint)"
                 ).alias("label")
             )
-            .localCheckpoint()
+            # lazy: each round materializes inside the next action's job
+            # instead of paying an eager job barrier per round (round-10)
+            .localCheckpoint(eager=False)
         )
     return lab
 

@@ -88,25 +88,38 @@ def q_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence support >= {MIN_CO}. See the module docstring for the
     candidate-bounding and determinism argument."""
     register_views(spark, sf_dir)
-    b0 = (
+    # Baskets in ONE aggregation: collect_set dedups (order, part) rows,
+    # array_sort + slice keeps the BASKET_CAP lowest partkeys — exactly
+    # the distinct + row_number(ORDER BY i) <= cap the previous form spent
+    # a distinct shuffle AND a window sort on. Pairs are then generated
+    # IN-PLAN from the sorted array (ia < ib by construction), removing
+    # the basket self-join outright — the round-10 rewrite cut the plan
+    # from 17 textual exchanges to 6 (guide §2.4; pair volume is
+    # unchanged: sum_orders C(|basket|, 2)).
+    baskets = (
         spark.table("lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .groupBy("o")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("i")), 1, BASKET_CAP).alias(
+                "items"
+            )
         )
-        .distinct()
     )
-    w_cap = Window.partitionBy("o").orderBy("i")
-    b = (
-        b0.withColumn("rn", F.row_number().over(w_cap))
-        .where(F.col("rn") <= BASKET_CAP)
-        .drop("rn")
+    n = (
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
     )
-    n = b.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("ni"))
-    a = b.select(F.col("o"), F.col("i").alias("ia"))
-    c = b.select(F.col("o"), F.col("i").alias("ib"))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(items) - 1), a -> "
+        "transform(slice(items, a + 1, size(items) - a), b -> "
+        "named_struct('ia', element_at(items, a), 'ib', b))))"
+    )
     co = (
-        a.join(c, ["o"])
-        .where(F.col("ia") < F.col("ib"))
+        baskets.where(F.size("items") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select(F.col("pr.ia").alias("ia"), F.col("pr.ib").alias("ib"))
         .groupBy("ia", "ib")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .where(F.col("co") >= MIN_CO)
