@@ -172,7 +172,7 @@ def train_bpe(
     reference at 64 merges in tests/test_bpe.py). Driver round-trips
     become ~n_merges / E[batch] — sublinear in vocab size whenever the
     pair-count distribution has spread, which real corpora always do."""
-    v = vocab.localCheckpoint()
+    v = vocab.localCheckpoint(eager=False)
     merges: list[tuple] = []
     # Multi-char symbols the alphabet may contain: every prior merge string,
     # the end marker, AND any multi-char symbol already present in the
@@ -228,8 +228,10 @@ def train_bpe(
             v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
         # localCheckpoint once per ROUND: keeps the plan depth bounded by
         # batch_size instead of total merges (CollapseProject would
-        # otherwise re-expand the nested folds)
-        v = v.localCheckpoint()
+        # otherwise re-expand the nested folds). LAZY: the next round's
+        # 1-row collect materializes it, so each round is ONE job instead
+        # of an eager checkpoint job + the collect (round-10, guide §2.4).
+        v = v.localCheckpoint(eager=False)
     return merges, v
 
 
@@ -788,7 +790,7 @@ def train_wordpiece(
     over the current vocab, computed in the same round's second
     hash-agg. The score is the ppb-floored integer ``_WP_SCORE`` with
     (a, b) tiebreak, so the pick is total-ordered and engine-exact."""
-    v = vocab.localCheckpoint()
+    v = vocab.localCheckpoint(eager=False)
     merges: list[tuple] = []
     while len(merges) < n_merges:
         pairs = v.where(F.size("syms") >= 2).select(
@@ -833,7 +835,8 @@ def train_wordpiece(
         a, b, cnt, score = row["a"], row["b"], int(row["cnt"]), int(row["score"])
         merges.append((len(merges) + 1, a, b, a + b, cnt, score))
         v = v.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
-        v = v.localCheckpoint()
+        # lazy: next round's collect (or the caller's action) materializes
+        v = v.localCheckpoint(eager=False)
     return merges, v
 
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1219,16 +1221,57 @@ def q_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import register_views
 
     register_views(spark, sf_dir)
-    # Materialize the indexed day series first — Spark re-expands
-    # inlined CTEs per recursion step, so the events aggregation would
-    # re-run all 30 steps (measured 10.4 s -> ~3 s; the
-    # burst_detection_days / croston lesson). DuckDB materializes CTEs
-    # and keeps the single combined text.
-    idx = spark.sql(
-        "WITH " + _HW_IDX_SQL.strip() + " SELECT * FROM hw_idx"
-    ).localCheckpoint()
-    idx.createOrReplaceTempView("hw_idx")
-    return spark.sql(_hw_sql())
+    # Round-10 shape: the recurrence runs over the CALENDAR-BOUNDED day
+    # series, so after the one hash-agg reduce it executes as a single
+    # grouped applyInPandas (the croston / burst_label_days precedent;
+    # guide §4.2) instead of a 30-step Spark recursive CTE (~30
+    # sequential micro-stages, measured 6.9 s at sf0.1 vs ~1 s now).
+    # Bit-exact: every update is floor(int / 2.0), which equals Python's
+    # integer floor-division for any |int| < 2^53; the oracle still runs
+    # the recursive-CTE text verbatim.
+    m = HW_M
+    idx = spark.sql("WITH " + _HW_IDX_SQL.strip() + " SELECT * FROM hw_idx")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        lev = [0] * n
+        trd = [0] * n
+        snx = [0] * n
+        s = [0] * m
+        for i in range(n):
+            t = int(pdf["t"][i])
+            y = ys[i]
+            if t == 1:
+                l_, b_ = y, 0
+            else:
+                sprev = s[(t - 1) % m]
+                lnew = (y - sprev + lev[i - 1] + trd[i - 1]) // 2
+                b_ = (lnew - lev[i - 1] + trd[i - 1]) // 2
+                s[(t - 1) % m] = (y - lnew + sprev) // 2
+                l_ = lnew
+            lev[i], trd[i] = l_, b_
+            snx[i] = s[t % m]
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "value_milli": ys,
+                "level_milli": lev,
+                "trend_milli": trd,
+                "season_next_milli": snx,
+                "forecast_next_milli": [
+                    lev[i] + trd[i] + snx[i] for i in range(n)
+                ],
+            }
+        )
+
+    return idx.groupBy(F.lit(1).alias("__series")).applyInPandas(
+        lambda _, pdf: smooth(pdf),
+        "day date, value_milli bigint, level_milli bigint, "
+        "trend_milli bigint, season_next_milli bigint, "
+        "forecast_next_milli bigint",
+    )
 
 
 q_holt_winters_daily.__doc__ = q_holt_winters_daily.__doc__.format(m=HW_M)
@@ -1312,21 +1355,23 @@ def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Execution shape: unlike the single-series recurrences (`holt_*`,
     `burst_detection_days`) this is MANY independent short recurrences
-    — one per part — which is exactly the grouped `applyInPandas`
-    case: lineitem reduces to the (part, demand-day, qty) table in one
-    hash-agg, then ONE shuffle by part runs the exact-integer Python
-    loop group-locally (Arrow-batched; sequences are ~30 points). The
-    recursive-CTE formulation was measured 45-127 s at sf0.1 because
-    every recursion step rejoins the FULL gap table (Spark re-expands
-    inlined CTEs per step); the grouped form is 7.7 s and is the shape
-    that scales — group-local sequential work, embarrassingly parallel
-    across parts. The ORACLE keeps the recursive-CTE text (DuckDB
-    materializes CTEs), so the two engines derive the same integers
-    through genuinely different execution strategies. The closing rate
-    is floor'd double division in both (IEEE-correctly rounded;
-    DuckDB's integer `/` casts to nearest while Spark's truncates)."""
-    import pandas as pd
-
+    — one per part. Round-10 form: lineitem reduces to the (part,
+    demand-day, qty) table in one hash-agg, a second hash-agg folds each
+    part's demands into ONE sorted array (`array_sort(collect_list)` —
+    epoch days are unique per part, so the struct order is total), and
+    the coupled SES recurrence runs as a single FLAT `aggregate`
+    higher-order function over that array — sequential per part,
+    embarrassingly parallel across parts, with NO Python boundary at
+    all (guide §4.1; the previous grouped-`applyInPandas` form paid one
+    Python call + pandas frame per part ≈ the whole 9.9 s row; nested
+    HOFs are the slow case, one flat fold is not). The recursive-CTE
+    formulation was measured 45-127 s at sf0.1 because every recursion
+    step rejoins the FULL gap table. The ORACLE keeps the recursive-CTE
+    text (DuckDB materializes CTEs), so the two engines derive the same
+    integers through genuinely different execution strategies. The
+    floored halvings are `div 2` on non-negative bigints (identical to
+    floor(x/2.0) there); the closing rate is floor'd double division in
+    both engines (IEEE-correctly rounded)."""
     dem = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .groupBy(
@@ -1345,34 +1390,33 @@ def q_croston_demand_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_c",
         )
     )
-
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ed")
-        z = p = prev = None
-        for ed, q in zip(pdf["ed"], pdf["q_c"]):
-            ed, q = int(ed), int(q)
-            if z is None:
-                z, p = q, 1000
-            else:
-                z = math.floor((q + z) / 2.0)
-                p = math.floor(((ed - prev) * 1000 + p) / 2.0)
-            prev = ed
-        rate = math.floor(float(z * 1000) / float(p))
-        return pd.DataFrame(
-            {
-                "l_partkey": [int(pdf["l_partkey"].iloc[0])],
-                "n_demands": [len(pdf)],
-                "z_c": [z],
-                "p_milli": [p],
-                "rate_qc_per_day": [rate],
-            }
-        )
-
-    return dem.groupBy("l_partkey").applyInPandas(
-        fit,
-        "l_partkey long, n_demands long, z_c long, p_milli long,"
-        " rate_qc_per_day long",
+    seq = dem.groupBy("l_partkey").agg(
+        F.array_sort(F.collect_list(F.struct("ed", "q_c"))).alias("s")
     )
+    fit = seq.select(
+        "l_partkey",
+        F.size("s").cast("long").alias("n_demands"),
+        F.expr(
+            "aggregate(slice(s, 2, size(s) - 1),"
+            " named_struct('z', s[0].q_c,"
+            "              'p', CAST(1000 AS BIGINT),"
+            "              'prev', s[0].ed),"
+            " (acc, x) -> named_struct("
+            "   'z', (x.q_c + acc.z) div 2,"
+            "   'p', ((x.ed - acc.prev) * 1000 + acc.p) div 2,"
+            "   'prev', x.ed))"
+        ).alias("st"),
+    )
+    return fit.select(
+        "l_partkey",
+        "n_demands",
+        F.col("st.z").alias("z_c"),
+        F.col("st.p").alias("p_milli"),
+        F.expr(
+            "CAST(floor(CAST(st.z * 1000 AS DOUBLE)"
+            " / CAST(st.p AS DOUBLE)) AS BIGINT)"
+        ).alias("rate_qc_per_day"),
+    ).where(F.col("p_milli") > 0)
 
 
 # -------------------- Kleinberg-style two-state burst detection (Viterbi)
@@ -1462,24 +1506,63 @@ def burst_label_days(daily_df) -> DataFrame:
     frame — the SHARED scoring body of the batch `burst_detection_days`
     query and the streaming monitor's `serve_burst` (the counts are
     additive partials, so the streamed merge feeds the identical
-    automaton). Materializes the O(days) emission table and the
-    forward pass before each recursion (Spark re-expands inlined CTEs
-    per step — see the query docstring)."""
-    spark = daily_df.sparkSession
-    daily_df.createOrReplaceTempView("burst_daily")
-    em = spark.sql(
-        "WITH daily AS (SELECT day, x FROM burst_daily),\n"
-        + _BURST_EM_TAIL.strip()
-        + " SELECT * FROM burst_em"
-    ).localCheckpoint()
-    em.createOrReplaceTempView("burst_em")
-    fwd = spark.sql(
-        "WITH RECURSIVE " + _BURST_FWD_BODY.strip()
-        + " SELECT * FROM burst_fwd"
-    ).localCheckpoint()
-    fwd.createOrReplaceTempView("burst_fwd")
-    return spark.sql(
-        "WITH RECURSIVE " + _BURST_BWD_BODY.strip() + _BURST_TAIL
+    automaton).
+
+    Round-10 shape: the series is calendar-bounded (the corpus reduced
+    to O(days) rows BEFORE this is called), so the whole Viterbi —
+    emissions, forward pass, backtrack — runs as ONE grouped
+    applyInPandas over the single series (the croston recurrence
+    precedent; guide §4.2). The previous form ran TWO 30-step Spark
+    recursive CTEs = ~60 sequential micro-stages, measured 9.2 s at
+    sf0.1 vs ~1 s now. Arithmetic is unchanged and bit-exact: the one
+    float op is floor(double(tot*50000) / double(d)) — both operands
+    exactly representable, identical IEEE division in Python — and
+    everything after is integer compares/adds (the oracle still runs
+    the recursive-CTE text verbatim)."""
+    gamma = BURST_GAMMA_MICRO
+    lns = BURST_S_LN_MICRO
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        d = len(pdf)
+        xs = [int(v) for v in pdf["x"]]
+        tot = sum(xs)
+        base = math.floor(float(tot * 50000) / float(d))
+        d1 = [base - x * lns for x in xs]
+        c0 = [0] * d
+        c1 = [0] * d
+        p0 = [0] * d
+        p1 = [0] * d
+        c1[0] = gamma + d1[0]
+        for t in range(1, d):
+            c0[t] = c0[t - 1] if c0[t - 1] <= c1[t - 1] else c1[t - 1]
+            p0[t] = 0 if c0[t - 1] <= c1[t - 1] else 1
+            enter = c0[t - 1] + gamma
+            c1[t] = (enter if enter <= c1[t - 1] else c1[t - 1]) + d1[t]
+            p1[t] = 0 if enter <= c1[t - 1] else 1
+        st = [0] * d
+        st[d - 1] = 1 if c1[d - 1] < c0[d - 1] else 0
+        for t in range(d - 1, 0, -1):
+            st[t - 1] = p1[t] if st[t] == 1 else p0[t]
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "x": xs,
+                "burst_margin_micro": d1,
+                "c0": c0,
+                "c1": c1,
+                "in_burst": st,
+            }
+        )
+
+    return (
+        daily_df.select("day", "x")
+        .groupBy(F.lit(1).alias("__series"))
+        .applyInPandas(
+            lambda _, pdf: viterbi(pdf),
+            "day date, x bigint, burst_margin_micro bigint, "
+            "c0 bigint, c1 bigint, in_burst bigint",
+        )
     )
 
 
