@@ -347,7 +347,12 @@ def test_semantic_dedup_pair_join_keys_on_cluster(spark):
     plan = plan_of(spark, "semantic_dedup_keep")
     assert "CartesianProduct" not in plan
     assert "cluster_id" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # K-row centroid crossJoin only
+    # Round-10: centroid assignment is the Arrow int64-matmul projection
+    # (one pass per batch against the collected K-row model), replacing
+    # the K-row centroid crossJoin (BroadcastNestedLoopJoin) + argmax
+    # window — same assignments, no per-row K-way fanout.
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_incremental_dedup_signatures_zero_shuffle(spark):
@@ -390,10 +395,13 @@ BOUNDED_FRAME_WINDOWS = {
     "forecast_backtest_mase": "rolling-origin lags/prefix means over the "
     "per-DAY revenue series (calendar-bounded; raw scan collapses first)",
     "holt_forecast_revenue": "recurrence over the per-MONTH revenue series",
-    # holt_winters_daily and burst_detection_days left the list when the
-    # round-10 mid-build refactors (576ddf9 materialized the Holt-Winters
-    # index table; c8acbb6 moved Viterbi scoring into the shared
-    # batch/stream body) removed their order-only windows.
+    # burst_detection_days left the list when the round-10 mid-build
+    # refactor c8acbb6 moved Viterbi scoring into the shared batch/stream
+    # applyInPandas body (no window at all now).
+    "holt_winters_daily": "day-index row_number over the per-DAY series "
+    "(calendar-bounded; events collapse to the daily aggregate first — "
+    "the round-10 single-fold rewrite re-inlined the _HW_IDX_SQL index "
+    "CTE that 576ddf9 had materialized behind a checkpoint)",
     "key_skew_profile": "cumulative window over the counts-of-counts "
     "histogram (O(distinct per-key counts))",
     "ks_drift": "CDF prefix over the bounded value-grid histogram "
