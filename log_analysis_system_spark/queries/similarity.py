@@ -174,33 +174,54 @@ SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= {TOP_K}
 """,
 )
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: the query set (vec_id < N) is broadcast
-    against the corpus; dot/norms are exact integer folds over the quantized
-    arrays (no explode — 64x fewer rows in flight than the flattened oracle
-    formulation); per-query top-k via window."""
+    """Brute-force cosine top-k: the query set (vec_id < N) is collected
+    (bounded, the model-collect class) and its matrix drives one exact
+    int64 Arrow matmul pass over the corpus (`_int_dots_udf` — guide
+    §4.2); each corpus row emits its per-query dots, posexplode +
+    a broadcast (qi, query_id, qn) lookup attach the query metadata, and
+    cosine (the only float op) stays a JVM round/sqrt/divide expression,
+    so values are bit-identical to the former per-pair HOF fold — which
+    cost ~64 interpreted multiply-adds per pair (round-11 rewrite)."""
     vecs = _quantized(spark, sf_dir)
-    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
+    q_rows = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["e"]], int(r["nrm"]))
+        for r in vecs.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e", "nrm")
+        .collect()
     )
-    corpus = vecs.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"),
-        F.col("nrm").alias("nn"),
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cosine double, rnk bigint",
+        )
+    qmeta = _local_df(
+        spark,
+        [(i, qid, qn) for i, (qid, _, qn) in enumerate(q_rows)],
+        "qi int, query_id bigint, qn bigint",
     )
-    pairs = F.broadcast(queries).crossJoin(corpus).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot("qe", "ne").cast("double")
-            / (
-                F.sqrt(F.col("qn").cast("double"))
-                * F.sqrt(F.col("nn").cast("double"))
-            ),
-            6,
-        ).alias("cosine"),
+    scored = (
+        vecs.withColumn(
+            "__dots", _int_dots_udf([qe for _, qe, _ in q_rows])("e")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("nrm").alias("nn"),
+            F.posexplode("__dots").alias("qi", "dot"),
+        )
+        .join(F.broadcast(qmeta), "qi")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("nn").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     return grouped_topn(
         scored,
@@ -807,6 +828,87 @@ def _cent_rows(cents: DataFrame) -> list[tuple[int, list[int], int]]:
     )
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """One-slice local DataFrame for MODEL-sized tables (centroids,
+    codebooks, query sets). The default ``createDataFrame`` parallelizes
+    driver rows into defaultParallelism slices, so every downstream
+    action schedules 32 near-empty tasks and a write commits 32 part
+    files — measured 1.3 s vs 0.44 s for a 63-row model write
+    (guide §6 "small files hurt twice"). One slice = one task, one file."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
+# Per-round training reduction: rows collected per Lloyd round are
+# bounded by (input partitions) x (cells). Below this bound the round's
+# member reduction runs as one shuffle-free mapInPandas partial-sum pass
+# merged on the driver; above it the per-cell means come from the JVM
+# hash-aggregate instead (same integers either way).
+TRAIN_MERGE_MAX_ROWS = 1 << 22
+
+_CELL_PARTIALS_SCHEMA = "cell_id bigint, cnt bigint, sums array<bigint>"
+
+
+def _cell_partials_fn():
+    """mapInPandas kernel over (cell_id, e): exact per-cell integer
+    (member count, per-dimension sums) partials — at most one output row
+    per cell per partition. Pure int64 addition (milli-unit entries keep
+    corpus-scale sums far below 2^63), so the partials merge to the same
+    integers the JVM hash-aggregate produced regardless of partitioning
+    (guide §2.3 "aggregate before you shuffle" — here the aggregate
+    replaces the shuffle entirely)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cnts: dict[int, int] = {}
+        sums: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell_id"].to_numpy("int64")
+            ev = np.array(pdf["e"].tolist(), dtype=np.int64)
+            for c in np.unique(cells):
+                m = cells == c
+                key = int(c)
+                cnts[key] = cnts.get(key, 0) + int(m.sum())
+                s = ev[m].sum(axis=0, dtype=np.int64)
+                sums[key] = sums[key] + s if key in sums else s
+        if cnts:
+            yield pd.DataFrame(
+                {
+                    "cell_id": list(cnts),
+                    "cnt": [cnts[c] for c in cnts],
+                    "sums": [[int(v) for v in sums[c]] for c in cnts],
+                }
+            )
+
+    return gen
+
+
+def _merge_floored_means(rows) -> dict[int, list[int]]:
+    """Driver-side merge of (cell_id, cnt, sums) partials into the
+    per-cell floored-mean vectors: exact integer addition, then
+    ``floor(CAST(sum AS DOUBLE) / count)`` — ``float(int)/int`` and
+    ``math.floor`` are the identical correctly-rounded IEEE-754 ops the
+    JVM aggregate ran, so the means are bit-identical."""
+    import math
+
+    cnts: dict[int, int] = {}
+    sums: dict[int, list[int]] = {}
+    for r in rows:
+        c = int(r["cell_id"])
+        cnts[c] = cnts.get(c, 0) + int(r["cnt"])
+        s = [int(v) for v in r["sums"]]
+        sums[c] = [a + b for a, b in zip(sums[c], s)] if c in sums else s
+    return {
+        c: [int(math.floor(float(v) / cnts[c])) for v in sums[c]]
+        for c in cnts
+    }
+
+
 def _int_dots_udf(cent_matrix: list[list[int]]):
     """Arrow-vectorized exact integer dot products of a quantized-vector
     column against the collected K x D centroid matrix: one int64 numpy
@@ -888,6 +990,14 @@ def train_ivf_centroids(vecs: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame
         return _train_ivf_centroids_joins(vecs, iters)
     ndims = len(cents[0][1])
     spark = vecs.sparkSession
+    # Partials per round are bounded by partitions x cells; below the
+    # bound the reduction is one shuffle-free mapInPandas pass merged on
+    # the driver (round-11: the former 64-column floored-mean aggregate
+    # cost ~0.8 s of analysis/codegen PER ROUND against ~0.15 s of
+    # execution — the whole round now plans in milliseconds).
+    driver_merge = (
+        vecs.rdd.getNumPartitions() * len(cents) <= TRAIN_MERGE_MAX_ROWS
+    )
     for _ in range(iters):
         affs, cids = _argmax_cell_exprs(cents)
         assigned = (
@@ -901,23 +1011,30 @@ def train_ivf_centroids(vecs: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame
                 "e",
             )
         )
-        # Identical floored-mean arithmetic to the join form: per (cell, d)
-        # floor(CAST(sum AS DOUBLE) / count) — one partial-agg shuffle.
-        moved = assigned.groupBy("cell_id").agg(
-            F.array(
-                *[
-                    F.floor(
-                        F.sum(F.col("e")[d]).cast("double")
-                        / F.count(F.lit(1))
-                    ).cast("long")
-                    for d in range(ndims)
-                ]
-            ).alias("ce")
-        )
-        new_ce = {
-            int(r["cell_id"]): [int(v) for v in r["ce"]]
-            for r in moved.collect()
-        }
+        # Identical floored-mean arithmetic either way: per (cell, d)
+        # floor(CAST(sum AS DOUBLE) / count) over exact integer sums.
+        if driver_merge:
+            new_ce = _merge_floored_means(
+                assigned.mapInPandas(
+                    _cell_partials_fn(), _CELL_PARTIALS_SCHEMA
+                ).collect()
+            )
+        else:
+            moved = assigned.groupBy("cell_id").agg(
+                F.array(
+                    *[
+                        F.floor(
+                            F.sum(F.col("e")[d]).cast("double")
+                            / F.count(F.lit(1))
+                        ).cast("long")
+                        for d in range(ndims)
+                    ]
+                ).alias("ce")
+            )
+            new_ce = {
+                int(r["cell_id"]): [int(v) for v in r["ce"]]
+                for r in moved.collect()
+            }
         cents = [
             (
                 cid,
@@ -927,7 +1044,8 @@ def train_ivf_centroids(vecs: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame
             )
             for cid, ce, cn in cents
         ]
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(cid, ce, cn) for cid, ce, cn in cents],
         "cell_id bigint, ce array<bigint>, cn bigint",
     )

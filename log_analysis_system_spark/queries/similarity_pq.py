@@ -26,8 +26,11 @@ from .similarity import (
     N_QUERIES,
     PROBE_CELL_FRAC,
     TOP_K,
+    TRAIN_MERGE_MAX_ROWS,
     _dot,
+    _int_dots_udf,
     _ivf_assign_top1,
+    _local_df,
     _norm,
     _quantized,
     build_ivf_index,
@@ -80,6 +83,60 @@ def _pq_poss_udf(book: dict, codes: list[int]):
             yield pd.Series(list((d.argmin(axis=2) + 1).astype(np.int32)))
 
     return poss
+
+
+_PQ_PARTIALS_SCHEMA = "sub int, code int, cnt bigint, sums array<bigint>"
+
+
+def _pq_partials_fn(book: dict, codes: list[int]):
+    """mapInPandas kernel over (e): per-(sub, code) exact integer
+    (member count, per-dimension subvector sums) partials for one Lloyd
+    round — at most M_SUB x |codes| output rows per partition. The
+    argmin assignment is the same exact int64 computation as
+    `_pq_poss_udf` (numpy argmin takes the FIRST minimum, so ties break
+    toward the lowest code); the sums are pure int64 addition, so the
+    merged totals are partitioning-independent."""
+    import numpy as np
+
+    cw = np.array(
+        [[book[(j, c)] for c in codes] for j in range(M_SUB)],
+        dtype=np.int64,
+    )
+    code_arr = np.array(codes, dtype=np.int64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cnts: dict = {}
+        sums: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ev = np.array(pdf["e"].tolist(), dtype=np.int64).reshape(
+                -1, M_SUB, SUB_DIM
+            )
+            d = ((ev[:, :, None, :] - cw[None, :, :, :]) ** 2).sum(axis=3)
+            slots = d.argmin(axis=2)
+            for j in range(M_SUB):
+                sj = slots[:, j]
+                for s in np.unique(sj):
+                    m = sj == s
+                    key = (j, int(code_arr[s]))
+                    cnts[key] = cnts.get(key, 0) + int(m.sum())
+                    sm = ev[m, j, :].sum(axis=0, dtype=np.int64)
+                    sums[key] = sums[key] + sm if key in sums else sm
+        if cnts:
+            yield pd.DataFrame(
+                {
+                    "sub": [k[0] for k in cnts],
+                    "code": [k[1] for k in cnts],
+                    "cnt": [cnts[k] for k in cnts],
+                    "sums": [[int(v) for v in sums[k]] for k in cnts],
+                }
+            )
+
+    return gen
 
 
 def train_pq_codebooks(
@@ -142,7 +199,42 @@ def train_pq_codebooks(
     if not book:
         return spark.createDataFrame([], "sub int, code int, cv array<bigint>")
     codes = sorted({c for (_, c) in book})
+    # Partials per round are bounded by partitions x (M_SUB x codes);
+    # below the bound the round is ONE shuffle-free mapInPandas pass
+    # merged on the driver (round-11: like the IVF trainer, the former
+    # posexplode + floored-mean aggregate cost ~1 s of analysis/codegen
+    # per round against ~0.1 s of execution).
+    driver_merge = (
+        vecs.rdd.getNumPartitions() * M_SUB * len(codes)
+        <= TRAIN_MERGE_MAX_ROWS
+    )
     for _ in range(iters):
+        if driver_merge:
+            import math
+
+            cnts: dict = {}
+            sums: dict = {}
+            partials = vecs.select("e").mapInPandas(
+                _pq_partials_fn(book, codes), _PQ_PARTIALS_SCHEMA
+            )
+            for r in partials.collect():
+                key = (int(r["sub"]), int(r["code"]))
+                cnts[key] = cnts.get(key, 0) + int(r["cnt"])
+                s = [int(v) for v in r["sums"]]
+                sums[key] = (
+                    [a + b for a, b in zip(sums[key], s)]
+                    if key in sums
+                    else s
+                )
+            # Identical floored-mean arithmetic to the aggregate form:
+            # floor(CAST(sum AS DOUBLE) / count) — float(int)/int and
+            # math.floor are the same correctly-rounded IEEE ops.
+            for key in cnts:
+                book[key] = [
+                    int(math.floor(float(v) / cnts[key]))
+                    for v in sums[key]
+                ]
+            continue
         codes_sql = "array({})".format(", ".join(str(c) for c in codes))
         # 1-based argmin slot per subspace among `codes` (ascending):
         # numpy argmin takes the FIRST minimum, reproducing the
@@ -178,70 +270,11 @@ def train_pq_codebooks(
         )
         for r in moved.collect():
             book[(int(r["sub"]), int(r["code"]))] = [int(v) for v in r["cv"]]
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [(j, c, book[(j, c)]) for (j, c) in sorted(book)],
         "sub int, code int, cv array<bigint>",
     )
-
-
-def _pq_literals(cb_rows, q_rows):
-    """Bake the trained codebook and the per-query ADC lookup tables as SQL
-    literals. cb_rows: collected (sub, code, cv); q_rows: collected quantized
-    query (vec_id, e). Both are CONSTANT-sized (M_SUB*K_CODES codewords, the
-    bounded query set) — the same bake-as-codegen-literal move the LSH
-    hyperplanes use, NOT a corpus collect. Returns (cb_sql, lut_sql, qids_sql)
-    or None if the codebook is empty."""
-    if not cb_rows or not q_rows:
-        return None
-    book: dict[tuple[int, int], list[int]] = {
-        (r["sub"], r["code"]): list(r["cv"]) for r in cb_rows
-    }
-    cb_py = [
-        [book[(j, k)] for k in range(K_CODES)] for j in range(M_SUB)
-    ]
-    cb_sql = "array({})".format(
-        ", ".join(
-            "array({})".format(
-                ", ".join(
-                    "array({})".format(", ".join(f"{v}L" for v in cw))
-                    for cw in cb_py[j]
-                )
-            )
-            for j in range(M_SUB)
-        )
-    )
-    qids = sorted(r["vec_id"] for r in q_rows)
-    qvec = {r["vec_id"]: list(r["e"]) for r in q_rows}
-    # lut[q][j][k] = integer squared L2 between query q's j-th subvector and
-    # codeword (j, k) — exact Python ints, the same arithmetic Spark runs.
-    lut_sql = "array({})".format(
-        ", ".join(
-            "array({})".format(
-                ", ".join(
-                    "array({})".format(
-                        ", ".join(
-                            str(
-                                sum(
-                                    (
-                                        qvec[q][j * SUB_DIM + d]
-                                        - cb_py[j][k][d]
-                                    )
-                                    ** 2
-                                    for d in range(SUB_DIM)
-                                )
-                            )
-                            + "L"
-                            for k in range(K_CODES)
-                        )
-                    )
-                    for j in range(M_SUB)
-                )
-            )
-            for q in qids
-        )
-    )
-    qids_sql = "array({})".format(", ".join(f"{q}L" for q in qids))
-    return cb_sql, lut_sql, qids_sql
 
 
 def _pq_codes_udf(cb_rows):
@@ -281,6 +314,63 @@ def _pq_codes_udf(cb_rows):
     return enc
 
 
+def _pq_lut_np(cb_rows, q_rows):
+    """Per-query ADC lookup tables as exact Python ints:
+    lut[q][j][k] = integer squared L2 between query q's j-th subvector
+    and codeword (j, k) — exact Python ints, the same arithmetic the
+    engine's expressions run, computed once driver-side (both inputs are
+    bounded by the model and query-set sizes). Returns (qids ascending,
+    lut aligned to qids), or None when either side is empty."""
+    if not cb_rows or not q_rows:
+        return None
+    book = {(r["sub"], r["code"]): list(r["cv"]) for r in cb_rows}
+    cb_py = [[book[(j, k)] for k in range(K_CODES)] for j in range(M_SUB)]
+    qids = sorted(r["vec_id"] for r in q_rows)
+    qvec = {r["vec_id"]: list(r["e"]) for r in q_rows}
+    lut = [
+        [
+            [
+                sum(
+                    (qvec[q][j * SUB_DIM + d] - cb_py[j][k][d]) ** 2
+                    for d in range(SUB_DIM)
+                )
+                for k in range(K_CODES)
+            ]
+            for j in range(M_SUB)
+        ]
+        for q in qids
+    ]
+    return qids, lut
+
+
+def _adc_scores_udf(lut):
+    """Arrow-vectorized ADC scorer: the codes column -> array<bigint> of
+    per-query asymmetric distances (M_SUB exact int64 table lookups per
+    query per row, identical to the aggregate-HOF form it replaces).
+    ``lut``: the `_pq_lut_np` table. The former plan baked the whole
+    nq x M_SUB x K_CODES table as a SQL literal and folded it per row
+    with interpreted lambdas — both the analysis of that literal tree
+    and the per-row HOF walk priced in (guide §4.2)."""
+    import numpy as np
+
+    L = np.array(lut, dtype=np.int64)  # nq x M_SUB x K_CODES
+
+    @F.pandas_udf("array<bigint>")
+    def adc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+
+        jj = np.arange(M_SUB)
+        for codes in batches:
+            if len(codes) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            cm = np.array(codes.tolist(), dtype=np.int64)  # n x M_SUB
+            picked = L[:, jj[None, :], cm]  # nq x n x M_SUB
+            yield pd.Series(list(picked.sum(axis=2).T))
+
+    return adc
+
+
 def _pq_adc_topk(codes_df, store, cb_rows, q_rows):
     """Shared PQ search body: ADC-score the coded corpus for every query,
     take the top-{PQ_CAND} candidate pool per query, exact-re-rank against
@@ -289,19 +379,15 @@ def _pq_adc_topk(codes_df, store, cb_rows, q_rows):
     by both the inline query (codes computed in-plan) and the persisted
     index's serve path (codes read from parquet). Returns None for an
     empty codebook/query set."""
-    baked = _pq_literals(cb_rows, q_rows)
+    baked = _pq_lut_np(cb_rows, q_rows)
     if baked is None:
         return None
-    _, lut_sql, qids_sql = baked
-    scores_expr = (
-        f"transform({lut_sql}, ql -> "
-        f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
-        f"(acc, j) -> acc + element_at(element_at(ql, j + 1), "
-        f"element_at(codes, j + 1) + 1)))"
-    )
+    qids, lut = baked
+    qids_sql = "array({})".format(", ".join(f"{q}L" for q in qids))
     scored = (
-        codes_df.select(
-            "vec_id", F.posexplode(F.expr(scores_expr)).alias("pos", "adist")
+        codes_df.withColumn("__adists", _adc_scores_udf(lut)("codes"))
+        .select(
+            "vec_id", F.posexplode("__adists").alias("pos", "adist")
         )
         .withColumn("query_id", F.expr(f"element_at({qids_sql}, pos + 1)"))
         .where(F.col("query_id") != F.col("vec_id"))
@@ -387,8 +473,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rows = (
         vecs.where(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
     )
-    baked = _pq_literals(cb_rows, q_rows)
-    if baked is None:
+    if _pq_lut_np(cb_rows, q_rows) is None:
         return spark.createDataFrame(
             [], "n_queries bigint, recall_ok boolean"
         )
@@ -512,22 +597,38 @@ def audit_pq_index_recall(
         F.col("rnk") <= k
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     store = spark.read.parquet(f"{index_dir}/codes")
-    qv = queries_df.select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    ).withColumn("qn", _norm("qe"))
+    # Exact truth via the int64 Arrow matmul kernel (one batch matmul per
+    # partition instead of a 64-term interpreted HOF fold per
+    # store x query pair); the query set is the audit's bounded sample,
+    # and cosine (the one float op) stays the same JVM expression.
+    qs = sorted(
+        (int(r["vec_id"]), [int(x) for x in r["e"]])
+        for r in queries_df.select("vec_id", "e").collect()
+    )
+    if not qs:
+        return 0, 0
+    qmeta = _local_df(
+        spark,
+        [
+            (i, qid, sum(x * x for x in qe))
+            for i, (qid, qe) in enumerate(qs)
+        ],
+        "qi int, query_id bigint, qn bigint",
+    )
     exact = (
-        store.select(
+        store.withColumn("__dots", _int_dots_udf([qe for _, qe in qs])("e"))
+        .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.col("e").alias("ne"),
             F.col("nrm").alias("nn"),
+            F.posexplode("__dots").alias("qi", "dot"),
         )
-        .crossJoin(F.broadcast(qv))
+        .join(F.broadcast(qmeta), "qi")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot("qe", "ne").cast("double")
+                F.col("dot").cast("double")
                 / (
                     F.sqrt(F.col("qn").cast("double"))
                     * F.sqrt(F.col("nn").cast("double"))
@@ -613,8 +714,13 @@ def refresh_pq_index(
                 .write.mode("overwrite")
                 .parquet(staged)
             )
-            spark.createDataFrame(
-                cb_rows, "sub int, code int, cv array<bigint>"
+            _local_df(
+                spark,
+                [
+                    (int(r["sub"]), int(r["code"]), [int(v) for v in r["cv"]])
+                    for r in cb_rows
+                ],
+                "sub int, code int, cv array<bigint>",
             ).write.mode("overwrite").parquet(f"{index_dir}/codebooks")
             shutil.rmtree(f"{index_dir}/codes")
             os.makedirs(f"{index_dir}/codes")
@@ -710,18 +816,36 @@ def q_pq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_RECALL_MIN = 0.5  # aggregate recall@TOP_K gate; see docstring numbers
 
 
-def _pq_lut_expr(cb_sql: str, col: str) -> str:
-    """ADC lookup table for one vector: lut[j][k] = integer squared L2
-    between ``col``'s j-th subvector and codeword (j, k). For flat PQ the
-    vector is the query itself (baked as a literal in _pq_literals); for
-    IVF-PQ it is the per-(query, probed-cell) RESIDUAL, computed in-plan
-    because the table depends on which cells the query probes."""
-    return (
-        f"transform(sequence(0, {M_SUB - 1}), j -> "
-        f"transform(element_at({cb_sql}, j + 1), c -> "
-        f"aggregate(zip_with(slice({col}, j * {SUB_DIM} + 1, {SUB_DIM}), c, "
-        f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-        f"(acc, v) -> acc + v)))"
+def _resid_probe_luts(spark, cent_rows, cb_rows, q_rows, probe_pairs):
+    """(query_id, cell_id, lut) probe table for IVF-PQ: the
+    per-(query, probed-cell) RESIDUAL ADC lookup tables —
+    lut[j][k] = integer squared L2 between the residual's j-th subvector
+    and codeword (j, k) — computed as exact Python ints from the
+    collected centroids/codebooks/queries (all model-bounded). Replaces
+    the in-plan form that re-derived each table with nested HOF lambdas
+    over the codebook baked as an M_SUB x K_CODES x SUB_DIM SQL literal
+    (round-11: that literal tree alone dominated serve-path planning).
+    Returns a 1-slice local DataFrame ready to broadcast."""
+    book = {(r["sub"], r["code"]): [int(v) for v in r["cv"]] for r in cb_rows}
+    cb_py = [[book[(j, k)] for k in range(K_CODES)] for j in range(M_SUB)]
+    ce_of = {int(r["cell_id"]): [int(x) for x in r["ce"]] for r in cent_rows}
+    qe_of = {int(r["vec_id"]): [int(x) for x in r["e"]] for r in q_rows}
+    rows = []
+    for q, cell in probe_pairs:
+        qres = [a - b for a, b in zip(qe_of[q], ce_of[cell])]
+        lut = [
+            [
+                sum(
+                    (qres[j * SUB_DIM + d] - cb_py[j][k][d]) ** 2
+                    for d in range(SUB_DIM)
+                )
+                for k in range(K_CODES)
+            ]
+            for j in range(M_SUB)
+        ]
+        rows.append((q, cell, lut))
+    return _local_df(
+        spark, rows, "query_id bigint, cell_id bigint, lut array<array<bigint>>"
     )
 
 
@@ -789,20 +913,22 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     if not cb_rows:
         return spark.createDataFrame([], "n_queries bigint, recall_ok boolean")
-    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
     codes_df = resid.select(
         "vec_id", "cell_id", _pq_codes_udf(cb_rows)("re").alias("codes")
     )
     qv = vecs.where(F.col("vec_id") < N_QUERIES)
-    n_probe = scaled_n_probe(cents.count())
+    cent_rows = cents.collect()
+    n_probe = scaled_n_probe(len(cent_rows))
     w = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cell_id"))
-    probes = (
-        qv.crossJoin(F.broadcast(cents))
+    # Probe selection (the 6-dp cosine ranking) stays a JVM expression —
+    # only the bounded (query, cell) id pairs come back; the residual
+    # ADC tables for exactly those pairs are computed driver-side.
+    probe_pairs = [
+        (int(r["query_id"]), int(r["cell_id"]))
+        for r in qv.crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
             "cell_id",
-            "e",
-            "ce",
             F.round(
                 _dot("e", "ce").cast("double")
                 / (
@@ -814,10 +940,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("crnk", F.row_number().over(w))
         .where(F.col("crnk") <= n_probe)
-        .withColumn("qres", F.expr("zip_with(e, ce, (x, y) -> x - y)"))
-        .select(
-            "query_id", "cell_id", F.expr(_pq_lut_expr(cb_sql, "qres")).alias("lut")
-        )
+        .select("query_id", "cell_id")
+        .collect()
+    ]
+    probes = _resid_probe_luts(
+        spark,
+        cent_rows,
+        cb_rows,
+        qv.select("vec_id", "e").collect(),
+        probe_pairs,
     )
     adist_expr = (
         f"aggregate(sequence(0, {M_SUB - 1}), CAST(0 AS BIGINT), "
@@ -949,38 +1080,54 @@ def search_ivfpq_index(
 ) -> DataFrame:
     """Serve half: answer ANN queries from the PERSISTED IVF-PQ index
     only — no training, no corpus rescan. Probe cells come from the
-    broadcast centroid file; the per-(query, cell) residual ADC lookup
-    tables are built in-plan from the stored codebooks (the same
-    bounded broadcast as the inline `ann_ivfpq_topk`); candidate codes
-    come from a partition-pruned read (``cell_id IN probe-set`` reaches
-    the parquet source as a partition filter); re-rank reads the stored
-    full-precision columns. queries_df: (vec_id, e) quantized query
-    vectors."""
+    collected centroid file (model-bounded); the 6-dp cosine probe
+    ranking stays a JVM expression over a broadcast crossJoin, and only
+    the (query, cell) id pairs come back — the per-(query, cell)
+    residual ADC lookup tables for those pairs are exact Python ints
+    (`_resid_probe_luts`), broadcast as a 1-slice local table.
+    Candidate codes come from a partition-pruned read (``cell_id IN
+    probe-set`` reaches the parquet source as a partition filter);
+    re-rank reads the stored full-precision columns. queries_df:
+    (vec_id, e) quantized query vectors."""
     from pyspark.sql import Window
 
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
     if n_probe is None:
-        n_probe = scaled_n_probe(cents.count())
+        n_probe = scaled_n_probe(len(cent_rows))
     cb_rows = spark.read.parquet(f"{index_dir}/codebooks").collect()
     q_rows = queries_df.select("vec_id", "e").collect()
     empty = spark.createDataFrame(
         [], "query_id bigint, neighbor_id bigint, cosine double, rnk bigint"
     )
-    if not cb_rows or not q_rows:
+    if not cb_rows or not q_rows or not cent_rows:
         return empty
-    cb_sql = _pq_literals(cb_rows, [{"vec_id": -1, "e": [0] * N_DIMS}])[0]
-    qv = spark.createDataFrame(
-        [(int(r["vec_id"]), [int(x) for x in r["e"]]) for r in q_rows],
-        "query_id bigint, e array<bigint>",
-    ).withColumn("nrm", _norm("e"))
+    cents = _local_df(
+        spark,
+        [
+            (int(r["cell_id"]), [int(x) for x in r["ce"]], int(r["cn"]))
+            for r in cent_rows
+        ],
+        "cell_id bigint, ce array<bigint>, cn bigint",
+    )
+    qv = _local_df(
+        spark,
+        [
+            (
+                int(r["vec_id"]),
+                [int(x) for x in r["e"]],
+                sum(int(x) * int(x) for x in r["e"]),
+            )
+            for r in q_rows
+        ],
+        "query_id bigint, e array<bigint>, nrm bigint",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cell_id"))
-    probes = (
-        qv.crossJoin(F.broadcast(cents))
+    probe_pairs = [
+        (int(r["query_id"]), int(r["cell_id"]))
+        for r in qv.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
             "cell_id",
-            "e",
-            "ce",
             F.round(
                 _dot("e", "ce").cast("double")
                 / (
@@ -992,19 +1139,11 @@ def search_ivfpq_index(
         )
         .withColumn("crnk", F.row_number().over(w))
         .where(F.col("crnk") <= n_probe)
-        .withColumn("qres", F.expr("zip_with(e, ce, (x, y) -> x - y)"))
-        .select(
-            "query_id",
-            "cell_id",
-            F.expr(_pq_lut_expr(cb_sql, "qres")).alias("lut"),
-        )
-        # One materialization: the (queries x centroids + window + LUT)
-        # subtree feeds the probe-cell collect below AND the broadcast
-        # side of the ADC join; without the pin the serve job recomputes
-        # it. Bounded: N_QUERIES x n_probe rows.
-        .localCheckpoint(eager=True)
-    )
-    probe_cells = sorted({r["cell_id"] for r in probes.select("cell_id").collect()})
+        .select("query_id", "cell_id")
+        .collect()
+    ]
+    probes = _resid_probe_luts(spark, cent_rows, cb_rows, q_rows, probe_pairs)
+    probe_cells = sorted({c for _, c in probe_pairs})
     store = spark.read.parquet(f"{index_dir}/codes").where(
         F.col("cell_id").isin(probe_cells) if probe_cells else F.lit(False)
     )
