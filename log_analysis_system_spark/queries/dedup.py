@@ -47,9 +47,12 @@ sh AS (
 """
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (Spark side of SHINGLE_CTE).
-    Array ops run inside whole-stage codegen; one explode, no UDF.
+def shingle_array(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr): each document's DISTINCT word n-gram shingle set
+    as one array column — the pre-explode form of ``shingles``. Consumers
+    that need whole sets (array_intersect verification) read this
+    directly: the set is already per-row, so no explode + collect_set
+    round trip (and no shuffle) is ever needed to reassemble it.
 
     The input is widened first (sources.catalog.widen_scan): shingling is
     the most CPU-heavy per-row derivation in the engine, and a
@@ -65,8 +68,14 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
         ),
     ).otherwise(F.array(F.concat_ws(" ", w)))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    return docs.select("doc_id", F.array_distinct(grams).alias("sh_arr"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (Spark side of SHINGLE_CTE).
+    Array ops run inside whole-stage codegen; one explode, no UDF."""
+    return shingle_array(docs, n).select(
+        "doc_id", F.explode("sh_arr").alias("shingle")
     )
 
 

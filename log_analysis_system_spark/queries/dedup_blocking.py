@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
-from .dedup import JACCARD_THRESHOLD, SHINGLE_CTE, shingles
+from .dedup import JACCARD_THRESHOLD, SHINGLE_CTE, shingle_array
 
 SN_KEY_LEN = 40  # normalization-key length (chars)
 SN_BLOCK_LEN = 6  # blocking prefix length
@@ -115,10 +115,20 @@ def q_sorted_neighborhood_dedup(
         )
         .distinct()
     )
-    arrs = shingles(docs).groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_arr"),
-        F.count(F.lit(1)).cast("long").alias("n_sh"),
-    )
+    # Per-doc shingle sets come straight from the pre-explode array form
+    # (round-11): the former explode + collect_set + count re-assembled
+    # the very array `shingle_array` starts from, paying a corpus-wide
+    # Generate plus a collect_set shuffle TWICE (once per join side —
+    # the agg subtree was not exchange-reused). n_sh == size(sh_arr)
+    # because the set is distinct by construction; intersection sizes
+    # are order-insensitive, so values are unchanged (guide §2.4). The
+    # lazy checkpoint materializes the arrays ONCE per action — without
+    # it the shingling expression is a collapsible alias re-evaluated
+    # per downstream reference on both join sides (guide §4.4's
+    # duplication, the recurring CollapseProject lesson).
+    arrs = shingle_array(docs).select(
+        "doc_id", "sh_arr", F.size("sh_arr").cast("long").alias("n_sh")
+    ).localCheckpoint(eager=False)
     scored = (
         cand.join(
             arrs.select(

@@ -114,22 +114,20 @@ def _plane_coef(p: int, d: int) -> int:
 
 
 def _band_signatures(vecs: DataFrame) -> DataFrame:
-    """(vec_id, band, sig) — one row per vector per band, where ``sig`` packs
-    the sign bits of NEARDUP_ROWS hyperplane projections. The plane matrix is
-    baked into the plan as a literal array-of-arrays, so signature computation
-    is one narrow map stage (no shuffle, no Python)."""
-    planes_sql = ", ".join(
-        "array({})".format(
-            ", ".join(
-                f"{_plane_coef(p, d)}L" for d in range(N_DIMS)
-            )
-        )
+    """(vec_id, band, sig) — one row per vector per band, where ``sig``
+    packs the sign bits of NEARDUP_ROWS hyperplane projections. The
+    plane projections are exact int64 dots against the md5-derived plane
+    matrix via the Arrow matmul kernel (`_int_dots_udf` — round-11: the
+    former form folded a baked 64x64 literal matrix with interpreted
+    HOF lambdas, ~8M interpreted multiply-adds per 2000 vectors, twice
+    per self-join); sign-thresholding and bit-packing stay small JVM
+    expressions over the 64 returned dots."""
+    planes = [
+        [_plane_coef(p, d) for d in range(N_DIMS)]
         for p in range(_N_NEARDUP_PLANES)
-    )
+    ]
     bits = (
-        f"transform(array({planes_sql}), p -> CASE WHEN "
-        "aggregate(zip_with(p, e, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        " > 0 THEN 1L ELSE 0L END)"
+        "transform(__pdots, d -> CASE WHEN d > 0 THEN 1L ELSE 0L END)"
     )
     sigs = (
         f"transform(sequence(0, {NEARDUP_BANDS - 1}), j -> "
@@ -140,7 +138,8 @@ def _band_signatures(vecs: DataFrame) -> DataFrame:
         + ")"
     )
     return (
-        vecs.withColumn("__bits", F.expr(bits))
+        vecs.withColumn("__pdots", _int_dots_udf(planes)("e"))
+        .withColumn("__bits", F.expr(bits))
         .select("vec_id", F.posexplode(F.expr(sigs)).alias("band", "sig"))
     )
 
@@ -351,10 +350,8 @@ def _near_dup_pairs_exact(vecs: DataFrame, block_rows: int) -> DataFrame:
 
     spark = vecs.sparkSession
     schema = "vec_a long, vec_b long, dot long"
-    ranked = global_rank(
-        vecs.select("vec_id", "e", "nrm"), [F.asc("vec_id")], rank_col="__rnk"
-    )
-    n = ranked.count()
+    slim = vecs.select("vec_id", "e", "nrm")
+    n = slim.count()
     if n == 0:
         return spark.createDataFrame([], schema)
     th_pre = NEARDUP_THRESHOLD - 6e-7
@@ -383,6 +380,17 @@ def _near_dup_pairs_exact(vecs: DataFrame, block_rows: int) -> DataFrame:
 
         return gen
 
+    # Any deterministic disjoint cover of the corpus in <= block_rows
+    # chunks yields the same pair set (each pair is emitted by the one
+    # pass broadcasting b's block). A corpus that fits ONE block skips
+    # the distributed ranking machinery outright (round-11: global_rank
+    # is a 2-shuffle range-partition + offset join — pure overhead when
+    # the whole corpus is a single bounded collect anyway); beyond one
+    # block the contiguous rank ranges run unchanged.
+    if n <= block_rows:
+        ranked = slim.withColumn("__rnk", F.lit(0))
+    else:
+        ranked = global_rank(slim, [F.asc("vec_id")], rank_col="__rnk")
     parts = []
     for lo in range(0, n, block_rows):
         block = ranked.where(
@@ -554,19 +562,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coef"),
         )
     )
-    # Collect the tiny (8x64) plane table and bake it into a literal array so
-    # the projection is a pure codegen expression: proj_p = sum_d coef[p][d]*e[d].
+    # Collect the tiny (8x64) plane table; projections are exact int64
+    # dots via the Arrow matmul kernel (round-11 — formerly a baked
+    # literal matrix folded with interpreted HOF lambdas per row), with
+    # the sign/bit packing left as a flat codegen expression.
     coef_rows = planes.orderBy("p", "d").collect()
     coefs = [[0] * N_DIMS for _ in range(N_PLANES)]
     for r in coef_rows:
         coefs[r["p"]][r["d"]] = r["coef"]
     bucket_expr = " + ".join(
-        f"(CASE WHEN aggregate(zip_with(e, array({', '.join(f'CAST({c} AS BIGINT)' for c in coefs[p])}), "
-        f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 "
+        f"(CASE WHEN element_at(__pdots, {p + 1}) > 0 "
         f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         for p in range(N_PLANES)
     )
-    bucketed = vecs.withColumn("bucket", F.expr(bucket_expr))
+    bucketed = vecs.withColumn(
+        "__pdots", _int_dots_udf(coefs)("e")
+    ).withColumn("bucket", F.expr(bucket_expr))
     qa = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nrm").alias("qn"), "bucket"

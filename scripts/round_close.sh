@@ -34,8 +34,8 @@ wait_for_idle() {
   done
   echo "== WARNING: host still loaded after 10 min; timed numbers suspect"
 }
-echo "== 1/5 pytest"
-python -m pytest tests/ -x -q
+echo "== 1/5 pytest (FULL suite incl. slow tier)"
+SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -x -q
 echo "== 2/5 driver_sim (default parallelism)"
 python scripts/driver_sim.py "$TESTDATA/sf0.01"
 echo "== 3/5 driver_sim (SPARK_GRAFT_CPUS=5)"

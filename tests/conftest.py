@@ -20,6 +20,34 @@ from log_analysis_system_spark.sources.catalog import TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 SF_DIR_MID = "/root/testdata/sf0.01"
 
+# Two-tier suite (round-11, verdict item 2): the full suite outgrew the
+# driver's verify window (~59 min at the round-10 close; the official
+# record showed tests_ok=false on a run that was merely TRUNCATED, with
+# zero failures). The default `pytest tests/` run now skips tests marked
+# `slow` — long redundancy tiers whose gate class is still covered by a
+# fast representative — finishing well inside the window. The FULL suite
+# (round_close.sh, any local deep check) runs with
+# SPARK_GRAFT_FULL_TESTS=1, which disables the skip.
+RUN_FULL = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long redundancy tier — skipped unless SPARK_GRAFT_FULL_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_FULL:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set SPARK_GRAFT_FULL_TESTS=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():
