@@ -475,6 +475,23 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
+    # Append-only history (round-11, verdict item 5): BENCH_DETAIL.json
+    # is overwritten by every run — the round-10 official 32-core
+    # per-query map was silently replaced in the working tree by the
+    # later 8-core scaling run, leaving PERF_r10 with no prev-side
+    # per-query source. Each run therefore ALSO appends its detail as
+    # one timestamped JSON line here. Additive only: the official
+    # stdout line and BENCH_DETAIL.json are unchanged.
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    with open(history_path, "a") as f:
+        f.write(
+            json.dumps(
+                {"ts": int(time.time()), **detail}, sort_keys=True
+            )
+            + "\n"
+        )
     n_registered = sum(1 for k in timings if k not in HELPER_TIMINGS)
     print(
         final_line(

@@ -776,8 +776,15 @@ def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-div against the round's scalar max — the max is the only
     driver-side value (a 1-row bounded collect, the fixpoint-scalar
     precedent), so scores stay in [0, {HITS_SCALE}] and never overflow
-    however many rounds run. Both engines floor-div non-negative sums,
-    so the unrolled-CTE oracle hash-matches bit for bit."""
+    however many rounds run. The score table is node-bounded and tiny
+    next to the edge list, but its checkpoint-backed plan hides size
+    statistics, so the planner sort-merge-joined BOTH sides every
+    half-round; an explicit broadcast hint on the score side keeps the
+    edge list un-shuffled for all {HITS_ROUNDS}x2 half-steps (round-11,
+    guide §3.1 — at cluster scale the same recurrence flips to a
+    shuffle join past the broadcast cap, a size decision, never a
+    correctness one). Both engines floor-div non-negative sums, so the
+    unrolled-CTE oracle hash-matches bit for bit."""
     edges = (
         trade_edges(spark, sf_dir)
         .where(F.col("src") < SUPP_OFFSET)
@@ -795,7 +802,7 @@ def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
     for _ in range(HITS_ROUNDS):
         ar = (
-            edges.join(h.withColumnRenamed("v", "hv"), "cust")
+            edges.join(F.broadcast(h.withColumnRenamed("v", "hv")), "cust")
             .groupBy("supp")
             .agg(F.sum("hv").cast("long").alias("v"))
             .localCheckpoint(eager=False)
@@ -811,7 +818,7 @@ def q_hits_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         hr = (
-            edges.join(a.withColumnRenamed("v", "av"), "supp")
+            edges.join(F.broadcast(a.withColumnRenamed("v", "av")), "supp")
             .groupBy("cust")
             .agg(F.sum("av").cast("long").alias("v"))
             .localCheckpoint(eager=False)
@@ -890,7 +897,10 @@ def q_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key bound `dedup_containment_capped` applies to shingles, and the
     oracle mirrors it). Everything else is a hash aggregate or a slim
     degree-table join keyed by supplier. No stage is ever all-pairs in
-    the supplier count."""
+    the supplier count. (Round-11 note: the item_cf basket-array pair
+    generator was tried here and measured SLOWER — 4.3 -> 6.1 s warm —
+    the interpreted slice/transform HOF tower costs more than the
+    codegen'd self-join at deg<=48 pair volume; kept the join form.)"""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey"
     )

@@ -2455,49 +2455,66 @@ def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius — radius_d2 of pick r is the cover radius of the first r-1
     centers, the curve a data-selection run reports.
 
-    Scale: each round is one corpus pass — a broadcast join against the
-    <= {KCENTER_K}-row selected set, a per-vector min, and a 1-row
-    integer argmax (global TakeOrdered, not a sort); selected-set state
-    is localCheckpoint'd per round (the LPA/MMR iterative pattern).
-    K corpus passes for K centers is the canonical distributed k-center
-    shape; the only driver-side data is the K-row center table."""
-    from pyspark.sql import Window
-
+    Scale: each round is one corpus pass against ONLY the newest center
+    (round-11, guide §1.2 step 1: Gonzalez's greedy is incremental — a
+    point's distance-to-selected-set is the running min, so carrying a
+    per-point `min_d2` state column and `least()`-ing in the newest
+    center's distance replaces the former re-scan of ALL r-1 selected
+    centers per round, O(K*N) exact-integer distance evaluations instead
+    of O(K^2*N), and drops the per-round groupBy exchange outright —
+    `least` is per-row). The pick is a 1-row integer argmax (global
+    TakeOrdered, never a sort) consumed IN-PLAN as a broadcast; state is
+    lazily localCheckpoint'd per round (the pagerank/HITS shape) so the
+    whole greedy is one action. The only driver-side data is the K-row
+    center table; min-over-the-same-set integers are bit-identical to
+    the re-scan form."""
     vecs = _quantized(spark, sf_dir).select("vec_id", "e")
-    first = (
-        vecs.agg(F.min("vec_id").alias("vec_id"))
-        .withColumn("center_rank", F.lit(1).cast("long"))
-        .withColumn("radius_d2", F.lit(0).cast("long"))
+    # Seed = smallest vec_id, picked by TakeOrdered (empty corpus ->
+    # empty seed -> empty output, matching the former join-filtered agg).
+    first = vecs.orderBy(F.asc("vec_id")).limit(1).localCheckpoint(
+        eager=False
     )
-    sel = first.join(vecs, "vec_id").select(
-        "vec_id", "center_rank", "radius_d2", F.col("e").alias("ce")
-    ).localCheckpoint()
+    sel = first.select(
+        "vec_id",
+        F.lit(1).cast("long").alias("center_rank"),
+        F.lit(0).cast("long").alias("radius_d2"),
+    ).localCheckpoint(eager=False)
     d2 = F.expr(
         "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), "
         "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
+    # Per-point running distance to the selected set: seeded from the
+    # first center, then narrowed by one `least()` per round.
+    state = (
+        vecs.join(first.select("vec_id"), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(first.select(F.col("e").alias("ce"))))
+        .select("vec_id", "e", d2.alias("min_d2"))
+        .localCheckpoint(eager=False)
+    )
     for r in range(2, KCENTER_K + 1):
-        mind = (
-            vecs.join(sel.select("vec_id").withColumnRenamed(
-                "vec_id", "done"), F.col("vec_id") == F.col("done"),
-                "left_anti")
-            .crossJoin(F.broadcast(sel.select("ce")))
-            .withColumn("d2", d2)
-            .groupBy("vec_id")
-            .agg(F.min("d2").alias("min_d2"))
-        )
         pick = (
-            mind.orderBy(F.desc("min_d2"), F.asc("vec_id"))
+            state.orderBy(F.desc("min_d2"), F.asc("vec_id"))
             .limit(1)
             .select(
                 "vec_id",
                 F.lit(r).cast("long").alias("center_rank"),
                 F.col("min_d2").alias("radius_d2"),
             )
+            .localCheckpoint(eager=False)
         )
-        sel = sel.select("vec_id", "center_rank", "radius_d2").unionByName(
-            pick
-        ).join(vecs, "vec_id").select(
-            "vec_id", "center_rank", "radius_d2", F.col("e").alias("ce")
-        ).localCheckpoint()
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+        if r < KCENTER_K:
+            ce = F.broadcast(
+                pick.join(vecs, "vec_id").select(F.col("e").alias("ce"))
+            )
+            state = (
+                state.join(pick.select("vec_id"), "vec_id", "left_anti")
+                .crossJoin(ce)
+                .select(
+                    "vec_id",
+                    "e",
+                    F.least(F.col("min_d2"), d2).alias("min_d2"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return sel.select("center_rank", "vec_id", "radius_d2")
