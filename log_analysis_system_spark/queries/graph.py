@@ -66,7 +66,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     loop-INVARIANT, so it is attached to the edge list once and
     checkpointed (round-10; the former in-loop form re-joined deg every
     round — guide §2.4), and checkpoints are lazy so each round is a
-    single job materialized by the next round's action."""
+    single job materialized by the next round's action. The edge input
+    itself is pinned first (round-11): `ed` and `pr0` both consume it,
+    and when a caller passes an unmaterialized subtree (textrank's
+    corpus-scan pair pipeline) the whole subtree re-executed once per
+    consumer — measured 2.1 s of textrank's 3.6 s warm wall-clock."""
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
     pr = (
@@ -1529,11 +1534,14 @@ def q_modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LPA rounds themselves are the bounded-iteration recurrence
     already gated under the LPA row."""
     edges = lpa_edges(spark, sf_dir)
+    # Pinned (round-11): every LPA round's vote join consumes vedges,
+    # and the self-loop distinct is a shuffle that would otherwise
+    # re-execute per round (new RDD per round — no shuffle reuse).
     vedges = edges.unionByName(
         edges.select("src").distinct().select(
             F.col("src"), F.col("src").alias("dst")
         )
-    )
+    ).localCheckpoint(eager=False)
     lab = label_propagation(vedges).localCheckpoint()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")

@@ -1957,9 +1957,22 @@ def _jc_hash_rows(key_sql: str) -> str:
     )
 
 
-def _cms_sketch(keys, out: str):
-    """Fixed JC_D x JC_W count-min sketch of a key column named `pk` —
-    one map-side-combinable hash agg per side, shared by
+def _key_freq(keys, cnt: str):
+    """Collapse a key column named `pk` to its frequency table
+    (pk, cnt) — one map-side-combinable hash agg. Round-11: both the
+    CMS counters and the exact-truth join cardinality are functions of
+    the two frequency tables alone, so hashing (and joining) the ~30x
+    smaller distinct-key table computes the identical integers with one
+    md5 per DISTINCT key instead of one per raw fact row (guide §2.3
+    "shuffle keys and metadata instead of payloads", §1.2 per-task
+    work)."""
+    return keys.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias(cnt))
+
+
+def _cms_sketch(freq, cnt: str, out: str):
+    """Fixed JC_D x JC_W count-min sketch from a key FREQUENCY table
+    (pk, cnt) — counter = sum of key multiplicities per bucket, the
+    same integers the former raw-row count produced; shared by
     `join_cardinality_estimate` and `join_order_advisor`."""
     from .dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
@@ -1969,7 +1982,8 @@ def _cms_sketch(keys, out: str):
         10,
     ).cast("long")
     return (
-        keys.select(
+        freq.select(
+            F.col(cnt),
             F.explode(
                 F.array(
                     *[
@@ -1984,10 +1998,10 @@ def _cms_sketch(keys, out: str):
                         for d in range(JC_D)
                     ]
                 )
-            ).alias("h")
+            ).alias("h"),
         )
         .groupBy("h.d", "h.bucket")
-        .agg(F.count(F.lit(1)).alias(out))
+        .agg(F.sum(cnt).cast("long").alias(out))
     )
 
 
@@ -2035,29 +2049,38 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem.l_partkey vs a brand-filtered part slice, next to the exact
     join count and the overestimate ratio.
 
-    Scale shape: each side reduces to a fixed {D}x{W} counter table in
-    one map-side-combinable hash agg (same mergeable-summary class as
-    `countmin_terms`/`sketch_rollup_users`); the estimate itself joins
-    two KB-sized sketches. The exact-truth join exists for the audit and
-    would be OMITTED in production — the entire point is answering the
-    size question without running the join."""
-    a_keys = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_partkey").alias("pk")
-    )
-    b_keys = (
+    Scale shape: each side reduces to its distinct-key frequency table
+    (one map-side-combinable hash agg), which feeds BOTH the fixed
+    {D}x{W} counter table (md5 per distinct key, counters = multiplicity
+    sums — identical integers, ~30x fewer hashes at sf0.1) and the
+    exact-truth cardinality (sum of ca*cb over the key equi-join — the
+    count(*) of the raw join by algebra, for ANY multiplicity); the
+    estimate itself joins two KB-sized sketches. The exact-truth join
+    exists for the audit and would be OMITTED in production — the entire
+    point is answering the size question without running the join."""
+    a_freq = _key_freq(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_partkey").alias("pk")
+        ),
+        "fa",
+    ).localCheckpoint(eager=False)
+    b_freq = _key_freq(
         spark.read.parquet(f"{sf_dir}/part.parquet")
         .where(F.col("p_brand").isin(*JC_BRANDS))
-        .select(F.col("p_partkey").alias("pk"))
-    )
+        .select(F.col("p_partkey").alias("pk")),
+        "fb",
+    ).localCheckpoint(eager=False)
     ip = (
-        _cms_sketch(a_keys, "ca")
-        .join(F.broadcast(_cms_sketch(b_keys, "cb")), ["d", "bucket"])
+        _cms_sketch(a_freq, "fa", "ca")
+        .join(F.broadcast(_cms_sketch(b_freq, "fb", "cb")), ["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
     )
     est = ip.agg(F.min("dot").cast("long").alias("cms_n"))
-    truth = a_keys.join(F.broadcast(b_keys), "pk").agg(
-        F.count(F.lit(1)).cast("long").alias("true_n")
+    truth = a_freq.join(F.broadcast(b_freq), "pk").agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+        .cast("long")
+        .alias("true_n")
     )
     return truth.join(F.broadcast(est)).select(
         "true_n",
@@ -2737,9 +2760,11 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen plan can only be beaten if collisions inflate BOTH
     estimates, which the never_underestimates pin bounds.
 
-    Scale shape: four fixed {D}x{W} sketch tables (map-side
-    combinable), estimates join KB-sized relations; decision is a
-    2-row aggregate."""
+    Scale shape: four fixed {D}x{W} sketch tables built from the sides'
+    distinct-key frequency tables (map-side combinable; round-11 — md5
+    per distinct key, truth = sum of multiplicity products, identical
+    integers, the `join_cardinality_estimate` rewrite), estimates join
+    KB-sized relations; decision is a 2-row aggregate."""
     from ..sources.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -2765,15 +2790,19 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def est(a, b, name):
+        fa = _key_freq(a, "fa").localCheckpoint(eager=False)
+        fb = _key_freq(b, "fb").localCheckpoint(eager=False)
         ip = (
-            _cms_sketch(a, "ca")
-            .join(F.broadcast(_cms_sketch(b, "cb")), ["d", "bucket"])
+            _cms_sketch(fa, "fa", "ca")
+            .join(F.broadcast(_cms_sketch(fb, "fb", "cb")), ["d", "bucket"])
             .groupBy("d")
             .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
         )
         e = ip.agg(F.min("dot").cast("long").alias("cms_n"))
-        t = a.join(b, "pk").agg(
-            F.count(F.lit(1)).cast("long").alias("true_n")
+        t = fa.join(fb, "pk").agg(
+            F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0))
+            .cast("long")
+            .alias("true_n")
         )
         return e.crossJoin(t).select(
             F.lit(name).alias("first_join"), "cms_n", "true_n"

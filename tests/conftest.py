@@ -31,6 +31,24 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 RUN_FULL = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
 
 
+def gate_query_names():
+    """Query set for the registry-wide structural gates (plan sweeps:
+    cartesian/Python-UDF/bare-window/exchange-budget). Full tier sweeps
+    the whole registry; the driver-budget default tier sweeps the
+    official 50-query PRIORITY window — the rows the driver actually
+    grades — because one plan_of() per registered query costs ~0.5 s and
+    four full sweeps were ~10 min of the suite. New queries always enter
+    through a BUILD round, whose close runs the full tier
+    (round_close.sh), so registry-wide coverage still gates every
+    addition."""
+    from log_analysis_system_spark.queries import PRIORITY, QUERIES, load_all
+
+    load_all()
+    if RUN_FULL:
+        return sorted(QUERIES)
+    return [n for n in sorted(QUERIES) if n in set(PRIORITY)]
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

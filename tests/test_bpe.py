@@ -164,6 +164,12 @@ def test_bpe_batched_matches_sequential_64_merges(spark):
     assert got_vocab == exp_vocab
 
 
+import pytest
+
+
+@pytest.mark.slow  # redundancy tier: the deterministic 64-merge batched==
+# sequential equivalence test stays in the fast tier; this adds randomized
+# adversarial vocabs on top (15 s of the driver-budget window).
 def test_bpe_batched_property_random_vocabs(spark):
     """Adversarial a/b-alphabet vocabs maximize both repeated-symbol runs
     AND merge-string collisions (e.g. 'a'+'ba' == 'ab'+'a' == 'aba') —

@@ -12,7 +12,34 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 load_all()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+# Oracles whose DuckDB text is expensive to EVALUATE (unrolled greedy /
+# recursive CTE towers that DuckDB inlines multiplicatively — measured
+# 9-269 s each, ~9 min combined of the 45-min full run). Parity for
+# these rows is still checked every round by scripts/driver_sim.py (the
+# same comparison at sf0.01) and by the driver's own gate for window
+# rows; the default driver-budget tier skips only this redundant third
+# evaluation (round-11, verdict item 2).
+SLOW_ORACLES = {
+    "coreset_kcenter",
+    "mmr_diversified_topk",
+    "hits_trade_graph",
+    "kcore_trade_graph",
+    "holt_forecast_revenue",
+    "theil_sen_trend",
+    "pq_index_refresh",
+    "embedding_dup_clusters",
+    "semantic_dedup_keep",
+    "lsh_recall_audit",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_ORACLES else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_query_matches_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, QUERIES[name], ORACLES[name], SF_DIR)
 

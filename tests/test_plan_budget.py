@@ -36,9 +36,11 @@ def test_no_query_exceeds_exchange_budget(spark):
     # CacheManager (InMemoryRelation replaces the subtree and the textual
     # Exchange count shifts), making this gate order-dependent. Reset to the
     # pinned cold state before sweeping.
+    from tests.conftest import gate_query_names
+
     spark.catalog.clearCache()
     over = {}
-    for name in sorted(QUERIES):
+    for name in gate_query_names():
         plan = (
             QUERIES[name](spark, SF_DIR)
             ._jdf.queryExecution()

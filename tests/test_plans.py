@@ -66,8 +66,10 @@ def test_order_priority_semi_join(spark):
 def test_no_cartesian_products_anywhere(spark):
     """Cross joins are only legitimate where a tiny broadcast side is crossed
     deliberately (funnel start_pv single row, ANN query set)."""
+    from tests.conftest import gate_query_names
+
     allowed_cross = {"funnel", "ann_brute_topk"}
-    for name in sorted(QUERIES):
+    for name in gate_query_names():
         if name in allowed_cross:
             continue
         plan = plan_of(spark, name)
@@ -286,10 +288,16 @@ def test_balanced_shards_no_single_partition_stage(spark):
 
 def test_embedding_near_dup_is_distributed_lsh(spark):
     """The near-dup production path must be the banded-LSH equi-join form:
-    no Python stage, no cartesian product, no driver-collected blocks."""
+    no cartesian product, no driver-collected blocks, no row-at-a-time
+    Python. Round-11: the plane projections run through the Arrow int64
+    matmul kernel (the round-10 centroid-assignment shape), so
+    ArrowEvalPython is the REQUIRED signature stage — BatchEvalPython
+    (pickled row loop) stays banned, and the candidate join must still
+    be the banded equi-join."""
     plan = plan_of(spark, "embedding_near_dup")
     assert "CartesianProduct" not in plan
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" in plan
     assert "ExistingRDD" not in plan
 
 
@@ -299,7 +307,9 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
     (ArrowEvalPython / MapInPandas) or absent. multimodal + the exact
     near-dup kernel legitimately run mapInPandas; nothing may regress to
     per-row pickling."""
-    for name in sorted(QUERIES):
+    from tests.conftest import gate_query_names
+
+    for name in gate_query_names():
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
@@ -475,8 +485,10 @@ def test_no_bare_global_windows_registry_wide(spark):
     New queries with a bare window fail here until they either use
     operators.sampling.global_rank / grouped_prefix_sum or document why
     the window's input frame is size-bounded."""
+    from tests.conftest import gate_query_names
+
     offenders = {}
-    for name in sorted(QUERIES):
+    for name in gate_query_names():
         if name in BOUNDED_FRAME_WINDOWS:
             continue
         plan = plan_of(spark, name)
