@@ -562,22 +562,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coef"),
         )
     )
-    # Collect the tiny (8x64) plane table; projections are exact int64
-    # dots via the Arrow matmul kernel (round-11 — formerly a baked
-    # literal matrix folded with interpreted HOF lambdas per row), with
-    # the sign/bit packing left as a flat codegen expression.
+    # Collect the tiny (8x64) plane table and bake it into a literal array so
+    # the projection is a pure codegen expression: proj_p = sum_d coef[p][d]*e[d].
+    # (Round-11 note: the Arrow matmul kernel was tried here and measured
+    # 0.57x — at only {N_PLANES} planes the Python-boundary cost exceeds
+    # the HOF fold it replaces, and `bucketed` feeds both join sides so
+    # the ArrowEvalPython stage ran twice. The kernel stays where the
+    # plane count is 64 and the input corpus-sized: `_band_signatures`.)
     coef_rows = planes.orderBy("p", "d").collect()
     coefs = [[0] * N_DIMS for _ in range(N_PLANES)]
     for r in coef_rows:
         coefs[r["p"]][r["d"]] = r["coef"]
     bucket_expr = " + ".join(
-        f"(CASE WHEN element_at(__pdots, {p + 1}) > 0 "
+        f"(CASE WHEN aggregate(zip_with(e, array({', '.join(f'CAST({c} AS BIGINT)' for c in coefs[p])}), "
+        f"(x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 "
         f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         for p in range(N_PLANES)
     )
-    bucketed = vecs.withColumn(
-        "__pdots", _int_dots_udf(coefs)("e")
-    ).withColumn("bucket", F.expr(bucket_expr))
+    bucketed = vecs.withColumn("bucket", F.expr(bucket_expr))
     qa = bucketed.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nrm").alias("qn"), "bucket"
